@@ -1,0 +1,21 @@
+"""quantumcomputer_tpu: a TPU-native state-vector quantum simulator.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
+GSL-based Shor's-algorithm simulator (adamalderton/QuantumComputer): a
+2^n complex amplitude vector lives HBM-resident (sharded over a device
+mesh at scale); gates apply as strided-axis contractions, fused diagonals,
+and permutation gathers — never as materialized 2^N x 2^N matrices.
+"""
+
+from quantumcomputer_tpu.algorithms.shor import (  # noqa: F401
+    Outcome,
+    ShorResult,
+    find_period,
+    read_omega,
+    shors_algorithm,
+)
+from quantumcomputer_tpu.models import circuit  # noqa: F401
+from quantumcomputer_tpu.models.shor_circuit import shor_circuit, shor_circuit_reference  # noqa: F401
+from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine  # noqa: F401
+
+__version__ = "0.1.0"

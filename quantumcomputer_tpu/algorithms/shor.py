@@ -1,0 +1,197 @@
+"""Shor's algorithm driver: classical orchestration around the quantum core.
+
+Reproduces shors_algorithm / find_period (qc_shor.c:912-1134) with typed
+results instead of the reference's ErrorCode enum (qc_shor.c:164-170), and
+with its latent bugs fixed (see SURVEY.md §4):
+
+  * period-found flag is explicit, never uninitialized (qc_shor.c:915);
+  * the a^(p/2) ≡ -1 (mod C) validity check uses the *current* trial
+    integer (the reference tests forced_trial_int — always 0 — in the trial
+    loop, qc_shor.c:1091, disabling the check);
+  * all power tests use exact modular exponentiation, not double pow();
+  * trial integers sharing a factor with C are resolved classically via
+    gcd (textbook Shor) rather than running a non-unitary "permutation"
+    gate, which is what the reference would silently do.
+
+The no-remeasure semantic is kept: every attempt re-runs the circuit from
+the reset register (qc_shor.c:299-301, 922); collapsed states are never
+re-sampled.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from quantumcomputer_tpu.algorithms import number_theory as nt
+from quantumcomputer_tpu.models.shor_circuit import shor_circuit
+from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+from quantumcomputer_tpu.utils.logging import get_logger
+
+log = get_logger("shor")
+
+
+class Outcome(Enum):
+    OK = "ok"
+    PERIOD_NOT_FOUND = "period_not_found"
+    TRIVIAL_FACTORS = "trivial_factors"
+    BAD_ARGUMENTS = "bad_arguments"
+
+
+@dataclass
+class AttemptRecord:
+    """One period-finding attempt: measured index, omega, candidate period."""
+
+    a: int
+    measured_index: int
+    omega: float
+    period: Optional[int]
+    valid: bool
+    reason: str = ""
+
+
+@dataclass
+class ShorResult:
+    outcome: Outcome
+    C: int
+    factors: Optional[Tuple[int, int]] = None
+    period: Optional[int] = None
+    a: Optional[int] = None
+    attempts: List[AttemptRecord] = field(default_factory=list)
+    elapsed_s: float = 0.0
+
+    @property
+    def ok(self) -> bool:
+        return self.outcome is Outcome.OK
+
+
+def read_omega(state_num: int, L: int, M: int) -> float:
+    """Bit-reversed L-register readout: omega = x_tilde / 2^L
+    (qc_shor.c:868-883)."""
+    x_tilde = 0
+    power = 0
+    for i in range(L + M - 1, M - 1, -1):
+        x_tilde += ((state_num >> i) & 1) << power
+        power += 1
+    return x_tilde / float(1 << L)
+
+
+def issue_warnings(C: int, L: int, M: int) -> List[str]:
+    """Register-size confidence warnings (qc_shor.c:340-351)."""
+    warnings = []
+    if (1 << M) < C:
+        warnings.append(
+            f"M register too small for reliable results: ensure 2^M >= C (minimum M = {nt.min_M_for(C)})"
+        )
+    if (1 << L) < C * C:
+        warnings.append(
+            f"L register too small for full period confidence: ensure 2^L >= C^2 (suggested L = {nt.recommended_L_for(C)})"
+        )
+    return warnings
+
+
+def find_period(
+    engine: StateVectorEngine,
+    C: int,
+    a: int,
+    key: jax.Array,
+    num_fractions: int = nt.NUM_CONTINUED_FRACTIONS,
+    trials_per_denominator: int = nt.TRIALS_PER_DENOMINATOR,
+) -> AttemptRecord:
+    """One quantum period-finding attempt (find_period, qc_shor.c:912-964):
+    reset -> circuit -> measure -> omega -> continued fractions -> period test."""
+    reg = engine.register
+    circuit = shor_circuit(C, a, reg.L, reg.M)
+    state = engine.run(circuit)  # starts from the reset |0..01> register
+    idx, _ = engine.measure(state, key)
+    omega = read_omega(idx, reg.L, reg.M)
+    period = nt.find_period_from_omega(omega, a, C, num_fractions, trials_per_denominator)
+    log.debug("a=%d measured index=%d omega=%.6f period=%s", a, idx, omega, period)
+    return AttemptRecord(a=a, measured_index=idx, omega=omega, period=period, valid=period is not None)
+
+
+def _validate_and_factor(C: int, a: int, period: int) -> Tuple[bool, str, Optional[Tuple[int, int]]]:
+    """Validity ladder (qc_shor.c:1030-1050): period even, a^(p/2) != -1 mod C;
+    then factors = gcd(a^(p/2) +- 1, C), rejecting trivial ones."""
+    if period % 2 != 0:
+        return False, "period is odd", None
+    half = nt.modpow(a, period // 2, C)
+    if half == C - 1:
+        return False, "a^(p/2) == -1 (mod C)", None
+    f0 = nt.gcd(half + 1, C)
+    f1 = nt.gcd(half - 1, C)
+    if f0 == 1 or f1 == 1 or f0 == C or f1 == C:
+        return False, "trivial factors", None
+    return True, "", (max(f0, f1), min(f0, f1))
+
+
+def shors_algorithm(
+    C: int,
+    L: int,
+    M: int,
+    forced_trial_int: int = 0,
+    seed: Optional[int] = None,
+    dtype=jnp.complex64,
+    backend: str = "xla",
+    max_attempts_per_a: int = 1,
+    engine: Optional[StateVectorEngine] = None,
+) -> ShorResult:
+    """Full Shor driver (qc_shor.c:1003-1134).
+
+    forced_trial_int != 0 -> single attempt with that a; otherwise loop
+    a = 2 .. C-2 until non-trivial factors emerge.  Seeded jax.random
+    replaces the reference's time-seeded MT19937 (qc_shor.c:1296-1299);
+    pass seed=None for wall-clock seeding like the reference.
+    """
+    if C < 4 or L < 1 or M < 1:
+        return ShorResult(outcome=Outcome.BAD_ARGUMENTS, C=C)
+    if engine is None:
+        engine = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend=backend)
+    if seed is None:
+        seed = int(time.time_ns() % (1 << 31))
+    key = jax.random.PRNGKey(seed)
+
+    start = time.perf_counter()
+    result = ShorResult(outcome=Outcome.PERIOD_NOT_FOUND, C=C)
+
+    trial_ints = [forced_trial_int] if forced_trial_int else list(range(2, C - 1))
+    for a in trial_ints:
+        g = nt.gcd(a, C)
+        if g not in (1, C):
+            # a shares a factor with C: the factorization is classical, and
+            # the modular-multiply gate would not be unitary (SURVEY.md §7).
+            log.info("gcd(%d, %d) = %d > 1: classical factor found", a, C, g)
+            result.outcome = Outcome.OK
+            result.factors = (max(g, C // g), min(g, C // g))
+            result.a = a
+            break
+        found = False
+        for _ in range(max_attempts_per_a):
+            key, sub = jax.random.split(key)
+            attempt = find_period(engine, C, a, sub)
+            result.attempts.append(attempt)
+            if attempt.period is None:
+                log.info("a=%d: no valid period from omega=%.4f", a, attempt.omega)
+                continue
+            ok, reason, factors = _validate_and_factor(C, a, attempt.period)
+            attempt.valid = ok
+            attempt.reason = reason
+            if not ok:
+                log.info("a=%d: period %d rejected (%s)", a, attempt.period, reason)
+                continue
+            result.outcome = Outcome.OK
+            result.factors = factors
+            result.period = attempt.period
+            result.a = a
+            found = True
+            break
+        if found:
+            break
+
+    result.elapsed_s = time.perf_counter() - start
+    return result

@@ -1,0 +1,111 @@
+"""Command-line interface: the reference's flag surface, plus TPU knobs.
+
+Matches parse_command_line_args / main (qc_shor.c:1173-1348): mandatory
+-C/-L/-M, optional -a (forced trial integer), -v / -V verbosity — with
+validation actually enforced (the reference's C<=0 / L<=0 / M<=0 checks
+are broken or non-fatal, qc_shor.c:1240-1253).  Added runtime-tunable
+knobs the reference hard-codes at compile time (qc_shor.c:58-61):
+continued-fraction depth, trials per denominator — plus dtype, backend,
+and RNG seed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+
+from quantumcomputer_tpu.algorithms import number_theory as nt
+from quantumcomputer_tpu.algorithms.shor import Outcome, issue_warnings, shors_algorithm
+from quantumcomputer_tpu.utils.logging import configure, get_logger
+
+log = get_logger("cli")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="quantumcomputer-tpu",
+        description="TPU-native state-vector simulation of Shor's algorithm.",
+    )
+    p.add_argument("-C", type=int, required=True, help="number to factorise")
+    p.add_argument("-L", type=int, required=True, help="size of the L (counting) register")
+    p.add_argument("-M", type=int, required=True, help="size of the M (work) register")
+    p.add_argument("-a", type=int, default=0, help="forced trial integer (0 = loop over all)")
+    p.add_argument("-v", action="store_true", dest="verbose", help="medium verbosity")
+    p.add_argument("-V", action="store_true", dest="very_verbose", help="high verbosity")
+    p.add_argument("--seed", type=int, default=None, help="RNG seed (default: wall clock)")
+    p.add_argument(
+        "--dtype",
+        choices=["complex64", "complex128"],
+        default="complex64",
+        help="amplitude precision (complex128 needs JAX x64 mode)",
+    )
+    p.add_argument("--backend", choices=["xla", "pallas"], default="xla", help="gate-kernel backend")
+    p.add_argument("--fractions", type=int, default=nt.NUM_CONTINUED_FRACTIONS, help="continued-fraction depth")
+    p.add_argument("--trials", type=int, default=nt.TRIALS_PER_DENOMINATOR, help="multiples tried per denominator")
+    return p
+
+
+def validate(args: argparse.Namespace) -> Optional[str]:
+    if args.C <= 3:
+        return "Number to be factorised C is invalid (must be > 3)."
+    if args.L <= 0:
+        return "L is invalid (must be positive)."
+    if args.M <= 0:
+        return "M is invalid (must be positive)."
+    if args.a and not (1 < args.a < args.C - 1):
+        return "Forced trial integer must satisfy 1 < a < C-1."
+    if args.L + args.M > 32:
+        return "L + M > 32 qubits exceeds the single-host index budget."
+    return None
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    err = validate(args)
+    if err:
+        print(f"Error: {err}", file=sys.stderr)
+        return 2
+
+    configure(args.verbose, args.very_verbose)
+    for w in issue_warnings(args.C, args.L, args.M):
+        print(f" --- *WARNING* {w}")
+
+    if args.dtype == "complex128":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        # complex128 is the CPU parity mode: TPU has no f64 hardware and the
+        # XLA:TPU x64 rewriter rejects c128 programs, so route to host.
+        # (Must happen before any backend initialization.)
+        print(" --- complex128 parity mode runs on CPU (TPU has no float64 hardware).")
+        jax.config.update("jax_platforms", "cpu")
+
+    print("\n --- Finding factors...\n")
+    result = shors_algorithm(
+        C=args.C,
+        L=args.L,
+        M=args.M,
+        forced_trial_int=args.a,
+        seed=args.seed,
+        dtype=jnp.complex128 if args.dtype == "complex128" else jnp.complex64,
+        backend=args.backend,
+    )
+
+    if args.verbose:
+        print(f" --- Time to run Shor's Algorithm: {result.elapsed_s:.6f}s.")
+
+    if result.outcome is Outcome.OK and result.factors:
+        f0, f1 = result.factors
+        print(f" --- Factors of {args.C} found: ({f0}, {f1}).")
+        if args.C // f0 != f1 or f0 * f1 != args.C:
+            print(" --- These factors are incorrect. Consider increasing register sizes as per the warnings.")
+        return 0
+    print(f" --- A valid period was not found and hence C = {args.C} could not be factorised.")
+    return 3
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,214 @@
+"""XLA-path gate ops on a flat 2^n complex state vector.
+
+The reference builds an explicit 2^N x 2^N sparse matrix for every gate and
+multiplies it (qc_shor.c:370-690, O(4^N) build + O(2^N) apply).  Here each
+gate is a reshape + contraction / elementwise-multiply / gather directly on
+the amplitude tensor — O(2^N), one HBM pass, fully fusable by XLA:
+
+  * 1-qubit unitary  -> (outer, 2, inner) einsum against the target axis
+    (replaces hadamard_gate, qc_shor.c:442-484);
+  * controlled phase -> diagonal: a (2, 2) factor broadcast over the
+    (.., 2, .., 2, ..) exposed control/target axes — no index iota, no
+    matrix (replaces c_phase_shift_gate, qc_shor.c:513-565);
+  * the whole controlled-phase ladder of one inverse-QFT stage collapses to
+    a single closed-form diagonal exp(i*pi*(i & mask)/2^l) on the inner
+    index (replaces the L(L-1)/2 separate matrices of qc_shor.c:678-690);
+  * controlled modular multiplication -> permutation gather over the
+    M-register axis (replaces c_amodc_gate, qc_shor.c:595-660);
+  * measurement -> |amp|^2 cumsum + searchsorted, the vectorized form of
+    the reference's serial inverse-CDF scan (qc_shor.c:272-306).
+
+All functions are pure and jittable; qubit indices and register sizes are
+Python ints (static under jit).  Conventions: qubit b == bit b of the flat
+index, LSB-first; M register = bits [0, M).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+SQRT1_2 = 1.0 / math.sqrt(2.0)
+
+
+def hadamard(dtype=jnp.complex64) -> jax.Array:
+    return jnp.array([[SQRT1_2, SQRT1_2], [SQRT1_2, -SQRT1_2]], dtype=dtype)
+
+
+def num_qubits_of(state: jax.Array) -> int:
+    n = int(state.shape[-1]).bit_length() - 1
+    assert state.shape[-1] == 1 << n, "state length must be a power of 2"
+    return n
+
+
+def initial_state(n: int, dtype=jnp.complex64) -> jax.Array:
+    """|00...01>: amplitude 1 at index 1 (qc_shor.c:318-324)."""
+    return jnp.zeros(1 << n, dtype=dtype).at[1].set(1.0)
+
+
+def apply_1q(state: jax.Array, u2: jax.Array, q: int) -> jax.Array:
+    """Apply a 2x2 unitary to qubit q: contraction over the exposed target axis."""
+    dim = state.shape[0]
+    inner = 1 << q
+    x = state.reshape(dim // (2 * inner), 2, inner)
+    y = jnp.einsum("ab,obi->oai", u2.astype(state.dtype), x)
+    return y.reshape(dim)
+
+
+def apply_hadamard(state: jax.Array, q: int) -> jax.Array:
+    return apply_1q(state, hadamard(state.dtype), q)
+
+
+def apply_2q(state: jax.Array, u4: jax.Array, q_hi: int, q_lo: int) -> jax.Array:
+    """Apply a 4x4 unitary on qubits (q_hi, q_lo), q_hi > q_lo; basis index
+    of the 4x4 is 2*bit(q_hi) + bit(q_lo), matching the reference's
+    (2*control + target) convention (qc_shor.c:549-551)."""
+    assert q_hi > q_lo, "q_hi must be the more significant qubit"
+    dim = state.shape[0]
+    c = 1 << q_lo
+    b = 1 << (q_hi - q_lo - 1)
+    a = dim // (4 * b * c)
+    x = state.reshape(a, 2, b, 2, c)
+    u = u4.astype(state.dtype).reshape(2, 2, 2, 2)
+    y = jnp.einsum("efab,xaybc->xeyfc", u, x)
+    return y.reshape(dim)
+
+
+def apply_diag_2q(state: jax.Array, diag4: jax.Array, q_hi: int, q_lo: int) -> jax.Array:
+    """Apply a diagonal 4-vector over qubits (q_hi, q_lo) — one fused
+    elementwise pass (used for controlled-phase, CZ, etc.)."""
+    assert q_hi > q_lo
+    dim = state.shape[0]
+    c = 1 << q_lo
+    b = 1 << (q_hi - q_lo - 1)
+    a = dim // (4 * b * c)
+    x = state.reshape(a, 2, b, 2, c)
+    f = diag4.astype(state.dtype).reshape(2, 2)
+    return (x * f[None, :, None, :, None]).reshape(dim)
+
+
+def apply_c_phase(state: jax.Array, c_q: int, t_q: int, theta: float) -> jax.Array:
+    """Controlled phase shift: e^{i theta} where both bits are 1 (diagonal)."""
+    q_hi, q_lo = (c_q, t_q) if c_q > t_q else (t_q, c_q)
+    diag = jnp.array([1.0, 1.0, 1.0, np.exp(1j * theta)], dtype=state.dtype)
+    return apply_diag_2q(state, diag, q_hi, q_lo)
+
+
+def apply_diag_1q(state: jax.Array, diag2: jax.Array, q: int) -> jax.Array:
+    """Apply a diagonal 2-vector on qubit q (phase/S/T/Z gates)."""
+    dim = state.shape[0]
+    inner = 1 << q
+    x = state.reshape(dim // (2 * inner), 2, inner)
+    return (x * diag2.astype(state.dtype)[None, :, None]).reshape(dim)
+
+
+def iqft_stage_phases(l: int, M: int, dtype=jnp.complex64) -> jax.Array:
+    """Closed-form fused diagonal for one inverse-QFT stage.
+
+    The stage-l controlled-phase ladder prod_{k=M}^{l-1} CP(l, k, pi/2^(l-k))
+    (qc_shor.c:682-688) is diagonal with phase, on states where bit l == 1,
+
+        theta(i) = pi * sum_k bit_k(i) / 2^(l-k) = pi * (i & mask) / 2^l,
+        mask = 2^l - 2^M,
+
+    depending only on the inner index i = index mod 2^l.  Returns the
+    (2^l,)-vector of e^{i theta(i)}.
+    """
+    inner = 1 << l
+    mask = (1 << l) - (1 << M)
+    i = np.arange(inner, dtype=np.int64)
+    theta = np.pi * (i & mask).astype(np.float64) / float(inner)
+    return jnp.asarray(np.exp(1j * theta), dtype=dtype)
+
+
+def apply_iqft_stage(state: jax.Array, l: int, M: int) -> jax.Array:
+    """One fused inverse-QFT stage: H(l) then the full phase ladder as a
+    single diagonal — 2 fused passes instead of the reference's 1 + (l-M)
+    full matrix builds."""
+    dim = state.shape[0]
+    inner = 1 << l
+    x = state.reshape(dim // (2 * inner), 2, inner)
+    h = hadamard(state.dtype)
+    y = jnp.einsum("ab,obi->oai", h, x)
+    if l > M:
+        ph = iqft_stage_phases(l, M, state.dtype)
+        factor = jnp.stack([jnp.ones_like(ph), ph])  # (2, inner): bit l selects
+        y = y * factor[None, :, :]
+    return y.reshape(dim)
+
+
+def apply_inverse_qft(state: jax.Array, L: int, M: int) -> jax.Array:
+    """Inverse QFT on the L register (qc_shor.c:678-690), stage-fused."""
+    for l in range(L + M - 1, M - 1, -1):
+        state = apply_iqft_stage(state, l, M)
+    return state
+
+
+def modmul_inverse_permutation(C: int, A: int, M: int) -> np.ndarray:
+    """Gather indices for the controlled modular-multiply: output position j
+    takes its amplitude from g^{-1}(j), where g: f -> A*f mod C (f < C),
+    identity (f >= C).  Requires gcd(A, C) == 1 so g is a permutation."""
+    A = A % C
+    if math.gcd(A, C) != 1:
+        raise ValueError(f"A={A} not coprime to C={C}: gate is not a permutation")
+    a_inv = pow(A, -1, C)
+    f = np.arange(1 << M, dtype=np.int32)
+    return np.where(f < C, (a_inv * f) % C, f).astype(np.int32)
+
+
+def apply_c_amodc(state: jax.Array, C: int, atox: int, c_q: int, M: int) -> jax.Array:
+    """Controlled a^x mod C gate (qc_shor.c:595-660) as a blockwise gather.
+
+    Where control bit c_q == 1, the M register is permuted by f -> A*f mod C;
+    realized as new[.., 1, .., j] = old[.., 1, .., ginv(j)] — a gather over
+    the last (M-register) axis, batched over everything else.  The control
+    qubit must lie in the L register (c_q >= M), as in the Shor circuit.
+    """
+    assert c_q >= M, "control qubit must be outside the M register"
+    dim = state.shape[0]
+    ginv = jnp.asarray(modmul_inverse_permutation(C, atox, M))
+    m_dim = 1 << M
+    mid = 1 << (c_q - M)
+    outer = dim // (2 * mid * m_dim)
+    x = state.reshape(outer, 2, mid, m_dim)
+    x1 = jnp.take(x[:, 1], ginv, axis=-1)
+    return jnp.stack([x[:, 0], x1], axis=1).reshape(dim)
+
+
+def apply_permutation(state: jax.Array, perm_inv: jax.Array) -> jax.Array:
+    """Generic full-register permutation gate: new[j] = old[perm_inv[j]]."""
+    return jnp.take(state, perm_inv, axis=0)
+
+
+def probabilities(state: jax.Array) -> jax.Array:
+    return jnp.real(state * jnp.conj(state))
+
+
+def norm(state: jax.Array) -> jax.Array:
+    return jnp.sum(probabilities(state))
+
+
+def sample_index(state: jax.Array, r: jax.Array) -> jax.Array:
+    """Inverse-CDF measurement: smallest index with cumulative |amp|^2 >= r,
+    falling through to the last index (qc_shor.c:283-292)."""
+    cum = jnp.cumsum(probabilities(state))
+    idx = jnp.searchsorted(cum, r.astype(cum.dtype), side="left")
+    return jnp.minimum(idx, state.shape[0] - 1)
+
+
+def collapse(state: jax.Array, index: jax.Array) -> jax.Array:
+    """Project onto the measured basis state (qc_shor.c:302-303)."""
+    dim = state.shape[0]
+    onehot = (jnp.arange(dim) == index).astype(state.dtype)
+    return onehot
+
+
+def measure(state: jax.Array, key: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Draw one uniform, sample an index, collapse.  Returns (index, state)."""
+    r = jax.random.uniform(key, dtype=jnp.float64 if state.dtype == jnp.complex128 else jnp.float32)
+    idx = sample_index(state, r)
+    return idx, collapse(state, idx)

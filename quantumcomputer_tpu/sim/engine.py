@@ -1,0 +1,203 @@
+"""Single-chip state-vector engine: jit-compiled circuit execution.
+
+The engine replaces the reference's Register + gate-engine layers
+(qc_shor.c:194-203, 354-690).  Key differences, all TPU-motivated:
+
+  * no double buffering / pointer swap (qc_shor.c:242-249): XLA's functional
+    semantics + buffer donation give the same O(1)-copy behavior;
+  * a whole circuit compiles as ONE XLA program (hashable Circuit IR), so
+    diagonal gates fuse into neighboring passes and there is no per-gate
+    dispatch from Python;
+  * dtype is configurable: complex64 for throughput (TPU-native f32),
+    complex128 for the reference's double-precision parity envelope
+    (Report §III.F) — requires jax_enable_x64.
+
+Backends: 'xla' (pure JAX ops, works everywhere) and 'pallas' (fused TPU
+kernels from quantumcomputer_tpu.ops.pallas_gates, falling back to XLA ops
+per-gate where no kernel applies).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quantumcomputer_tpu.models.circuit import (
+    DENSE_1Q,
+    DIAGONAL_1Q,
+    Circuit,
+    Gate,
+    gate_matrix_1q,
+    gate_matrix_2q,
+)
+from quantumcomputer_tpu.ops import gates as xops
+from quantumcomputer_tpu.sim import statevec as sv
+
+
+@dataclass(frozen=True)
+class Register:
+    """Qubit register geometry (qc_shor.c:194-203): L counting qubits in the
+    high bits [M, N), M work qubits in the low bits [0, M)."""
+
+    L: int
+    M: int
+
+    @property
+    def n(self) -> int:
+        return self.L + self.M
+
+    @property
+    def num_states(self) -> int:
+        return 1 << self.n
+
+
+def apply_gate(state: jax.Array, g: Gate, M: int, backend: str = "xla") -> jax.Array:
+    """Dispatch one Gate onto the state.  Static metadata (qubits, angles,
+    moduli) is Python-level, so everything specializes under jit."""
+    if backend == "pallas":
+        from quantumcomputer_tpu.ops import pallas_gates as pops
+
+        out = pops.try_apply_gate(state, g, M)
+        if out is not None:
+            return out
+    name = g.name
+    if name in DENSE_1Q:
+        return xops.apply_1q(state, jnp.asarray(gate_matrix_1q(g)), g.qubits[0])
+    if name in DIAGONAL_1Q:
+        m = gate_matrix_1q(g)
+        return xops.apply_diag_1q(state, jnp.asarray(np.diagonal(m)), g.qubits[0])
+    if name in ("cz", "cphase"):
+        m = gate_matrix_2q(g)
+        q_hi, q_lo = g.qubits if g.qubits[0] > g.qubits[1] else (g.qubits[1], g.qubits[0])
+        return xops.apply_diag_2q(state, jnp.asarray(np.diagonal(m)), q_hi, q_lo)
+    if name in ("cnot", "swap", "u2q"):
+        m = gate_matrix_2q(g)
+        q_hi, q_lo = g.qubits
+        if q_hi < q_lo:
+            # reorder qubits; permute the 4x4 basis accordingly (swap bit roles)
+            q_hi, q_lo = q_lo, q_hi
+            p = [0, 2, 1, 3]
+            m = m[np.ix_(p, p)]
+        return xops.apply_2q(state, jnp.asarray(m), q_hi, q_lo)
+    if name == "camodc":
+        C, atox = g.meta
+        return xops.apply_c_amodc(state, C, atox, g.qubits[0], M)
+    if name == "iqft_stage":
+        return xops.apply_iqft_stage(state, g.qubits[0], M)
+    raise ValueError(f"unknown gate: {g}")
+
+
+class StateVectorEngine:
+    """Executes circuits on a 2^n amplitude vector resident on device.
+
+    Boundary representation is *planar*: states entering/leaving jitted
+    programs are (2, 2^n) real arrays (re/im planes — see sim/statevec.py);
+    complex dtype exists only inside traced computations.  This is required
+    on TPU (complex cannot cross the runtime boundary) and is the natural
+    layout for Pallas kernels.
+    """
+
+    def __init__(
+        self,
+        register: Register,
+        dtype=jnp.complex64,
+        backend: str = "xla",
+    ):
+        if backend not in ("xla", "pallas"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.register = register
+        self.dtype = jnp.dtype(dtype)
+        self.real_dtype = sv.real_dtype_of(dtype)
+        self.backend = backend
+        self._run_cache: dict = {}
+
+    # -- state lifecycle ----------------------------------------------------
+
+    def initial_state(self) -> jax.Array:
+        """|00...01> (qc_shor.c:318-324), planar."""
+        return sv.initial_planar(self.register.n, self.real_dtype)
+
+    def zero_state(self) -> jax.Array:
+        return sv.zero_planar(self.register.n, self.real_dtype)
+
+    # -- execution ----------------------------------------------------------
+
+    def _compiled_run(self, circuit: Circuit, with_norms: bool) -> Callable:
+        key = (circuit, with_norms)
+        fn = self._run_cache.get(key)
+        if fn is None:
+            M, backend = self.register.M, self.backend
+
+            if with_norms:
+
+                def run(planar):
+                    state = sv.to_complex(planar)
+                    norms = []
+                    for g in circuit:
+                        state = apply_gate(state, g, M, backend)
+                        norms.append(xops.norm(state))
+                    return sv.from_complex(state), (
+                        jnp.stack(norms) if norms else jnp.zeros((0,), planar.dtype)
+                    )
+
+            else:
+
+                def run(planar):
+                    state = sv.to_complex(planar)
+                    for g in circuit:
+                        state = apply_gate(state, g, M, backend)
+                    return sv.from_complex(state)
+
+            fn = jax.jit(run, donate_argnums=(0,))
+            self._run_cache[key] = fn
+        return fn
+
+    def run(self, circuit: Circuit, state: Optional[jax.Array] = None) -> jax.Array:
+        """Apply a circuit; one fused jit program per distinct circuit.
+        Input/output states are planar (2, 2^n) arrays."""
+        if state is None:
+            state = self.initial_state()
+        return self._compiled_run(circuit, with_norms=False)(state)
+
+    def run_with_norms(self, circuit: Circuit, state: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
+        """Apply a circuit, also returning the post-gate norm trace — the
+        probability-conservation oracle of Report §IV.A / FIG. 2."""
+        if state is None:
+            state = self.initial_state()
+        return self._compiled_run(circuit, with_norms=True)(state)
+
+    # -- measurement ----------------------------------------------------------
+
+    def measure(self, state: jax.Array, key: jax.Array) -> Tuple[int, jax.Array]:
+        """Single inverse-CDF measurement + collapse (qc_shor.c:272-306).
+        Returns (measured basis index, collapsed planar state).  Pure real
+        arithmetic — no complex dtype anywhere."""
+        idx, collapsed = _measure_planar(state, key)
+        return int(idx), collapsed
+
+    def probabilities(self, state: jax.Array) -> jax.Array:
+        return sv.probabilities(state)
+
+    def norm(self, state: jax.Array) -> float:
+        return float(sv.norm(state))
+
+    def to_numpy(self, state: jax.Array):
+        """Host-side complex view of a planar state (for inspection/tests)."""
+        return sv.to_numpy_complex(state)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _measure_planar(planar: jax.Array, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Inverse-CDF sample + collapse on planar state (qc_shor.c:272-306)."""
+    probs = sv.probabilities(planar)
+    r = jax.random.uniform(key, dtype=probs.dtype)
+    cum = jnp.cumsum(probs)
+    idx = jnp.minimum(jnp.searchsorted(cum, r, side="left"), probs.shape[0] - 1)
+    onehot = (jnp.arange(probs.shape[0]) == idx).astype(planar.dtype)
+    collapsed = jnp.stack([onehot, jnp.zeros_like(onehot)])
+    return idx, collapsed

@@ -1,0 +1,86 @@
+"""Planar state-vector representation: the device-boundary format.
+
+On TPU, complex dtypes must not cross the host<->device or jit boundary
+(XLA:TPU's runtime surface is real-typed; this platform rejects complex
+transfers and output buffers outright).  The engine therefore represents a
+state as a single real array of shape (2, 2^n) — plane 0 = Re(psi),
+plane 1 = Im(psi) — and complex arithmetic exists only *inside* traced
+computations, where XLA lowers it to exactly these planes anyway.  This is
+also the natural layout for Pallas kernels (f32 lanes, no interleaving).
+
+float32 planes <-> complex64 semantics; float64 <-> complex128.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def real_dtype_of(cdtype) -> jnp.dtype:
+    c = jnp.dtype(cdtype)
+    if c == jnp.complex64:
+        return jnp.dtype(jnp.float32)
+    if c == jnp.complex128:
+        return jnp.dtype(jnp.float64)
+    raise ValueError(f"not a complex dtype: {cdtype}")
+
+
+def complex_dtype_of(rdtype) -> jnp.dtype:
+    r = jnp.dtype(rdtype)
+    if r == jnp.float32:
+        return jnp.dtype(jnp.complex64)
+    if r == jnp.float64:
+        return jnp.dtype(jnp.complex128)
+    raise ValueError(f"not a planar real dtype: {rdtype}")
+
+
+def num_qubits(planar: jax.Array) -> int:
+    assert planar.shape[0] == 2
+    n = int(planar.shape[-1]).bit_length() - 1
+    assert planar.shape[-1] == 1 << n
+    return n
+
+
+def to_complex(planar: jax.Array) -> jax.Array:
+    """(2, dim) planes -> (dim,) complex.  Use only inside jit on TPU."""
+    return jax.lax.complex(planar[0], planar[1])
+
+
+def from_complex(z: jax.Array) -> jax.Array:
+    """(dim,) complex -> (2, dim) planes.  Use only inside jit on TPU."""
+    return jnp.stack([jnp.real(z), jnp.imag(z)])
+
+
+def initial_planar(n: int, rdtype=jnp.float32) -> jax.Array:
+    """|00...01> as planes: Re at index 1 is 1 (qc_shor.c:318-324)."""
+    return jnp.zeros((2, 1 << n), dtype=rdtype).at[0, 1].set(1.0)
+
+
+def zero_planar(n: int, rdtype=jnp.float32) -> jax.Array:
+    """|00...0> as planes."""
+    return jnp.zeros((2, 1 << n), dtype=rdtype).at[0, 0].set(1.0)
+
+
+def probabilities(planar: jax.Array) -> jax.Array:
+    return planar[0] * planar[0] + planar[1] * planar[1]
+
+
+def norm(planar: jax.Array) -> jax.Array:
+    return jnp.sum(probabilities(planar))
+
+
+def to_numpy_complex(planar) -> np.ndarray:
+    """Host-side: planes -> numpy complex (fetches two real buffers)."""
+    re = np.asarray(planar[0])
+    im = np.asarray(planar[1])
+    return re.astype(np.result_type(re, np.complex64 if re.dtype == np.float32 else np.complex128)) + 1j * im
+
+
+def from_numpy_complex(z: np.ndarray, rdtype=None) -> jax.Array:
+    """Host-side: numpy complex -> device planes (two real transfers)."""
+    z = np.asarray(z)
+    if rdtype is None:
+        rdtype = jnp.float64 if z.dtype == np.complex128 else jnp.float32
+    return jnp.stack([jnp.asarray(z.real, dtype=rdtype), jnp.asarray(z.imag, dtype=rdtype)])

@@ -1,0 +1,74 @@
+"""End-to-end Shor factorizations: the reference's demonstrated range
+(15, 21, 33 — qc_shor.c:26-29, 76-81, Report §IV.B), forced and trial-loop
+paths, warnings, and the no-remeasure semantic."""
+
+import jax.numpy as jnp
+import pytest
+
+from quantumcomputer_tpu.algorithms.shor import Outcome, issue_warnings, read_omega, shors_algorithm
+
+
+def test_factor_15_forced():
+    res = shors_algorithm(C=15, L=3, M=4, forced_trial_int=7, seed=0, dtype=jnp.complex128)
+    assert res.ok and res.factors == (5, 3)
+    assert res.period == 4
+    assert res.a == 7
+
+
+def test_factor_21_forced():
+    res = shors_algorithm(C=21, L=4, M=5, forced_trial_int=2, seed=1, dtype=jnp.complex128)
+    assert res.ok and res.factors == (7, 3)
+    assert res.period == 6
+
+
+def test_factor_33_forced():
+    res = shors_algorithm(C=33, L=5, M=6, forced_trial_int=7, seed=2, dtype=jnp.complex128)
+    assert res.ok and res.factors == (11, 3)
+
+
+def test_factor_15_trial_loop():
+    # Unforced path: a=2 is coprime to 15 with period 4 -> usually succeeds
+    # immediately; a=3 shares a factor and must short-circuit classically if
+    # reached.  Either way the factorization must be correct.
+    res = shors_algorithm(C=15, L=3, M=4, seed=3, dtype=jnp.complex128)
+    assert res.ok
+    assert res.factors is not None
+    f0, f1 = res.factors
+    assert f0 * f1 == 15 and {f0, f1} == {3, 5}
+
+
+def test_factor_gcd_shortcut():
+    # Forced a sharing a factor with C resolves classically (textbook Shor;
+    # the reference would run a non-unitary gate here, SURVEY.md §4/§7).
+    res = shors_algorithm(C=15, L=3, M=4, forced_trial_int=6, seed=0, dtype=jnp.complex128)
+    assert res.ok and res.factors == (5, 3)
+
+
+def test_bad_arguments():
+    assert shors_algorithm(C=2, L=3, M=4).outcome is Outcome.BAD_ARGUMENTS
+    assert shors_algorithm(C=15, L=0, M=4).outcome is Outcome.BAD_ARGUMENTS
+
+
+def test_warnings_surface():
+    # qc_shor.c:340-351 semantics: 2^M < C warns; 2^L < C^2 warns.
+    w = issue_warnings(15, 3, 4)
+    assert len(w) == 1 and "L register" in w[0]
+    w = issue_warnings(15, 3, 3)
+    assert len(w) == 2
+    w = issue_warnings(15, 8, 4)
+    assert w == []
+
+
+def test_complex64_end_to_end():
+    # Throughput dtype must still factor (probabilities well-separated).
+    res = shors_algorithm(C=15, L=3, M=4, forced_trial_int=7, seed=0, dtype=jnp.complex64)
+    assert res.ok and res.factors == (5, 3)
+
+
+def test_attempt_records():
+    res = shors_algorithm(C=15, L=3, M=4, forced_trial_int=7, seed=0, dtype=jnp.complex128)
+    assert len(res.attempts) == 1
+    att = res.attempts[0]
+    assert att.a == 7
+    assert att.omega in (0.0, 0.25, 0.5, 0.75)
+    assert res.elapsed_s > 0
