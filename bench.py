@@ -1,0 +1,140 @@
+"""North-star benchmark: gate applications/sec at large n vs HBM roofline.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+The reference publishes no throughput numbers (BASELINE.md), so the
+baseline is the physical one: a dense single-qubit gate pass is HBM-bound
+— it must read and write the full planar state once (2 * 2^n * 8 bytes in
+complex64/planar-f32).  vs_baseline is the achieved fraction of the HBM
+roofline for the detected TPU generation (1.0 == speed of light).
+
+Extras report the Shor N=15 end-to-end wall-clock (execute-only, compile
+excluded) to anchor against the reference's "10s of seconds" scale.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from quantumcomputer_tpu.models import circuit as cir
+from quantumcomputer_tpu.models.shor_circuit import shor_circuit
+from quantumcomputer_tpu.sim import statevec as sv
+from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+
+# Peak HBM bandwidth (GB/s) per device kind; conservative published figures.
+HBM_GBPS = {
+    "TPU v4": 1228.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5e": 819.0,
+    "TPU v5": 819.0,
+    "TPU v5p": 2765.0,
+    "TPU v6 lite": 1640.0,
+    "TPU v6e": 1640.0,
+    "cpu": 50.0,
+}
+
+
+def detect_bandwidth() -> tuple[str, float]:
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", dev.platform)
+    for key, bw in HBM_GBPS.items():
+        if key.lower() in str(kind).lower():
+            return str(kind), bw
+    return str(kind), HBM_GBPS.get(dev.platform, 819.0)
+
+
+def pick_n() -> int:
+    """Largest n where two planar-f32 buffers fit comfortably."""
+    dev = jax.devices()[0]
+    if dev.platform != "tpu":
+        return 24  # keep CPU runs quick
+    # planar f32 state = 2^(n+3) bytes; gate pass needs ~2 live buffers.
+    # 16 GB HBM (v5e): n=28 -> 2 GB/state, 4 GB live. Safe.
+    return 28
+
+
+def bench_gate_throughput(n: int, reps: int = 5, backend: str = "pallas"):
+    """Per-gate wall-clock via a two-block-size slope.
+
+    On the tunneled TPU runtime, block_until_ready is not a true execution
+    barrier — only a host fetch of a dependent scalar is.  The fetch adds a
+    fixed overhead (one reduction pass + RTT), so we time a small and a
+    large gate block and take the slope: overhead cancels exactly.
+    Gate mix: RY rotations (not self-inverse, nothing foldable) across
+    lane-local, mid, and high target strides.
+    """
+    from quantumcomputer_tpu.utils.profiling import time_circuit
+
+    eng = StateVectorEngine(Register(L=n, M=0), dtype=jnp.complex64, backend=backend)
+    qubits = sorted({0, 1, 2, n // 4, n // 2, n - 3, n - 2, n - 1})
+
+    def block(k: int):
+        gs = []
+        for i in range(k):
+            q = qubits[i % len(qubits)]
+            gs.append(cir.RY(q, 0.1 + 0.013 * i))
+        return tuple(gs)
+
+    small, big = 2, 18
+    t_small = time_circuit(eng, block(small), iters=reps)
+    t_big = time_circuit(eng, block(big), iters=reps)
+    per_gate = max((t_big - t_small) / (big - small), 1e-12)
+    return 1.0 / per_gate, big - small, per_gate
+
+
+def bench_shor15(seed: int = 0):
+    """Shor N=15 wall-clock, execute-only (compile amortized out)."""
+    from quantumcomputer_tpu.algorithms.shor import shors_algorithm
+
+    eng = StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex64)
+    # Warm-up run compiles the circuit + measurement programs.
+    shors_algorithm(C=15, L=3, M=4, forced_trial_int=7, seed=seed, engine=eng)
+    t0 = time.perf_counter()
+    res = shors_algorithm(C=15, L=3, M=4, forced_trial_int=7, seed=seed + 1, engine=eng)
+    elapsed = time.perf_counter() - t0
+    ok = bool(res.ok and res.factors and res.factors[0] * res.factors[1] == 15)
+    return elapsed, ok
+
+
+def main():
+    from quantumcomputer_tpu.utils.compile_cache import enable as _cc
+
+    _cc()
+    kind, bw_gbps = detect_bandwidth()
+    n = pick_n()
+    backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+
+    gate_apps_per_sec, n_gates, best_s = bench_gate_throughput(n, backend=backend)
+
+    # Roofline: one dense 1q gate pass moves >= 2 * (2^n * 8) bytes
+    # (read + write planar f32 state).
+    bytes_per_gate = 2 * (1 << n) * 8
+    roofline_gate_apps = bw_gbps * 1e9 / bytes_per_gate
+    frac = gate_apps_per_sec / roofline_gate_apps
+
+    shor_s, shor_ok = bench_shor15()
+
+    print(
+        json.dumps(
+            {
+                "metric": f"gate_apps_per_sec_n{n}",
+                "value": round(gate_apps_per_sec, 3),
+                "unit": "gate applications/s (dense 1q, complex64)",
+                "vs_baseline": round(frac, 4),
+                "baseline": f"HBM roofline {roofline_gate_apps:.2f} gates/s @ {bw_gbps:.0f} GB/s ({kind})",
+                "hbm_gbps_achieved": round(gate_apps_per_sec * bytes_per_gate / 1e9, 2),
+                "shor15_wallclock_s": round(shor_s, 4),
+                "shor15_ok": shor_ok,
+                "n_qubits": n,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

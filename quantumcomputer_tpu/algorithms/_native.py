@@ -1,0 +1,98 @@
+"""ctypes binding to the native classical layer (native/qc_classical.cpp).
+
+The reference's classical post-processing is native C (qc_shor.c:756-964);
+ours is a C++ shared library, compiled on first use with the in-repo
+Makefile and loaded via ctypes.  Everything degrades gracefully to the
+pure-Python implementations in number_theory.py when no compiler or
+library is available (load() returns None).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libqc_classical.so")
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        res = subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            capture_output=True,
+            timeout=120,
+        )
+        return res.returncode == 0 and os.path.exists(_LIB_PATH)
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if necessary) the native library, or None."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if os.environ.get("QC_TPU_DISABLE_NATIVE"):
+            return None
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.qc_gcd.restype = ctypes.c_uint64
+        lib.qc_gcd.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
+        lib.qc_modpow.restype = ctypes.c_uint64
+        lib.qc_modpow.argtypes = [ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64]
+        lib.qc_cf_denominators.restype = None
+        lib.qc_cf_denominators.argtypes = [ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_uint64)]
+        lib.qc_find_period.restype = ctypes.c_int64
+        lib.qc_find_period.argtypes = [
+            ctypes.c_double,
+            ctypes.c_uint64,
+            ctypes.c_uint64,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.qc_mult_order.restype = ctypes.c_uint64
+        lib.qc_mult_order.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def gcd(a: int, b: int) -> int:
+    return int(load().qc_gcd(a, b))
+
+
+def modpow(base: int, exp: int, mod: int) -> int:
+    return int(load().qc_modpow(base, exp, mod))
+
+
+def continued_fraction_denominators(omega: float, num_fractions: int) -> List[int]:
+    buf = (ctypes.c_uint64 * num_fractions)()
+    load().qc_cf_denominators(omega, num_fractions, buf)
+    return list(buf)
+
+
+def find_period_from_omega(omega: float, a: int, C: int, num_fractions: int, trials: int) -> Optional[int]:
+    p = int(load().qc_find_period(omega, a, C, num_fractions, trials))
+    return p if p > 0 else None
+
+
+def multiplicative_order(a: int, C: int) -> Optional[int]:
+    p = int(load().qc_mult_order(a, C))
+    return p if p > 0 else None

@@ -94,6 +94,7 @@ def find_period_from_omega(
     C: int,
     num_fractions: int = NUM_CONTINUED_FRACTIONS,
     trials_per_denominator: int = TRIALS_PER_DENOMINATOR,
+    use_native: bool = True,
 ) -> int | None:
     """Classical period extraction from a measured frequency omega.
 
@@ -102,7 +103,16 @@ def find_period_from_omega(
     (qc_shor.c:941-955).  Returns the period, or None when no candidate
     passes — the reference reads uninitialized memory in that case
     (qc_shor.c:915/959); here it is an explicit miss.
+
+    Dispatches to the native C++ implementation (native/qc_classical.cpp)
+    when available and the operands fit u64; the pure-Python path below is
+    the reference semantics and the fallback.
     """
+    if use_native and 0 < C < (1 << 32) and 0 < a < (1 << 32) and num_fractions <= 64:
+        from quantumcomputer_tpu.algorithms import _native
+
+        if _native.available():
+            return _native.find_period_from_omega(omega, a, C, num_fractions, trials_per_denominator)
     for d in continued_fraction_denominators(omega, num_fractions):
         if d == 0:
             continue

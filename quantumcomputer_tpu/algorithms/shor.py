@@ -107,8 +107,8 @@ def find_period(
     reset -> circuit -> measure -> omega -> continued fractions -> period test."""
     reg = engine.register
     circuit = shor_circuit(C, a, reg.L, reg.M)
-    state = engine.run(circuit)  # starts from the reset |0..01> register
-    idx, _ = engine.measure(state, key)
+    # Reset -> circuit -> measure, one compiled program (qc_shor.c:922-928).
+    idx, _ = engine.run_and_measure(circuit, key)
     omega = read_omega(idx, reg.L, reg.M)
     period = nt.find_period_from_omega(omega, a, C, num_fractions, trials_per_denominator)
     log.debug("a=%d measured index=%d omega=%.6f period=%s", a, idx, omega, period)
@@ -140,6 +140,7 @@ def shors_algorithm(
     backend: str = "xla",
     max_attempts_per_a: int = 1,
     engine: Optional[StateVectorEngine] = None,
+    mesh=None,
 ) -> ShorResult:
     """Full Shor driver (qc_shor.c:1003-1134).
 
@@ -147,11 +148,19 @@ def shors_algorithm(
     a = 2 .. C-2 until non-trivial factors emerge.  Seeded jax.random
     replaces the reference's time-seeded MT19937 (qc_shor.c:1296-1299);
     pass seed=None for wall-clock seeding like the reference.
+
+    Passing a jax.sharding.Mesh runs the circuit on the distributed engine
+    (state sharded over the mesh; see parallel/sharded.py).
     """
     if C < 4 or L < 1 or M < 1:
         return ShorResult(outcome=Outcome.BAD_ARGUMENTS, C=C)
     if engine is None:
-        engine = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend=backend)
+        if mesh is not None:
+            from quantumcomputer_tpu.parallel.sharded import ShardedStateVectorEngine
+
+            engine = ShardedStateVectorEngine(Register(L=L, M=M), dtype=dtype, mesh=mesh, backend=backend)
+        else:
+            engine = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend=backend)
     if seed is None:
         seed = int(time.time_ns() % (1 << 31))
     key = jax.random.PRNGKey(seed)

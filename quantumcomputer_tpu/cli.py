@@ -43,6 +43,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="amplitude precision (complex128 needs JAX x64 mode)",
     )
     p.add_argument("--backend", choices=["xla", "pallas"], default="xla", help="gate-kernel backend")
+    p.add_argument(
+        "--devices",
+        type=int,
+        default=1,
+        help="shard the state vector over this many devices (power of two)",
+    )
     p.add_argument("--fractions", type=int, default=nt.NUM_CONTINUED_FRACTIONS, help="continued-fraction depth")
     p.add_argument("--trials", type=int, default=nt.TRIALS_PER_DENOMINATOR, help="multiples tried per denominator")
     return p
@@ -70,6 +76,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         return 2
 
     configure(args.verbose, args.very_verbose)
+    from quantumcomputer_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
     for w in issue_warnings(args.C, args.L, args.M):
         print(f" --- *WARNING* {w}")
 
@@ -83,6 +92,13 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print(" --- complex128 parity mode runs on CPU (TPU has no float64 hardware).")
         jax.config.update("jax_platforms", "cpu")
 
+    mesh = None
+    if args.devices > 1:
+        from quantumcomputer_tpu.parallel.mesh import build_mesh
+
+        mesh = build_mesh(num_devices=args.devices)
+        print(f" --- Sharding state vector over {mesh.devices.size} device(s).")
+
     print("\n --- Finding factors...\n")
     result = shors_algorithm(
         C=args.C,
@@ -92,6 +108,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         seed=args.seed,
         dtype=jnp.complex128 if args.dtype == "complex128" else jnp.complex64,
         backend=args.backend,
+        mesh=mesh,
     )
 
     if args.verbose:

@@ -50,13 +50,57 @@ def initial_state(n: int, dtype=jnp.complex64) -> jax.Array:
     return jnp.zeros(1 << n, dtype=dtype).at[1].set(1.0)
 
 
-def apply_1q(state: jax.Array, u2: jax.Array, q: int) -> jax.Array:
-    """Apply a 2x2 unitary to qubit q: contraction over the exposed target axis."""
+# Below this size the einsum formulation is used verbatim; above it, the
+# layout-aware forms keep every materialized view's minor dimension >= 128
+# (XLA:TPU tiles the last two dims to (8, 128) — a (.., 2, small) reshape
+# materialized for a dot pads 2 -> 8 and small -> 128, up to 64x memory).
+_SMALL_DIM = 1 << 13
+
+
+def _apply_1q_einsum(state: jax.Array, u2: jax.Array, q: int) -> jax.Array:
     dim = state.shape[0]
     inner = 1 << q
     x = state.reshape(dim // (2 * inner), 2, inner)
-    y = jnp.einsum("ab,obi->oai", u2.astype(state.dtype), x)
+    y = jnp.einsum("ab,obi->oai", u2.astype(state.dtype), x, precision=jax.lax.Precision.HIGHEST)
     return y.reshape(dim)
+
+
+def _apply_1q_wide(state: jax.Array, u2: jax.Array, q: int) -> jax.Array:
+    """q >= 6: view (rows, 2^(q+1)); both butterfly halves are contiguous
+    halves of the last axis — static slices + concat, minor dim >= 128."""
+    dim = state.shape[0]
+    s = 1 << q
+    u2 = u2.astype(state.dtype)
+    x = state.reshape(dim // (2 * s), 2 * s)
+    a, b = x[:, :s], x[:, s:]
+    y = jnp.concatenate([u2[0, 0] * a + u2[0, 1] * b, u2[1, 0] * a + u2[1, 1] * b], axis=1)
+    return y.reshape(dim)
+
+
+def _apply_1q_roll(state: jax.Array, u2: jax.Array, q: int) -> jax.Array:
+    """q < 6: view (rows, 128); the partner lives in the same 128-lane row at
+    offset ±2^q (setting bit q never carries), so a lane roll + bit select
+    implements the butterfly with no sub-128 minor dims."""
+    dim = state.shape[0]
+    s = 1 << q
+    u2 = u2.astype(state.dtype)
+    x = state.reshape(dim // 128, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    bit1 = ((lane >> q) & 1) == 1
+    partner = jnp.where(bit1, jnp.roll(x, s, axis=1), jnp.roll(x, -s, axis=1))
+    diag = jnp.where(bit1, u2[1, 1], u2[0, 0])
+    off = jnp.where(bit1, u2[1, 0], u2[0, 1])
+    return (diag * x + off * partner).reshape(dim)
+
+
+def apply_1q(state: jax.Array, u2: jax.Array, q: int) -> jax.Array:
+    """Apply a 2x2 unitary to qubit q of the flat state."""
+    dim = state.shape[0]
+    if dim < _SMALL_DIM:
+        return _apply_1q_einsum(state, u2, q)
+    if q >= 6:
+        return _apply_1q_wide(state, u2, q)
+    return _apply_1q_roll(state, u2, q)
 
 
 def apply_hadamard(state: jax.Array, q: int) -> jax.Array:
@@ -74,7 +118,7 @@ def apply_2q(state: jax.Array, u4: jax.Array, q_hi: int, q_lo: int) -> jax.Array
     a = dim // (4 * b * c)
     x = state.reshape(a, 2, b, 2, c)
     u = u4.astype(state.dtype).reshape(2, 2, 2, 2)
-    y = jnp.einsum("efab,xaybc->xeyfc", u, x)
+    y = jnp.einsum("efab,xaybc->xeyfc", u, x, precision=jax.lax.Precision.HIGHEST)
     return y.reshape(dim)
 
 
@@ -128,17 +172,33 @@ def iqft_stage_phases(l: int, M: int, dtype=jnp.complex64) -> jax.Array:
 def apply_iqft_stage(state: jax.Array, l: int, M: int) -> jax.Array:
     """One fused inverse-QFT stage: H(l) then the full phase ladder as a
     single diagonal — 2 fused passes instead of the reference's 1 + (l-M)
-    full matrix builds."""
+    full matrix builds.  For large states the butterfly is the wide
+    slice/concat form (TPU layout-friendly) and the ladder phases are
+    computed in-graph (no host-side 2^l constant baked in)."""
     dim = state.shape[0]
-    inner = 1 << l
-    x = state.reshape(dim // (2 * inner), 2, inner)
-    h = hadamard(state.dtype)
-    y = jnp.einsum("ab,obi->oai", h, x)
+    if dim < _SMALL_DIM:
+        inner = 1 << l
+        x = state.reshape(dim // (2 * inner), 2, inner)
+        y = jnp.einsum("ab,obi->oai", hadamard(state.dtype), x, precision=jax.lax.Precision.HIGHEST)
+        if l > M:
+            ph = iqft_stage_phases(l, M, state.dtype)
+            factor = jnp.stack([jnp.ones_like(ph), ph])  # (2, inner): bit l selects
+            y = y * factor[None, :, :]
+        return y.reshape(dim)
+    s = 1 << l
+    x = state.reshape(dim // (2 * s), 2 * s)
+    a, b = x[:, :s], x[:, s:]
+    c = jnp.asarray(SQRT1_2, state.dtype)
+    hu = c * (a + b)
+    hv = c * (a - b)
     if l > M:
-        ph = iqft_stage_phases(l, M, state.dtype)
-        factor = jnp.stack([jnp.ones_like(ph), ph])  # (2, inner): bit l selects
-        y = y * factor[None, :, :]
-    return y.reshape(dim)
+        mask = (1 << l) - (1 << M)
+        rdt = jnp.float64 if state.dtype == jnp.complex128 else jnp.float32
+        i = jax.lax.iota(jnp.int32, s)
+        theta = (i & mask).astype(rdt) * (math.pi / float(s))
+        pv = jax.lax.complex(jnp.cos(theta), jnp.sin(theta)).astype(state.dtype)
+        hv = hv * pv[None, :]
+    return jnp.concatenate([hu, hv], axis=1).reshape(dim)
 
 
 def apply_inverse_qft(state: jax.Array, L: int, M: int) -> jax.Array:

@@ -1,0 +1,364 @@
+"""Sharded state-vector engine: multi-chip gate application via shard_map.
+
+The planar (2, 2^n) state is sharded over its amplitude axis (see
+parallel/mesh.py): the top d qubits are *global* (bit value = device
+coordinate), the low n-d qubits are shard-local.  One circuit = one
+jitted shard_map program:
+
+  * gates on local qubits  -> the single-chip ops, unchanged, per shard;
+  * dense gates on a global qubit -> one collective_permute (ppermute) of
+    the whole local shard with the partner device (the butterfly exchange),
+    then a 2-term linear combination selected by this device's bit;
+  * diagonal gates on global qubits -> no communication at all: the device
+    bit is a compile-time-known function of axis_index, so the phase is a
+    scalar/vector select;
+  * the controlled modular-multiply with a global control -> no
+    communication: each device applies the M-register gather or the
+    identity according to its own control bit;
+  * measurement -> per-shard |amp|^2 totals, all_gather of D partial sums,
+    device-level inverse-CDF pick, then local inverse-CDF within the
+    chosen shard (equivalent to the reference's global serial scan,
+    qc_shor.c:272-306).
+
+The reference is single-threaded (Report §IV.D names parallelization as
+future work); this engine is the TPU-native realization of that future
+work: qubit count scales with chip count (n = n_local + log2(#devices)).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from quantumcomputer_tpu.models.circuit import (
+    DENSE_1Q,
+    DIAGONAL_1Q,
+    Circuit,
+    Gate,
+    gate_matrix_1q,
+    gate_matrix_2q,
+)
+from quantumcomputer_tpu.ops import gates as xops
+from quantumcomputer_tpu.parallel.mesh import AXIS, build_mesh, mesh_degree, state_sharding
+from quantumcomputer_tpu.sim import statevec as sv
+from quantumcomputer_tpu.sim.engine import Register
+
+
+def _index_dtype(n: int):
+    return jnp.int32 if n <= 30 else jnp.int64
+
+
+def _butterfly_pairs(D: int, p: int):
+    """ppermute pairing for global-qubit bit p: k <-> k XOR 2^p."""
+    return [(k, k ^ (1 << p)) for k in range(D)]
+
+
+def _device_bit(me, p: int):
+    return (me >> p) & 1
+
+
+def _apply_1q_global(z, u2: np.ndarray, p: int, me, D: int):
+    """Dense 1q gate on global qubit bit p: exchange shards with the partner
+    device, then new = U[b,b] * ours + U[b,1-b] * theirs (b = our bit)."""
+    remote = lax.ppermute(z, AXIS, _butterfly_pairs(D, p))
+    b = _device_bit(me, p)
+    dtype = z.dtype
+    diag = jnp.where(b == 0, jnp.asarray(u2[0, 0], dtype), jnp.asarray(u2[1, 1], dtype))
+    off = jnp.where(b == 0, jnp.asarray(u2[0, 1], dtype), jnp.asarray(u2[1, 0], dtype))
+    return diag * z + off * remote
+
+
+def _apply_2q_one_global(z, u4: np.ndarray, p: int, q_local: int, me, D: int):
+    """Dense 2q gate where exactly one qubit is global (device bit p) and the
+    other is shard-local.  u4 must be in the basis 2*bit(global) + bit(local).
+    One shard exchange + a contraction over (global, local) pairs."""
+    remote = lax.ppermute(z, AXIS, _butterfly_pairs(D, p))
+    b = _device_bit(me, p)
+    dtype = z.dtype
+    dim = z.shape[0]
+    inner = 1 << q_local
+    outer = dim // (2 * inner)
+    x_me = z.reshape(outer, 2, inner)
+    x_rm = remote.reshape(outer, 2, inner)
+    u = jnp.asarray(u4, dtype).reshape(2, 2, 2, 2)  # (g', l', g, l)
+    # Row block for our output bit b: W[l', g, l] = U[b, l', g, l].
+    w = jnp.where(b == 0, u[0], u[1])
+    # Stack inputs by their global-bit value: index a=0 -> amplitude with
+    # global bit 0.  Ours carries bit b, the remote carries 1-b.
+    s_b0 = jnp.stack([x_me, x_rm])  # if b == 0
+    s_b1 = jnp.stack([x_rm, x_me])  # if b == 1
+    xs = jnp.where(b == 0, s_b0, s_b1)  # (g=a, outer, l, inner)
+    out = jnp.einsum("fgl,golx->ofx", w, xs, precision=jax.lax.Precision.HIGHEST)
+    return out.reshape(dim)
+
+
+def _apply_diag_global_scalar(z, diag_val_one, diag_val_zero, bit):
+    dtype = z.dtype
+    f = jnp.where(bit == 1, jnp.asarray(diag_val_one, dtype), jnp.asarray(diag_val_zero, dtype))
+    return z * f
+
+
+def _measure_local(planar, key, n: int, rdtype):
+    """Shard-local body of the hierarchical inverse-CDF measurement
+    (equivalent to the reference's global serial scan, qc_shor.c:272-306):
+    device-level pick over all-gathered shard totals, then in-shard pick."""
+    me = lax.axis_index(AXIS)
+    ls = planar.shape[-1]
+    probs = sv.probabilities(planar)
+    r = jax.random.uniform(key, dtype=rdtype)  # same key -> same r on all shards
+    totals = lax.all_gather(jnp.sum(probs), AXIS)  # (D,)
+    cum_dev = jnp.cumsum(totals)
+    dev = jnp.minimum(jnp.searchsorted(cum_dev, r, side="left"), totals.shape[0] - 1)
+    offset = cum_dev[dev] - totals[dev]
+    local_cum = jnp.cumsum(probs)
+    local_idx = jnp.minimum(jnp.searchsorted(local_cum, r - offset, side="left"), ls - 1)
+    idt = _index_dtype(n)
+    candidate = jnp.where(me == dev, dev.astype(idt) * ls + local_idx.astype(idt), 0)
+    gidx = lax.psum(candidate, AXIS)
+    onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == gidx).astype(planar.dtype)
+    collapsed = jnp.stack([onehot, jnp.zeros_like(onehot)])
+    return gidx, collapsed
+
+
+def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str = "xla"):
+    """Dispatch one gate on the local shard (complex, flat 2^(n-d))."""
+    n_local = n - d
+    D = 1 << d
+
+    def is_global(q):
+        return q >= n_local
+
+    name = g.name
+    if name in DENSE_1Q:
+        u = gate_matrix_1q(g)
+        q = g.qubits[0]
+        if not is_global(q):
+            return xops.apply_1q(z, jnp.asarray(u, z.dtype), q)
+        return _apply_1q_global(z, u, q - n_local, me, D)
+
+    if name in DIAGONAL_1Q:
+        dg = np.diagonal(gate_matrix_1q(g))
+        q = g.qubits[0]
+        if not is_global(q):
+            return xops.apply_diag_1q(z, jnp.asarray(dg, z.dtype), q)
+        return _apply_diag_global_scalar(z, dg[1], dg[0], _device_bit(me, q - n_local))
+
+    if name in ("cz", "cphase"):
+        d4 = np.diagonal(gate_matrix_2q(g))
+        q_hi, q_lo = g.qubits if g.qubits[0] > g.qubits[1] else (g.qubits[1], g.qubits[0])
+        hi_g, lo_g = is_global(q_hi), is_global(q_lo)
+        if not hi_g and not lo_g:
+            return xops.apply_diag_2q(z, jnp.asarray(d4, z.dtype), q_hi, q_lo)
+        if hi_g and lo_g:
+            b_hi = _device_bit(me, q_hi - n_local)
+            b_lo = _device_bit(me, q_lo - n_local)
+            idx = 2 * b_hi + b_lo
+            f = jnp.asarray(d4, z.dtype)[idx]
+            return z * f
+        if hi_g:
+            b = _device_bit(me, q_hi - n_local)
+            v = jnp.where(b == 0, jnp.asarray(d4[:2], z.dtype), jnp.asarray(d4[2:], z.dtype))
+            return xops.apply_diag_1q(z, v, q_lo)
+        b = _device_bit(me, q_lo - n_local)
+        v0 = jnp.asarray(d4[[0, 2]], z.dtype)
+        v1 = jnp.asarray(d4[[1, 3]], z.dtype)
+        return xops.apply_diag_1q(z, jnp.where(b == 0, v0, v1), q_hi)
+
+    if name in ("cnot", "swap", "u2q"):
+        m4 = gate_matrix_2q(g)
+        q0, q1 = g.qubits
+        # Reorder so the matrix basis is 2*bit(qa) + bit(qb) with qa the
+        # qubit we treat as "first"; swap roles via the [0,2,1,3] relabel.
+        def relabel(m):
+            p = [0, 2, 1, 3]
+            return m[np.ix_(p, p)]
+
+        g0, g1 = is_global(q0), is_global(q1)
+        if not g0 and not g1:
+            q_hi, q_lo, m = (q0, q1, m4) if q0 > q1 else (q1, q0, relabel(m4))
+            return xops.apply_2q(z, jnp.asarray(m, z.dtype), q_hi, q_lo)
+        if g0 and g1:
+            raise NotImplementedError(
+                "dense 2q gate on two globally-sharded qubits: reorder the "
+                "circuit or enlarge the local register"
+            )
+        if g0:  # q0 global, q1 local; basis already 2*bit(q0)+bit(q1)
+            return _apply_2q_one_global(z, m4, q0 - n_local, q1, me, D)
+        # q1 global, q0 local: relabel so global qubit indexes the high bit.
+        return _apply_2q_one_global(z, relabel(m4), q1 - n_local, q0, me, D)
+
+    if name == "camodc":
+        C, atox = g.meta
+        c_q = g.qubits[0]
+        assert M <= n_local, "M register must be shard-local"
+        if not is_global(c_q):
+            return xops.apply_c_amodc(z, C, atox, c_q, M)
+        # Control bit is a device coordinate: permute-or-identity, no comms.
+        ginv = jnp.asarray(xops.modmul_inverse_permutation(C, atox, M))
+        m_dim = 1 << M
+        x = z.reshape(-1, m_dim)
+        permuted = jnp.take(x, ginv, axis=-1).reshape(z.shape)
+        ctrl = _device_bit(me, c_q - n_local)
+        return jnp.where(ctrl == 1, permuted, z)
+
+    if name == "iqft_stage":
+        l = g.qubits[0]
+        if not is_global(l):
+            return xops.apply_iqft_stage(z, l, M)
+        # H on the global qubit, then the closed-form ladder diagonal
+        # (see xops.iqft_stage_phases) evaluated at *global* indices.
+        z = _apply_1q_global(z, _H64(), l - n_local, me, D)
+        if l > M:
+            idt = _index_dtype(n)
+            ls = z.shape[0]
+            iota = lax.iota(idt, ls)
+            gidx = me.astype(idt) * ls + iota
+            mask = (1 << l) - (1 << M)
+            frac = (gidx & mask).astype(sv.real_dtype_of(z.dtype)) * (np.pi / float(1 << l))
+            phase = lax.complex(jnp.cos(frac), jnp.sin(frac)).astype(z.dtype)
+            bit_l = _device_bit(me, l - n_local)
+            z = jnp.where(bit_l == 1, z * phase, z)
+        return z
+
+    raise ValueError(f"unknown gate: {g}")
+
+
+def _H64() -> np.ndarray:
+    s = 1.0 / np.sqrt(2.0)
+    return np.array([[s, s], [s, -s]], dtype=np.complex128)
+
+
+class ShardedStateVectorEngine:
+    """Multi-device drop-in for StateVectorEngine (same API; planar states
+    sharded over the mesh)."""
+
+    def __init__(
+        self,
+        register: Register,
+        dtype=jnp.complex64,
+        mesh: Optional[Mesh] = None,
+        backend: str = "xla",
+    ):
+        self.register = register
+        self.dtype = jnp.dtype(dtype)
+        self.real_dtype = sv.real_dtype_of(dtype)
+        self.backend = backend
+        self.mesh = mesh if mesh is not None else build_mesh()
+        self.d = mesh_degree(self.mesh)
+        if register.n - self.d < 1:
+            raise ValueError("register too small for this mesh")
+        if register.M > register.n - self.d:
+            raise ValueError(
+                f"M={register.M} must be <= n_local={register.n - self.d}: "
+                "the work register must stay shard-local"
+            )
+        self.sharding = state_sharding(self.mesh)
+        self._run_cache: dict = {}
+
+    # -- state lifecycle ----------------------------------------------------
+
+    def initial_state(self) -> jax.Array:
+        n, rdtype = self.register.n, self.real_dtype
+
+        @partial(jax.jit, out_shardings=self.sharding)
+        def init():
+            return sv.initial_planar(n, rdtype)
+
+        return init()
+
+    # -- execution ----------------------------------------------------------
+
+    def _compiled_run(self, circuit: Circuit) -> Callable:
+        fn = self._run_cache.get(circuit)
+        if fn is None:
+            n, M, d, backend = self.register.n, self.register.M, self.d, self.backend
+
+            def body(planar):  # local view: (2, 2^(n-d))
+                me = lax.axis_index(AXIS)
+                z = sv.to_complex(planar)
+                for g in circuit:
+                    z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend)
+                return sv.from_complex(z)
+
+            smapped = jax.shard_map(
+                body, mesh=self.mesh, in_specs=(P(None, AXIS),), out_specs=P(None, AXIS)
+            )
+            fn = jax.jit(smapped, donate_argnums=(0,))
+            self._run_cache[circuit] = fn
+        return fn
+
+    def run(self, circuit: Circuit, state: Optional[jax.Array] = None) -> jax.Array:
+        if state is None:
+            state = self.initial_state()
+        return self._compiled_run(circuit)(state)
+
+    # -- measurement ----------------------------------------------------------
+
+    def _measure_fn(self):
+        n = self.register.n
+        rdtype = self.real_dtype
+
+        def body(planar, key):
+            return _measure_local(planar, key, n, rdtype)
+
+        smapped = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(P(None, AXIS), P()),
+            out_specs=(P(), P(None, AXIS)),
+        )
+        return jax.jit(smapped, donate_argnums=(0,))
+
+    def run_and_measure(self, circuit: Circuit, key: jax.Array) -> Tuple[int, jax.Array]:
+        """Reset -> circuit -> sharded measurement, as ONE compiled shard_map
+        program.  Returns (measured global index, collapsed planar state)."""
+        ck = (circuit, "__run_measure__")
+        fn = self._run_cache.get(ck)
+        if fn is None:
+            n, M, d, backend = self.register.n, self.register.M, self.d, self.backend
+            rdtype = self.real_dtype
+            D = 1 << d
+            ls = (1 << n) // D
+
+            def body(k):
+                me = lax.axis_index(AXIS)
+                idt = _index_dtype(n)
+                # |0..01> reset, shard-local construction (global index 1).
+                onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == 1).astype(rdtype)
+                z = lax.complex(onehot, jnp.zeros_like(onehot))
+                for g in circuit:
+                    z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend)
+                return _measure_local(sv.from_complex(z), k, n, rdtype)
+
+            smapped = jax.shard_map(
+                body, mesh=self.mesh, in_specs=(P(),), out_specs=(P(), P(None, AXIS))
+            )
+            fn = jax.jit(smapped)
+            self._run_cache[ck] = fn
+        idx, collapsed = fn(key)
+        return int(idx), collapsed
+
+    def measure(self, state: jax.Array, key: jax.Array) -> Tuple[int, jax.Array]:
+        fn = self._run_cache.get("__measure__")
+        if fn is None:
+            fn = self._measure_fn()
+            self._run_cache["__measure__"] = fn
+        idx, collapsed = fn(state, key)
+        return int(idx), collapsed
+
+    # -- inspection ----------------------------------------------------------
+
+    def probabilities(self, state: jax.Array) -> jax.Array:
+        return sv.probabilities(state)
+
+    def norm(self, state: jax.Array) -> float:
+        return float(sv.norm(state))
+
+    def to_numpy(self, state: jax.Array):
+        return sv.to_numpy_complex(state)

@@ -1,0 +1,106 @@
+"""Checkpoint/resume: state-vector snapshots between circuit segments.
+
+The reference deliberately recomputes every attempt from the reset register
+and never re-measures a collapsed state (qc_shor.c:299-301, 922; Report
+§III.E).  That semantic is kept: checkpoints snapshot the *pre-measurement*
+evolving state between circuit segments (useful for long sharded runs on
+preemptible slices, SURVEY.md §5) — measurement itself is never replayed
+from a snapshot by the Shor driver.
+
+Format: .npz with the two planar float planes + a JSON metadata blob
+(circuit fingerprint, segment index, register geometry).  Resuming with a
+different circuit is refused via the fingerprint.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from quantumcomputer_tpu.models.circuit import Circuit
+from quantumcomputer_tpu.sim import statevec as sv
+
+
+def circuit_fingerprint(circuit: Circuit) -> str:
+    h = hashlib.sha256()
+    for g in circuit:
+        h.update(repr(g).encode())
+    return h.hexdigest()[:16]
+
+
+def save_state(path: str, state: jax.Array, meta: dict) -> None:
+    """Snapshot a planar state (host copy) + metadata."""
+    re = np.asarray(state[0])
+    im = np.asarray(state[1])
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, re=re, im=im, meta=json.dumps(meta))
+    os.replace(tmp, path)
+
+
+def load_state(path: str, sharding=None) -> Tuple[jax.Array, dict]:
+    """Load a snapshot; optionally place it with a NamedSharding."""
+    with np.load(path, allow_pickle=False) as z:
+        planar = np.stack([z["re"], z["im"]])
+        meta = json.loads(str(z["meta"]))
+    arr = jax.device_put(planar, sharding) if sharding is not None else jax.device_put(planar)
+    return arr, meta
+
+
+def _segment_path(directory: str, seg: int) -> str:
+    return os.path.join(directory, f"segment_{seg:05d}.npz")
+
+
+def latest_segment(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    segs = []
+    for f in os.listdir(directory):
+        if f.startswith("segment_") and f.endswith(".npz"):
+            try:
+                segs.append(int(f[len("segment_"):-len(".npz")]))
+            except ValueError:
+                pass
+    return max(segs) if segs else None
+
+
+def run_with_checkpoints(
+    engine,
+    circuit: Circuit,
+    directory: str,
+    segment_gates: int = 8,
+    resume: bool = True,
+    state: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Run a circuit in segments, snapshotting after each; resume from the
+    latest valid snapshot if present.  Works with both the single-chip and
+    sharded engines (same planar-state API)."""
+    fp = circuit_fingerprint(circuit)
+    segments = [circuit[i : i + segment_gates] for i in range(0, len(circuit), segment_gates)]
+    start_seg = 0
+    if resume:
+        last = latest_segment(directory)
+        if last is not None and last < len(segments):
+            try:
+                sharding = getattr(engine, "sharding", None)
+                st, meta = load_state(_segment_path(directory, last), sharding)
+                if meta.get("fingerprint") == fp and meta.get("segment") == last:
+                    state = st
+                    start_seg = last
+            except Exception:
+                start_seg = 0
+    if state is None:
+        state = engine.initial_state()
+    for seg in range(start_seg, len(segments)):
+        state = engine.run(tuple(segments[seg]), state)
+        save_state(
+            _segment_path(directory, seg + 1),
+            state,
+            {"fingerprint": fp, "segment": seg + 1, "n": engine.register.n},
+        )
+    return state

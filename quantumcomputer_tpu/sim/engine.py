@@ -159,10 +159,51 @@ class StateVectorEngine:
 
     def run(self, circuit: Circuit, state: Optional[jax.Array] = None) -> jax.Array:
         """Apply a circuit; one fused jit program per distinct circuit.
-        Input/output states are planar (2, 2^n) arrays."""
+        Input/output states are planar (2, 2^n) arrays.  With no input
+        state, the |0..01> reset is folded into the compiled program
+        (one executable, no eager initialization ops)."""
         if state is None:
-            state = self.initial_state()
+            return self._compiled_run_from_reset(circuit)()
         return self._compiled_run(circuit, with_norms=False)(state)
+
+    def _compiled_run_from_reset(self, circuit: Circuit) -> Callable:
+        key = (circuit, "reset")
+        fn = self._run_cache.get(key)
+        if fn is None:
+            M, backend = self.register.M, self.backend
+            n, rdtype = self.register.n, self.real_dtype
+
+            def run():
+                state = sv.to_complex(sv.initial_planar(n, rdtype))
+                for g in circuit:
+                    state = apply_gate(state, g, M, backend)
+                return sv.from_complex(state)
+
+            fn = jax.jit(run)
+            self._run_cache[key] = fn
+        return fn
+
+    def run_and_measure(self, circuit: Circuit, key: jax.Array) -> Tuple[int, jax.Array]:
+        """Reset -> circuit -> inverse-CDF measurement, as ONE compiled
+        program (find_period's whole quantum step, qc_shor.c:922-928).
+        Returns (measured index, collapsed planar state)."""
+        ck = (circuit, "measure")
+        fn = self._run_cache.get(ck)
+        if fn is None:
+            M, backend = self.register.M, self.backend
+            n, rdtype = self.register.n, self.real_dtype
+
+            def run(k):
+                state = sv.to_complex(sv.initial_planar(n, rdtype))
+                for g in circuit:
+                    state = apply_gate(state, g, M, backend)
+                planar = sv.from_complex(state)
+                return _measure_planar_impl(planar, k)
+
+            fn = jax.jit(run)
+            self._run_cache[ck] = fn
+        idx, collapsed = fn(key)
+        return int(idx), collapsed
 
     def run_with_norms(self, circuit: Circuit, state: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
         """Apply a circuit, also returning the post-gate norm trace — the
@@ -191,8 +232,7 @@ class StateVectorEngine:
         return sv.to_numpy_complex(state)
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _measure_planar(planar: jax.Array, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def _measure_planar_impl(planar: jax.Array, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Inverse-CDF sample + collapse on planar state (qc_shor.c:272-306)."""
     probs = sv.probabilities(planar)
     r = jax.random.uniform(key, dtype=probs.dtype)
@@ -201,3 +241,6 @@ def _measure_planar(planar: jax.Array, key: jax.Array) -> Tuple[jax.Array, jax.A
     onehot = (jnp.arange(probs.shape[0]) == idx).astype(planar.dtype)
     collapsed = jnp.stack([onehot, jnp.zeros_like(onehot)])
     return idx, collapsed
+
+
+_measure_planar = partial(jax.jit, donate_argnums=(0,))(_measure_planar_impl)

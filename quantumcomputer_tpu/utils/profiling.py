@@ -1,0 +1,113 @@
+"""Profiling & observability: the north-star perf counters.
+
+The reference's tracing is one wall-clock around the whole algorithm
+(clock_gettime, qc_shor.c:1007-1013) plus per-gate-group prints under -V.
+Here: analytic per-gate HBM cost accounting (bytes moved per gate pass),
+roofline projection, wall-clock timing with forced device round-trips
+(on tunneled TPU runtimes, block_until_ready can return before compute
+finishes — only a host fetch of a dependent scalar is a true barrier),
+and a jax.profiler trace wrapper.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+
+from quantumcomputer_tpu.models.circuit import Circuit, Gate
+from quantumcomputer_tpu.sim import statevec as sv
+
+
+@dataclass
+class GateCost:
+    gate: str
+    qubits: Tuple[int, ...]
+    bytes_moved: int  # HBM traffic of one fused pass (read + write)
+
+
+def bytes_per_state(n: int, real_dtype_bytes: int = 4) -> int:
+    """Planar state footprint: 2 planes x 2^n x itemsize."""
+    return 2 * (1 << n) * real_dtype_bytes
+
+
+def circuit_cost(circuit: Circuit, n: int, real_dtype_bytes: int = 4) -> List[GateCost]:
+    """Analytic HBM traffic per gate: every dense/diagonal/permutation pass
+    reads and writes the full state once (the fused-kernel design goal).
+    Gates that only touch the bit-1 half (none currently) would halve this."""
+    sb = bytes_per_state(n, real_dtype_bytes)
+    return [GateCost(g.name, g.qubits, 2 * sb) for g in circuit]
+
+
+def roofline_seconds(circuit: Circuit, n: int, hbm_gbps: float, real_dtype_bytes: int = 4) -> float:
+    """Lower bound on circuit wall-clock from HBM bandwidth alone."""
+    total = sum(c.bytes_moved for c in circuit_cost(circuit, n, real_dtype_bytes))
+    return total / (hbm_gbps * 1e9)
+
+
+def force_completion(state: jax.Array) -> float:
+    """True execution barrier: fetch a dependent scalar to the host.
+    Returns the state norm as a side product (useful as a sanity check)."""
+    return float(sv.norm(state))
+
+
+def time_circuit(engine, circuit: Circuit, iters: int = 3, state: Optional[jax.Array] = None) -> float:
+    """Best-of-iters wall-clock of one compiled circuit execution, with a
+    host round-trip barrier.  The barrier adds one reduction pass + RTT;
+    subtract a measured empty baseline for precise per-gate numbers
+    (see bench.py's two-block-size slope method)."""
+    if state is None:
+        state = engine.initial_state()
+    state = engine.run(circuit, state)
+    force_completion(state)  # compile + warm
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        state = engine.run(circuit, state)
+        force_completion(state)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@contextlib.contextmanager
+def trace(path: str):
+    """jax.profiler trace wrapper (view with TensorBoard / xprof)."""
+    try:
+        jax.profiler.start_trace(path)
+        started = True
+    except Exception:
+        started = False
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+
+
+@dataclass
+class NormTrace:
+    """Probability-conservation regression (Report §IV.A / FIG. 2):
+    per-gate norm deviations from 1.0."""
+
+    deviations: List[float]
+
+    @property
+    def max_deviation(self) -> float:
+        return max((abs(d) for d in self.deviations), default=0.0)
+
+    def to_dict(self) -> dict:
+        return {"max_deviation": self.max_deviation, "deviations": self.deviations}
+
+
+def norm_trace(engine, circuit: Circuit) -> NormTrace:
+    """Run with per-gate norm tracking (the FIG. 2 experiment)."""
+    _, norms = engine.run_with_norms(circuit)
+    import numpy as np
+
+    return NormTrace(deviations=[float(v - 1.0) for v in np.asarray(norms)])

@@ -1,0 +1,41 @@
+"""Profiling utilities: cost accounting, roofline, norm-trace regression."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from quantumcomputer_tpu.models.shor_circuit import shor_circuit, shor_circuit_reference
+from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+from quantumcomputer_tpu.utils import profiling as prof
+
+
+def test_bytes_accounting():
+    assert prof.bytes_per_state(10) == 2 * 1024 * 4
+    circ = shor_circuit(15, 7, 3, 4)
+    costs = prof.circuit_cost(circ, 7)
+    assert len(costs) == len(circ)
+    assert all(c.bytes_moved == 2 * prof.bytes_per_state(7) for c in costs)
+
+
+def test_roofline_projection():
+    circ = shor_circuit(15, 7, 3, 4)
+    t = prof.roofline_seconds(circ, 28, hbm_gbps=819.0)
+    # 9 gates x 2 x 2GB / 819GB/s ~ 47ms
+    assert 0.01 < t < 1.0
+
+
+def test_time_circuit_runs():
+    eng = StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex64)
+    t = prof.time_circuit(eng, shor_circuit(15, 7, 3, 4), iters=2)
+    assert t > 0
+
+
+def test_norm_trace_fig2_regression():
+    """Report §IV.A / FIG. 2: norm deviation stays at double round-off
+    through every gate of factoring 39 (L=6, M=6)."""
+    eng = StateVectorEngine(Register(L=6, M=6), dtype=jnp.complex128)
+    tr = prof.norm_trace(eng, shor_circuit_reference(39, 7, 6, 6))
+    # gate-for-gate: 3L + L(L-1)/2 applications (SURVEY.md §3.2)
+    assert len(tr.deviations) == 3 * 6 + 6 * 5 // 2
+    assert tr.max_deviation < 1e-13
+    d = tr.to_dict()
+    assert d["max_deviation"] == tr.max_deviation

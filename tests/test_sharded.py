@@ -1,0 +1,147 @@
+"""Distributed engine: 8-virtual-device CPU mesh vs the single-chip engine.
+
+Every gate class is exercised on globally-sharded qubits (dense 1q
+butterflies via ppermute, diagonal selects, global-control oracle, global
+iQFT stages), plus sharded measurement — all must match the single-device
+results to 1e-12 (SURVEY.md §4: mesh semantics on forced host devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantumcomputer_tpu.models import circuit as cir
+from quantumcomputer_tpu.models.shor_circuit import shor_circuit, shor_circuit_reference
+from quantumcomputer_tpu.parallel.mesh import build_mesh
+from quantumcomputer_tpu.parallel.sharded import ShardedStateVectorEngine
+from quantumcomputer_tpu.sim import reference as ref
+from quantumcomputer_tpu.sim import statevec as sv
+from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+ATOL = 1e-12
+
+
+def sharded_engine(L, M, d=3):
+    mesh = build_mesh(num_devices=1 << d)
+    return ShardedStateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128, mesh=mesh)
+
+
+def run_both(circuit, L, M, d=3):
+    single = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    multi = sharded_engine(L, M, d)
+    a = single.to_numpy(single.run(circuit))
+    b = multi.to_numpy(multi.run(circuit))
+    return a, b
+
+
+def test_global_hadamard_butterfly(rng):
+    # n=6, d=3 -> qubits 3,4,5 are global.  H on every qubit.
+    L, M = 4, 2
+    circuit = tuple(cir.H(q) for q in range(6))
+    a, b = run_both(circuit, L, M)
+    np.testing.assert_allclose(a, b, atol=ATOL)
+
+
+def test_global_dense_1q_gates(rng):
+    L, M = 4, 2
+    circuit = (cir.H(5), cir.X(4), cir.RY(3, 0.7), cir.RX(5, 1.1), cir.Y(4))
+    a, b = run_both(circuit, L, M)
+    np.testing.assert_allclose(a, b, atol=ATOL)
+
+
+def test_global_diagonal_gates(rng):
+    L, M = 4, 2
+    circuit = (
+        cir.H(5), cir.H(4), cir.H(3), cir.H(2),
+        cir.Z(5), cir.PHASE(4, 0.33), cir.RZ(3, -0.9),
+        cir.CPHASE(5, 4, 0.21),  # both global
+        cir.CPHASE(5, 1, 0.43),  # hi global, lo local
+        cir.CPHASE(2, 0, 0.55),  # both local
+        cir.CZ(4, 0),
+        cir.CPHASE(1, 3, 0.66),  # control local, target global (hi=3 global)
+    )
+    a, b = run_both(circuit, L, M)
+    np.testing.assert_allclose(a, b, atol=ATOL)
+
+
+def test_global_dense_2q_one_global(rng):
+    L, M = 4, 2
+    m = np.linalg.qr(rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4)))[0]
+    circuit = (
+        cir.H(5), cir.H(2), cir.H(0),
+        cir.CNOT(4, 1),        # control global, target local
+        cir.CNOT(1, 4),        # control local, target global
+        cir.SWAP(5, 0),        # one global
+        cir.U2Q(3, 2, m),      # hi global, lo local
+    )
+    a, b = run_both(circuit, L, M)
+    np.testing.assert_allclose(a, b, atol=ATOL)
+
+
+def test_both_global_dense_rejected():
+    multi = sharded_engine(4, 2)
+    with pytest.raises(NotImplementedError):
+        multi.run((cir.H(5), cir.CNOT(5, 4)))
+
+
+def test_global_camodc_control():
+    # n=7, d=3: qubits 4,5,6 global.  Controls at 4..6 are global; M=4 local.
+    C, a_int, L, M = 15, 7, 3, 4
+    circuit = shor_circuit(C, a_int, L, M)
+    a, b = run_both(circuit, L, M)
+    np.testing.assert_allclose(a, b, atol=ATOL)
+
+
+def test_global_iqft_stage():
+    L, M = 4, 2
+    circuit = tuple([cir.H(q) for q in range(2, 6)] + [cir.Gate("iqft_stage", (l,)) for l in (5, 4, 3, 2)])
+    a, b = run_both(circuit, L, M)
+    np.testing.assert_allclose(a, b, atol=ATOL)
+
+
+@pytest.mark.parametrize("C,a,L,M", [(15, 7, 3, 4), (21, 2, 4, 5)])
+def test_full_shor_circuit_sharded_parity(C, a, L, M):
+    want = ref.shor_circuit(C, a, L, M)
+    multi = sharded_engine(L, M)
+    got = multi.to_numpy(multi.run(shor_circuit(C, a, L, M)))
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_sharded_reference_sequence_parity():
+    C, a, L, M = 15, 7, 3, 4
+    want = ref.shor_circuit(C, a, L, M)
+    multi = sharded_engine(L, M)
+    got = multi.to_numpy(multi.run(shor_circuit_reference(C, a, L, M)))
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_sharded_measurement_matches_single():
+    C, a, L, M = 15, 7, 3, 4
+    single = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    multi = sharded_engine(L, M)
+    circ = shor_circuit(C, a, L, M)
+    s_state = single.run(circ)
+    m_state = multi.run(circ)
+    for seed in range(6):
+        key = jax.random.PRNGKey(seed)
+        i1, c1 = single.measure(single.run(circ), key)
+        i2, c2 = multi.measure(multi.run(circ), key)
+        assert i1 == i2, f"seed {seed}: {i1} != {i2}"
+        np.testing.assert_allclose(single.to_numpy(c1), multi.to_numpy(c2), atol=ATOL)
+
+
+def test_sharded_norm_and_probs():
+    multi = sharded_engine(3, 4)
+    state = multi.run(shor_circuit(15, 7, 3, 4))
+    assert abs(multi.norm(state) - 1.0) < 1e-13
+    probs = np.asarray(multi.probabilities(state))
+    assert abs(probs.sum() - 1.0) < 1e-13
+
+
+def test_mesh_guardrails():
+    mesh = build_mesh(num_devices=8)
+    with pytest.raises(ValueError):
+        # M register crossing the shard boundary must be rejected.
+        ShardedStateVectorEngine(Register(L=1, M=3), dtype=jnp.complex128, mesh=mesh)
