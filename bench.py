@@ -101,22 +101,44 @@ def bench_shor15(seed: int = 0):
     return elapsed, ok
 
 
+def bench_stream_bandwidth(n: int, reps: int = 5):
+    """Single-pass streaming bandwidth: per-gate slope with fusion OFF —
+    each gate is exactly one read+write of the planar state."""
+    from quantumcomputer_tpu.utils.profiling import time_circuit
+
+    eng = StateVectorEngine(Register(L=n, M=0), dtype=jnp.complex64, backend="pallas", fuse=False)
+    qubits = [0, 7, n // 2, n - 1]
+
+    def block(k: int):
+        return tuple(cir.RY(qubits[i % len(qubits)], 0.1 + 0.017 * i) for i in range(k))
+
+    t_small = time_circuit(eng, block(2), iters=reps)
+    t_big = time_circuit(eng, block(10), iters=reps)
+    per_pass = max((t_big - t_small) / 8, 1e-12)
+    return 2 * (1 << n) * 8 / per_pass / 1e9  # GB/s
+
+
 def main():
     from quantumcomputer_tpu.utils.compile_cache import enable as _cc
 
     _cc()
     kind, bw_gbps = detect_bandwidth()
     n = pick_n()
-    backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+    on_tpu = jax.devices()[0].platform == "tpu"
+    backend = "pallas" if on_tpu else "xla"
 
     gate_apps_per_sec, n_gates, best_s = bench_gate_throughput(n, backend=backend)
 
-    # Roofline: one dense 1q gate pass moves >= 2 * (2^n * 8) bytes
-    # (read + write planar f32 state).
+    # Baseline: the HBM roofline for UNFUSED gate application — one dense 1q
+    # gate pass must read+write the planar f32 state (2 * 2^n * 8 bytes).
+    # The fused multi-gate kernels apply several gates per pass, so the
+    # effective rate legitimately exceeds 1.0x this baseline: vs_baseline is
+    # the speedup over a perfect memory-bound single-gate-per-pass engine.
     bytes_per_gate = 2 * (1 << n) * 8
     roofline_gate_apps = bw_gbps * 1e9 / bytes_per_gate
     frac = gate_apps_per_sec / roofline_gate_apps
 
+    stream_gbps = bench_stream_bandwidth(n) if on_tpu else 0.0
     shor_s, shor_ok = bench_shor15()
 
     print(
@@ -124,10 +146,11 @@ def main():
             {
                 "metric": f"gate_apps_per_sec_n{n}",
                 "value": round(gate_apps_per_sec, 3),
-                "unit": "gate applications/s (dense 1q, complex64)",
+                "unit": "effective gate applications/s (dense 1q mix, complex64, multi-gate fusion)",
                 "vs_baseline": round(frac, 4),
-                "baseline": f"HBM roofline {roofline_gate_apps:.2f} gates/s @ {bw_gbps:.0f} GB/s ({kind})",
-                "hbm_gbps_achieved": round(gate_apps_per_sec * bytes_per_gate / 1e9, 2),
+                "baseline": f"HBM roofline for one gate per pass: {roofline_gate_apps:.2f} gates/s @ {bw_gbps:.0f} GB/s ({kind})",
+                "stream_gbps_single_pass": round(stream_gbps, 1),
+                "stream_roofline_frac": round(stream_gbps / bw_gbps, 4),
                 "shor15_wallclock_s": round(shor_s, 4),
                 "shor15_ok": shor_ok,
                 "n_qubits": n,

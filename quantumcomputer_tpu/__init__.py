@@ -16,6 +16,8 @@ from quantumcomputer_tpu.algorithms.shor import (  # noqa: F401
 )
 from quantumcomputer_tpu.models import circuit  # noqa: F401
 from quantumcomputer_tpu.models.shor_circuit import shor_circuit, shor_circuit_reference  # noqa: F401
+from quantumcomputer_tpu.parallel.mesh import build_mesh  # noqa: F401
+from quantumcomputer_tpu.parallel.sharded import ShardedStateVectorEngine  # noqa: F401
 from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine  # noqa: F401
 
 __version__ = "0.1.0"

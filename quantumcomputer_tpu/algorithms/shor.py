@@ -141,6 +141,8 @@ def shors_algorithm(
     max_attempts_per_a: int = 1,
     engine: Optional[StateVectorEngine] = None,
     mesh=None,
+    num_fractions: int = nt.NUM_CONTINUED_FRACTIONS,
+    trials_per_denominator: int = nt.TRIALS_PER_DENOMINATOR,
 ) -> ShorResult:
     """Full Shor driver (qc_shor.c:1003-1134).
 
@@ -182,7 +184,7 @@ def shors_algorithm(
         found = False
         for _ in range(max_attempts_per_a):
             key, sub = jax.random.split(key)
-            attempt = find_period(engine, C, a, sub)
+            attempt = find_period(engine, C, a, sub, num_fractions, trials_per_denominator)
             result.attempts.append(attempt)
             if attempt.period is None:
                 log.info("a=%d: no valid period from omega=%.4f", a, attempt.omega)

@@ -109,6 +109,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         dtype=jnp.complex128 if args.dtype == "complex128" else jnp.complex64,
         backend=args.backend,
         mesh=mesh,
+        num_fractions=args.fractions,
+        trials_per_denominator=args.trials,
     )
 
     if args.verbose:

@@ -1,0 +1,439 @@
+"""Fused multi-gate Pallas kernel: many gates per HBM pass.
+
+Every gate kernel in pallas_gates.py is HBM-bound: one pass reads and
+writes the full 2^n planar state.  A circuit of G such gates costs G
+passes.  This module fuses a *run* of gates into ONE pass: the block is
+loaded into VMEM once, all gates in the run are applied on-chip, and the
+block is written back once — G passes become ceil(G / fusion factor).
+
+Mechanics.  A kernel block must contain every butterfly partner of every
+fused gate.  Qubit classes (state viewed with last dims (rows=64, 128)):
+
+  * q <= 6   ("lane"): partner at lane offset 2^q — in-tile circular roll
+    (setting bit q never carries; wraps never selected);
+  * 7..12    ("row"): partner at sublane offset 2^(q-7) < 64 — in-block
+    sublane roll, same no-carry argument;
+  * q >= 13  ("axis"): the view exposes bit q as its own dimension of size
+    2, blocked at full size — each block holds all 2^m combinations of the
+    m exposed axis bits as sub-arrays (m <= MAX_AXES).
+
+Diagonal gates (phase/Z/RZ/CZ/CPHASE and the fused inverse-QFT ladder) are
+FREE RIDERS: they never constrain the block shape, because any bit of the
+global index is derivable in-kernel — lane iota (q<=6), row iota + row-block
+offset (7 <= q < min axis), grid coordinates (gap bits between/above axes),
+or the static sub-array index (axis bits).  Ladder angles are additive over
+these disjoint bit fields, so each stage costs one (64,1) + one (1,128)
+cos/sin — no per-element transcendentals, no table operands.
+
+The planner (plan_circuit) greedily packs consecutive fusable gates until
+MAX_AXES distinct axis targets accumulate; the controlled-modular-multiply
+gather and generic dense 2q gates break fusion runs.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from itertools import product
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quantumcomputer_tpu.models.circuit import (
+    DENSE_1Q,
+    DIAGONAL_1Q,
+    Circuit,
+    Gate,
+    gate_matrix_1q,
+    gate_matrix_2q,
+)
+
+LANE = 128
+BI = 64            # block rows; rows cover bits [7, 13)
+AXIS_MIN = 13      # targets >= this become exposed block axes
+MAX_AXES = 3       # 2^3 sub-arrays per block
+MIN_N = 14         # below this, single-gate paths are fine
+
+_SQRT1_2 = 1.0 / math.sqrt(2.0)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Op descriptors (hashable, static — baked into the kernel closure).
+#   ("u1q",   q, u2 flattened 8-tuple of floats (re*4, im*4))
+#   ("diag1", q, (re0, im0, re1, im1))
+#   ("diag2", q_hi, q_lo, 8-tuple re/im of the 4 diagonal entries)
+#   ("iqft",  l)   -- fused H(l) + ladder diagonal down to M
+
+
+def gate_to_op(g: Gate) -> Optional[tuple]:
+    name = g.name
+    if name in DENSE_1Q:
+        u = gate_matrix_1q(g)
+        return ("u1q", g.qubits[0], tuple(float(v) for v in np.concatenate([u.real.ravel(), u.imag.ravel()])))
+    if name in DIAGONAL_1Q:
+        d = np.diagonal(gate_matrix_1q(g))
+        return ("diag1", g.qubits[0], (float(d[0].real), float(d[0].imag), float(d[1].real), float(d[1].imag)))
+    if name in ("cz", "cphase"):
+        d = np.diagonal(gate_matrix_2q(g))
+        q_hi, q_lo = g.qubits if g.qubits[0] > g.qubits[1] else (g.qubits[1], g.qubits[0])
+        vals = tuple(float(v) for v in np.concatenate([d.real, d.imag]))
+        return ("diag2", q_hi, q_lo, vals)
+    if name == "iqft_stage":
+        return ("iqft", g.qubits[0])
+    return None
+
+
+def _op_axis_targets(op: tuple) -> List[int]:
+    """Qubits this op needs as exposed axes (butterfly targets >= AXIS_MIN)."""
+    if op[0] == "u1q" and op[1] >= AXIS_MIN:
+        return [op[1]]
+    if op[0] == "iqft" and op[1] >= AXIS_MIN:
+        return [op[1]]
+    return []
+
+
+def plan_circuit(circuit: Circuit, n: int, M: int, max_axes: int = MAX_AXES):
+    """Segment a circuit into fused runs and single gates.
+
+    Returns a list of ("fused", ops_tuple, axes_tuple) / ("single", gate).
+    """
+    if n < MIN_N:
+        return [("single", g) for g in circuit]
+    segments: List[tuple] = []
+    run: List[tuple] = []
+    axes: List[int] = []
+
+    def flush():
+        nonlocal run, axes
+        if len(run) == 1 and not axes:
+            # a lone row/lane gate: the single-gate kernel is equivalent
+            segments.append(("fused", tuple(run), ()))
+        elif run:
+            segments.append(("fused", tuple(run), tuple(sorted(axes, reverse=True))))
+        run, axes = [], []
+
+    for g in circuit:
+        op = gate_to_op(g)
+        if op is None:
+            flush()
+            segments.append(("single", g))
+            continue
+        need = [a for a in _op_axis_targets(op) if a not in axes]
+        if len(axes) + len(need) > max_axes:
+            flush()
+            need = _op_axis_targets(op)
+        run.append(op)
+        for a in need:
+            if a not in axes:
+                axes.append(a)
+    flush()
+    return segments
+
+
+# ---------------------------------------------------------------------------
+# Kernel generation.
+
+
+class _Layout:
+    """View/block/grid geometry for a fused segment."""
+
+    def __init__(self, n: int, axes: Sequence[int]):
+        self.n = n
+        self.axes = tuple(sorted(axes, reverse=True))  # descending
+        m = len(self.axes)
+        self.m = m
+        a_min = self.axes[-1] if m else 7 + 0  # rows start at bit 7
+        # rows cover bits [7, rows_end)
+        self.rows_end = self.axes[-1] if m else n
+        self.ir = 1 << (self.rows_end - 7)
+        self.bi = min(BI, self.ir)
+        # view dims, most-significant first:
+        #   gap_above_a1, 2, gap_a1_a2, 2, ..., 2, ir_rows, 128
+        dims: List[int] = []
+        self.gap_bits: List[Tuple[int, int]] = []  # (low_bit, n_bits) per gap dim
+        prev = n
+        for a in self.axes:
+            gap = prev - a - 1
+            dims.append(1 << gap)
+            self.gap_bits.append((a + 1, gap))
+            dims.append(2)
+            prev = a
+        dims.append(self.ir)
+        dims.append(LANE)
+        self.view = tuple(dims)
+        # grid: one dim per gap + the row-block dim
+        self.grid = tuple(d for d in dims[:-2:2]) + (self.ir // self.bi,)
+        block = []
+        for i, d in enumerate(dims[:-2]):
+            block.append(1 if i % 2 == 0 else 2)
+        block += [self.bi, LANE]
+        self.block = tuple(block)
+
+    def index_map(self):
+        m = self.m
+
+        def imap(*pids):
+            # pids = (gap_0, ..., gap_{m-1}, row_block)
+            out = []
+            for i in range(m):
+                out.append(pids[i])  # gap dim (block size 1)
+                out.append(0)        # axis dim (block size 2 = full)
+            out.append(pids[m])      # row block
+            out.append(0)            # lanes
+            return tuple(out)
+
+        return imap
+
+    def spec(self):
+        return pl.BlockSpec(self.block, self.index_map(), memory_space=pltpu.VMEM)
+
+
+def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, dtype, row_pid):
+    """Apply the op list to the dict of (bi, 128) sub-arrays in place-ish."""
+    m = lay.m
+    bi = lay.bi
+    axes = lay.axes
+    lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+    row_local = jax.lax.broadcasted_iota(jnp.int32, (bi, 1), 0)
+    row_global = row_local + row_pid * bi  # bits [7, rows_end) of the index
+
+    def axis_pos(q):
+        return axes.index(q)
+
+    def get_bit(q, bits):
+        """Bit q of the global index for sub-array `bits`: returns a Python
+        int (static), or an int array broadcastable to (bi, 128)."""
+        if q <= 6:
+            return (lane_i >> q) & 1
+        if q < lay.rows_end:
+            return (row_global >> (q - 7)) & 1
+        if q in axes:
+            return bits[axis_pos(q)]
+        # gap bit: from the grid coordinates
+        for gi, (low, nbits) in enumerate(lay.gap_bits):
+            if low <= q < low + nbits:
+                return (pl.program_id(gi) >> (q - low)) & 1
+        raise AssertionError(f"qubit {q} not addressable")
+
+    def phase_mul(re, im, pc, ps, mask):
+        """(re, im) * (pc + i ps) where mask else identity."""
+        nre = re * pc - im * ps
+        nim = re * ps + im * pc
+        if mask is None:
+            return nre, nim
+        sel = mask == 1
+        return jnp.where(sel, nre, re), jnp.where(sel, nim, im)
+
+    def roll_pair(x, q):
+        """Partner values for an in-block butterfly on qubit q (q < 13)."""
+        if q <= 6:
+            s = 1 << q
+            bit1 = ((lane_i >> q) & 1) == 1
+            return jnp.where(bit1, pltpu.roll(x, s, 1), pltpu.roll(x, LANE - s, 1)), bit1
+        s = 1 << (q - 7)
+        bit1 = ((row_local >> (q - 7)) & 1) == 1
+        return jnp.where(bit1, pltpu.roll(x, s, 0), pltpu.roll(x, bi - s, 0)), bit1
+
+    for op in ops:
+        kind = op[0]
+        if kind == "u1q":
+            q, uf = op[1], op[2]
+            # Python-float entries: weakly typed, no f64 promotion of planes.
+            ur = [[uf[0], uf[1]], [uf[2], uf[3]]]
+            ui = [[uf[4], uf[5]], [uf[6], uf[7]]]
+            real_only = all(v == 0.0 for v in uf[4:])
+            if q in axes:
+                k = axis_pos(q)
+                for bits in product((0, 1), repeat=m):
+                    if bits[k] != 0:
+                        continue
+                    b1 = bits[:k] + (1,) + bits[k + 1 :]
+                    xr0, xi0 = subs_re[bits], subs_im[bits]
+                    xr1, xi1 = subs_re[b1], subs_im[b1]
+                    if real_only:
+                        subs_re[bits] = ur[0][0] * xr0 + ur[0][1] * xr1
+                        subs_im[bits] = ur[0][0] * xi0 + ur[0][1] * xi1
+                        subs_re[b1] = ur[1][0] * xr0 + ur[1][1] * xr1
+                        subs_im[b1] = ur[1][0] * xi0 + ur[1][1] * xi1
+                    else:
+                        subs_re[bits] = (ur[0][0] * xr0 - ui[0][0] * xi0) + (ur[0][1] * xr1 - ui[0][1] * xi1)
+                        subs_im[bits] = (ur[0][0] * xi0 + ui[0][0] * xr0) + (ur[0][1] * xi1 + ui[0][1] * xr1)
+                        subs_re[b1] = (ur[1][0] * xr0 - ui[1][0] * xi0) + (ur[1][1] * xr1 - ui[1][1] * xi1)
+                        subs_im[b1] = (ur[1][0] * xi0 + ui[1][0] * xr0) + (ur[1][1] * xi1 + ui[1][1] * xr1)
+            else:
+                for bits in product((0, 1), repeat=m):
+                    xr, xi = subs_re[bits], subs_im[bits]
+                    pr, bit1 = roll_pair(xr, q)
+                    pi, _ = roll_pair(xi, q)
+                    dr = jnp.where(bit1, float(ur[1][1]), float(ur[0][0])).astype(dtype)
+                    orr = jnp.where(bit1, float(ur[1][0]), float(ur[0][1])).astype(dtype)
+                    if real_only:
+                        subs_re[bits] = dr * xr + orr * pr
+                        subs_im[bits] = dr * xi + orr * pi
+                    else:
+                        di = jnp.where(bit1, float(ui[1][1]), float(ui[0][0])).astype(dtype)
+                        oi = jnp.where(bit1, float(ui[1][0]), float(ui[0][1])).astype(dtype)
+                        subs_re[bits] = (dr * xr - di * xi) + (orr * pr - oi * pi)
+                        subs_im[bits] = (dr * xi + di * xr) + (orr * pi + oi * pr)
+        elif kind == "diag1":
+            q, (r0, i0, r1, i1) = op[1], op[2]
+            for bits in product((0, 1), repeat=m):
+                b = get_bit(q, bits)
+                if isinstance(b, int):
+                    pc, ps = (r1, i1) if b else (r0, i0)
+                    if pc == 1.0 and ps == 0.0:
+                        continue
+                    subs_re[bits], subs_im[bits] = phase_mul(subs_re[bits], subs_im[bits], pc, ps, None)
+                else:
+                    pc = jnp.where(b == 1, r1, r0).astype(dtype)
+                    ps = jnp.where(b == 1, i1, i0).astype(dtype)
+                    subs_re[bits], subs_im[bits] = phase_mul(subs_re[bits], subs_im[bits], pc, ps, None)
+        elif kind == "diag2":
+            q_hi, q_lo, v = op[1], op[2], op[3]
+            dr, di = np.array(v[:4]), np.array(v[4:])
+            # General diagonal over two bits: value d[2*b_hi + b_lo].
+            for bits in product((0, 1), repeat=m):
+                bh = get_bit(q_hi, bits)
+                bl = get_bit(q_lo, bits)
+                if isinstance(bh, int) and isinstance(bl, int):
+                    k = 2 * bh + bl
+                    if dr[k] == 1.0 and di[k] == 0.0:
+                        continue
+                    subs_re[bits], subs_im[bits] = phase_mul(subs_re[bits], subs_im[bits], float(dr[k]), float(di[k]), None)
+                else:
+                    # Nested selects (no in-kernel gather): d[2*b_hi + b_lo].
+                    bh_a = jnp.asarray(bh, jnp.int32)
+                    bl_a = jnp.asarray(bl, jnp.int32)
+                    hi1 = bh_a == 1
+                    lo1 = bl_a == 1
+                    pc = jnp.where(
+                        hi1,
+                        jnp.where(lo1, float(dr[3]), float(dr[2])),
+                        jnp.where(lo1, float(dr[1]), float(dr[0])),
+                    ).astype(dtype)
+                    ps = jnp.where(
+                        hi1,
+                        jnp.where(lo1, float(di[3]), float(di[2])),
+                        jnp.where(lo1, float(di[1]), float(di[0])),
+                    ).astype(dtype)
+                    subs_re[bits], subs_im[bits] = phase_mul(subs_re[bits], subs_im[bits], pc, ps, None)
+        elif kind == "iqft":
+            l = op[1]
+            mask = (1 << l) - (1 << M)
+            inv = math.pi / float(1 << l)
+            # Angle contributions from disjoint bit fields (all & mask):
+            th_lane = ((lane_i & (mask & (LANE - 1))).astype(dtype)) * inv  # (1,128)
+            th_row = (((row_global << 7) & mask).astype(dtype)) * inv  # (bi,1)
+            th_gap = jnp.asarray(0.0, dtype)
+            for gi, (low, nbits) in enumerate(lay.gap_bits):
+                if nbits and low < l:
+                    th_gap = th_gap + ((pl.program_id(gi) << low) & mask).astype(dtype) * inv
+            lc, ls_ = jnp.cos(th_lane), jnp.sin(th_lane)
+
+            def stage_phase(bits):
+                th_ax = 0
+                for k2, a in enumerate(axes):
+                    th_ax += ((bits[k2] << a) & mask) * inv
+                th_r = th_row + th_gap + jnp.asarray(th_ax, dtype)
+                rc, rs = jnp.cos(th_r), jnp.sin(th_r)
+                pc = rc * lc - rs * ls_
+                ps = rc * ls_ + rs * lc
+                return pc, ps
+
+            s = _SQRT1_2
+            if l in axes:
+                k = axis_pos(l)
+                for bits in product((0, 1), repeat=m):
+                    if bits[k] != 0:
+                        continue
+                    b1 = bits[:k] + (1,) + bits[k + 1 :]
+                    ur0, ui0 = subs_re[bits], subs_im[bits]
+                    ur1, ui1 = subs_re[b1], subs_im[b1]
+                    subs_re[bits] = s * (ur0 + ur1)
+                    subs_im[bits] = s * (ui0 + ui1)
+                    tre = s * (ur0 - ur1)
+                    tim = s * (ui0 - ui1)
+                    if l > M:
+                        pc, ps = stage_phase(b1)
+                        subs_re[b1] = tre * pc - tim * ps
+                        subs_im[b1] = tre * ps + tim * pc
+                    else:
+                        subs_re[b1], subs_im[b1] = tre, tim
+            else:
+                for bits in product((0, 1), repeat=m):
+                    xr, xi = subs_re[bits], subs_im[bits]
+                    pr, bit1 = roll_pair(xr, l)
+                    pi, _ = roll_pair(xi, l)
+                    nre = jnp.where(bit1, s * (pr - xr), s * (xr + pr))
+                    nim = jnp.where(bit1, s * (pi - xi), s * (xi + pi))
+                    if l > M:
+                        pc, ps = stage_phase(bits)
+                        subs_re[bits] = jnp.where(bit1, nre * pc - nim * ps, nre)
+                        subs_im[bits] = jnp.where(bit1, nre * ps + nim * pc, nim)
+                    else:
+                        subs_re[bits], subs_im[bits] = nre, nim
+        else:  # pragma: no cover
+            raise ValueError(f"unknown fused op {op}")
+
+
+def _fused_kernel(re_ref, im_ref, ore_ref, oim_ref, *, ops, lay: _Layout, M: int):
+    m = lay.m
+    bi = lay.bi
+    row_pid = pl.program_id(m)  # grid = (gaps..., row_block)
+    shape_subs = (2,) * m + (bi, LANE)
+    xre = re_ref[...].reshape(shape_subs)
+    xim = im_ref[...].reshape(shape_subs)
+    subs_re = {bits: xre[bits] for bits in product((0, 1), repeat=m)}
+    subs_im = {bits: xim[bits] for bits in product((0, 1), repeat=m)}
+    dtype = xre.dtype
+
+    _apply_ops_to_subs(subs_re, subs_im, ops, lay, M, dtype, row_pid)
+
+    def assemble(subs):
+        def build(prefix):
+            if len(prefix) == m:
+                return subs[prefix]
+            return jnp.stack([build(prefix + (0,)), build(prefix + (1,))])
+
+        return build(()).reshape(lay.block)
+
+    ore_ref[...] = assemble(subs_re)
+    oim_ref[...] = assemble(subs_im)
+
+
+def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M: int):
+    """One fused pass applying `ops` (with exposed `axes`) to the planes."""
+    lay = _Layout(n, axes)
+    view = lay.view
+    spec = lay.spec()
+    kernel = partial(_fused_kernel, ops=ops, lay=lay, M=M)
+    ore, oim = pl.pallas_call(
+        kernel,
+        grid=lay.grid,
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(view, re.dtype),
+            jax.ShapeDtypeStruct(view, im.dtype),
+        ),
+        input_output_aliases={0: 0, 1: 1},
+        interpret=_interpret(),
+    )(re.reshape(view), im.reshape(view))
+    return ore.reshape(re.shape), oim.reshape(im.shape)
+
+
+def apply_segment(state: jax.Array, ops: tuple, axes: tuple, M: int) -> jax.Array:
+    """Apply one fused segment to a (traced) complex state."""
+    n = int(state.shape[0]).bit_length() - 1
+    re = jnp.real(state)
+    im = jnp.imag(state)
+    ore, oim = apply_fused(re, im, ops, axes, n, M)
+    return jax.lax.complex(ore, oim)

@@ -134,12 +134,20 @@ def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str =
     def is_global(q):
         return q >= n_local
 
+    def local_pallas(gate):
+        if backend == "pallas":
+            from quantumcomputer_tpu.ops import pallas_gates as pops
+
+            return pops.try_apply_gate(z, gate, M)
+        return None
+
     name = g.name
     if name in DENSE_1Q:
         u = gate_matrix_1q(g)
         q = g.qubits[0]
         if not is_global(q):
-            return xops.apply_1q(z, jnp.asarray(u, z.dtype), q)
+            out = local_pallas(g)
+            return out if out is not None else xops.apply_1q(z, jnp.asarray(u, z.dtype), q)
         return _apply_1q_global(z, u, q - n_local, me, D)
 
     if name in DIAGONAL_1Q:
@@ -210,7 +218,8 @@ def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str =
     if name == "iqft_stage":
         l = g.qubits[0]
         if not is_global(l):
-            return xops.apply_iqft_stage(z, l, M)
+            out = local_pallas(g)
+            return out if out is not None else xops.apply_iqft_stage(z, l, M)
         # H on the global qubit, then the closed-form ladder diagonal
         # (see xops.iqft_stage_phases) evaluated at *global* indices.
         z = _apply_1q_global(z, _H64(), l - n_local, me, D)

@@ -92,6 +92,25 @@ def apply_gate(state: jax.Array, g: Gate, M: int, backend: str = "xla") -> jax.A
     raise ValueError(f"unknown gate: {g}")
 
 
+def apply_circuit(state: jax.Array, circuit: Circuit, M: int, backend: str, fuse: bool = True) -> jax.Array:
+    """Apply a whole circuit to a (traced) complex state.  The pallas
+    backend first segments the circuit into fused multi-gate runs (one HBM
+    pass each — see ops/pallas_fused.py); other backends dispatch per gate."""
+    if backend == "pallas" and fuse:
+        from quantumcomputer_tpu.ops import pallas_fused
+
+        n = int(state.shape[0]).bit_length() - 1
+        for seg in pallas_fused.plan_circuit(circuit, n, M):
+            if seg[0] == "fused":
+                state = pallas_fused.apply_segment(state, seg[1], seg[2], M)
+            else:
+                state = apply_gate(state, seg[1], M, backend)
+        return state
+    for g in circuit:
+        state = apply_gate(state, g, M, backend)
+    return state
+
+
 class StateVectorEngine:
     """Executes circuits on a 2^n amplitude vector resident on device.
 
@@ -107,6 +126,7 @@ class StateVectorEngine:
         register: Register,
         dtype=jnp.complex64,
         backend: str = "xla",
+        fuse: bool = True,
     ):
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
@@ -114,6 +134,7 @@ class StateVectorEngine:
         self.dtype = jnp.dtype(dtype)
         self.real_dtype = sv.real_dtype_of(dtype)
         self.backend = backend
+        self.fuse = fuse
         self._run_cache: dict = {}
 
     # -- state lifecycle ----------------------------------------------------
@@ -131,7 +152,7 @@ class StateVectorEngine:
         key = (circuit, with_norms)
         fn = self._run_cache.get(key)
         if fn is None:
-            M, backend = self.register.M, self.backend
+            M, backend, fuse = self.register.M, self.backend, self.fuse
 
             if with_norms:
 
@@ -149,8 +170,7 @@ class StateVectorEngine:
 
                 def run(planar):
                     state = sv.to_complex(planar)
-                    for g in circuit:
-                        state = apply_gate(state, g, M, backend)
+                    state = apply_circuit(state, circuit, M, backend, fuse)
                     return sv.from_complex(state)
 
             fn = jax.jit(run, donate_argnums=(0,))
@@ -170,13 +190,12 @@ class StateVectorEngine:
         key = (circuit, "reset")
         fn = self._run_cache.get(key)
         if fn is None:
-            M, backend = self.register.M, self.backend
+            M, backend, fuse = self.register.M, self.backend, self.fuse
             n, rdtype = self.register.n, self.real_dtype
 
             def run():
                 state = sv.to_complex(sv.initial_planar(n, rdtype))
-                for g in circuit:
-                    state = apply_gate(state, g, M, backend)
+                state = apply_circuit(state, circuit, M, backend, fuse)
                 return sv.from_complex(state)
 
             fn = jax.jit(run)
@@ -190,13 +209,12 @@ class StateVectorEngine:
         ck = (circuit, "measure")
         fn = self._run_cache.get(ck)
         if fn is None:
-            M, backend = self.register.M, self.backend
+            M, backend, fuse = self.register.M, self.backend, self.fuse
             n, rdtype = self.register.n, self.real_dtype
 
             def run(k):
                 state = sv.to_complex(sv.initial_planar(n, rdtype))
-                for g in circuit:
-                    state = apply_gate(state, g, M, backend)
+                state = apply_circuit(state, circuit, M, backend, fuse)
                 planar = sv.from_complex(state)
                 return _measure_planar_impl(planar, k)
 
@@ -233,12 +251,22 @@ class StateVectorEngine:
 
 
 def _measure_planar_impl(planar: jax.Array, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Inverse-CDF sample + collapse on planar state (qc_shor.c:272-306)."""
-    probs = sv.probabilities(planar)
-    r = jax.random.uniform(key, dtype=probs.dtype)
-    cum = jnp.cumsum(probs)
-    idx = jnp.minimum(jnp.searchsorted(cum, r, side="left"), probs.shape[0] - 1)
-    onehot = (jnp.arange(probs.shape[0]) == idx).astype(planar.dtype)
+    """Inverse-CDF sample + collapse on planar state (qc_shor.c:272-306).
+
+    Large f32 states use the hierarchical Pallas reduction (one fused pass,
+    no materialized probability vector); small or f64 states use the flat
+    cumsum, which matches the reference scan order exactly."""
+    dim = planar.shape[-1]
+    r = jax.random.uniform(key, dtype=planar.dtype)
+    if planar.dtype == jnp.float32 and dim >= (1 << 16):
+        from quantumcomputer_tpu.ops import pallas_measure
+
+        idx = pallas_measure.sample_index(planar, r)
+    else:
+        probs = sv.probabilities(planar)
+        cum = jnp.cumsum(probs)
+        idx = jnp.minimum(jnp.searchsorted(cum, r, side="left"), dim - 1)
+    onehot = (jnp.arange(dim) == idx).astype(planar.dtype)
     collapsed = jnp.stack([onehot, jnp.zeros_like(onehot)])
     return idx, collapsed
 

@@ -1,0 +1,153 @@
+"""Fused multi-gate Pallas kernel (interpret mode) vs the CPU oracle.
+
+The fused kernel must agree with gate-by-gate application for arbitrary
+mixes of lane/row/axis butterflies and free-riding diagonals, and the
+planner must respect the MAX_AXES budget and break on non-fusable gates."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantumcomputer_tpu.models import circuit as cir
+from quantumcomputer_tpu.models.shor_circuit import shor_circuit
+from quantumcomputer_tpu.ops import pallas_fused as pf
+from quantumcomputer_tpu.sim import reference as ref
+from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+from tests.conftest import random_state
+
+N = 16  # lane (<=6), row (7..12), axis (>=13) classes all populated
+ATOL = 3e-5
+
+
+def run_fused(psi, gates, M=0):
+    re = jnp.asarray(psi.real, jnp.float32)
+    im = jnp.asarray(psi.imag, jnp.float32)
+    segs = pf.plan_circuit(tuple(gates), N, M)
+    assert all(s[0] == "fused" for s in segs), segs
+    for _, ops, axes in segs:
+        re, im = pf.apply_fused(re, im, ops, axes, N, M)
+    return np.asarray(re) + 1j * np.asarray(im)
+
+
+def apply_oracle(psi, gates, M=0):
+    want = psi.copy()
+    for g in gates:
+        if g.name == "iqft_stage":
+            l = g.qubits[0]
+            want = ref.apply_hadamard(want, l)
+            for k in range(l - 1, M - 1, -1):
+                want = ref.apply_c_phase(want, l, k, math.pi / (1 << (l - k)))
+        elif len(g.qubits) == 1:
+            want = ref.apply_1q(want, cir.gate_matrix_1q(g), g.qubits[0])
+        else:
+            q_hi, q_lo = g.qubits if g.qubits[0] > g.qubits[1] else (g.qubits[1], g.qubits[0])
+            want = ref.apply_2q(want, cir.gate_matrix_2q(cir.Gate(g.name, (q_hi, q_lo), g.params)), q_hi, q_lo)
+        np_norm = np.sum(np.abs(want) ** 2)
+        assert abs(np_norm - 1) < 1e-9
+    return want
+
+
+@pytest.mark.parametrize(
+    "qubits",
+    [
+        (0, 3, 6),          # all lane
+        (7, 9, 12),         # all row
+        (13, 14, 15),       # all axis
+        (2, 8, 13),         # one of each
+        (15, 0, 10, 14, 5, 13),  # interleaved, axes out of order
+    ],
+)
+def test_fused_hadamard_runs(qubits, rng):
+    psi = random_state(N, rng)
+    gates = [cir.H(q) for q in qubits]
+    got = run_fused(psi, gates)
+    want = apply_oracle(psi, gates)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_fused_dense_complex_unitaries(rng):
+    psi = random_state(N, rng)
+    gates = []
+    for q in (1, 8, 13, 15, 4, 11):
+        m = rng.standard_normal((2, 2)) + 1j * rng.standard_normal((2, 2))
+        u, _ = np.linalg.qr(m)
+        gates.append(cir.U1Q(q, u))
+    got = run_fused(psi, gates)
+    want = apply_oracle(psi, gates)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_fused_diagonal_free_riders(rng):
+    psi = random_state(N, rng)
+    gates = [
+        cir.H(14),
+        cir.PHASE(15, 0.37),      # gap/axis-adjacent diagonal, q >= 13 but NOT an axis
+        cir.Z(3),                 # lane diagonal
+        cir.RZ(9, 1.21),          # row diagonal
+        cir.CPHASE(15, 2, 0.81),  # mixed high/lane
+        cir.CPHASE(9, 8, 0.44),   # row/row
+        cir.CZ(13, 12),           # axis(if exposed? 13 only exposed if some butterfly uses it)
+        cir.H(13),
+        cir.CPHASE(14, 13, 0.29),
+    ]
+    got = run_fused(psi, gates)
+    want = apply_oracle(psi, gates)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+@pytest.mark.parametrize("l,M", [(15, 4), (13, 8), (12, 3), (6, 0), (9, 9)])
+def test_fused_iqft_stage(l, M, rng):
+    psi = random_state(N, rng)
+    gates = [cir.Gate("iqft_stage", (l,))]
+    got = run_fused(psi, gates, M=M)
+    want = apply_oracle(psi, gates, M=M)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_fused_full_iqft(rng):
+    # Full inverse QFT on the top 8 qubits in one plan (multiple segments).
+    M = 8
+    psi = random_state(N, rng)
+    gates = [cir.Gate("iqft_stage", (l,)) for l in range(N - 1, M - 1, -1)]
+    got = run_fused(psi, gates, M=M)
+    want = apply_oracle(psi, gates, M=M)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_planner_budget_and_breaks():
+    gates = [cir.H(13), cir.H(14), cir.H(15), cir.H(13), cir.CNOT(1, 0), cir.H(2)]
+    # qubit 13,14,15 fill the axis budget; second H(13) reuses axis 13; CNOT
+    # breaks the run; trailing H(2) is its own (axis-free) segment.
+    segs = pf.plan_circuit(tuple(gates), 16, 0)
+    kinds = [s[0] for s in segs]
+    assert kinds == ["fused", "single", "fused"]
+    assert segs[0][2] == (15, 14, 13)
+    assert len(segs[0][1]) == 4
+    # budget overflow splits
+    gates2 = [cir.H(q) for q in (13, 14, 15, 12, 11, 10)] + [cir.RY(13, 0.3)]
+    segs2 = pf.plan_circuit(tuple(gates2), 16, 0)
+    assert [s[0] for s in segs2] == ["fused"] * len(segs2)
+    assert sum(len(s[1]) for s in segs2) == 7
+
+
+def test_engine_pallas_backend_uses_fusion_full_shor():
+    # n=15: C=33 with L=9, M=6.  End-to-end through the engine (planner +
+    # fused kernels + oracle gathers) vs the c128 oracle.
+    C, a, L, M = 33, 7, 9, 6
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas")
+    got = eng.to_numpy(eng.run(shor_circuit(C, a, L, M)))
+    want = ref.shor_circuit(C, a, L, M)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    assert abs(np.sum(np.abs(got) ** 2) - 1) < 1e-4
+
+
+def test_fuse_off_matches_fuse_on(rng):
+    C, a, L, M = 33, 7, 9, 6
+    circ = shor_circuit(C, a, L, M)
+    e_on = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas", fuse=True)
+    e_off = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas", fuse=False)
+    a_ = e_on.to_numpy(e_on.run(circ))
+    b_ = e_off.to_numpy(e_off.run(circ))
+    np.testing.assert_allclose(a_, b_, atol=2e-5)

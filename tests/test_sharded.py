@@ -145,3 +145,11 @@ def test_mesh_guardrails():
     with pytest.raises(ValueError):
         # M register crossing the shard boundary must be rejected.
         ShardedStateVectorEngine(Register(L=1, M=3), dtype=jnp.complex128, mesh=mesh)
+
+
+def test_shors_algorithm_with_mesh():
+    mesh = build_mesh(num_devices=8)
+    from quantumcomputer_tpu.algorithms.shor import shors_algorithm
+
+    res = shors_algorithm(C=15, L=3, M=4, forced_trial_int=7, seed=0, dtype=jnp.complex128, mesh=mesh)
+    assert res.ok and res.factors == (5, 3)

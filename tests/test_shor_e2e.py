@@ -72,3 +72,23 @@ def test_attempt_records():
     assert att.a == 7
     assert att.omega in (0.0, 0.25, 0.5, 0.75)
     assert res.elapsed_s > 0
+
+
+def test_determinism_same_seed():
+    # Deterministic-reduction / reproducibility guarantee (SURVEY.md §5):
+    # identical seeds produce identical measurement records.
+    r1 = shors_algorithm(C=21, L=4, M=5, forced_trial_int=2, seed=99, dtype=jnp.complex128)
+    r2 = shors_algorithm(C=21, L=4, M=5, forced_trial_int=2, seed=99, dtype=jnp.complex128)
+    assert [a.measured_index for a in r1.attempts] == [a.measured_index for a in r2.attempts]
+    assert r1.factors == r2.factors
+
+
+def test_cf_depth_knobs():
+    # Runtime-tunable continued-fraction depth (compile-time constant in the
+    # reference, qc_shor.c:58-61): depth 1 with 1 trial cannot certify the
+    # period-6 case through denominator 1 alone.
+    res = shors_algorithm(
+        C=21, L=4, M=5, forced_trial_int=2, seed=1, dtype=jnp.complex128,
+        num_fractions=1, trials_per_denominator=1,
+    )
+    assert res.outcome is not None  # runs; typically PERIOD_NOT_FOUND
