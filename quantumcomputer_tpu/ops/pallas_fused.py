@@ -73,8 +73,20 @@ def _interpret() -> bool:
 #   ("iqft",  l)   -- fused H(l) + ladder diagonal down to M
 
 
-def gate_to_op(g: Gate) -> Optional[tuple]:
+MAX_CAMODC_PER_SEGMENT = 2  # bounds VMEM spent on Benes mask tables
+
+
+def gate_to_op(g: Gate, M: int = 0, fuse_oracle: bool = False) -> Optional[tuple]:
     name = g.name
+    if name == "camodc" and fuse_oracle and 1 <= M <= 13:
+        # Controlled modular multiply as a Benes network over the M register
+        # (bits < 13 are lane/row-local); the control is a free-rider bit.
+        # OFF by default: measured on v5e at M=13, the 2M-1 roll+select
+        # stages are ~4x compute-bound (45 ms/apply) and lose to the XLA
+        # gather (30 ms).  Select with StateVectorEngine(oracle="benes") —
+        # the right primitive when M is small or VPU throughput grows.
+        C, atox = g.meta
+        return ("camodc", g.qubits[0], int(C), int(atox % C))
     if name in DENSE_1Q:
         u = gate_matrix_1q(g)
         return ("u1q", g.qubits[0], tuple(float(v) for v in np.concatenate([u.real.ravel(), u.imag.ravel()])))
@@ -100,7 +112,7 @@ def _op_axis_targets(op: tuple) -> List[int]:
     return []
 
 
-def plan_circuit(circuit: Circuit, n: int, M: int, max_axes: int = MAX_AXES):
+def plan_circuit(circuit: Circuit, n: int, M: int, max_axes: int = MAX_AXES, fuse_oracle: bool = False):
     """Segment a circuit into fused runs and single gates.
 
     Returns a list of ("fused", ops_tuple, axes_tuple) / ("single", gate).
@@ -110,32 +122,65 @@ def plan_circuit(circuit: Circuit, n: int, M: int, max_axes: int = MAX_AXES):
     segments: List[tuple] = []
     run: List[tuple] = []
     axes: List[int] = []
+    n_camodc = 0
 
     def flush():
-        nonlocal run, axes
-        if len(run) == 1 and not axes:
-            # a lone row/lane gate: the single-gate kernel is equivalent
-            segments.append(("fused", tuple(run), ()))
-        elif run:
+        nonlocal run, axes, n_camodc
+        if run:
             segments.append(("fused", tuple(run), tuple(sorted(axes, reverse=True))))
-        run, axes = [], []
+        run, axes, n_camodc = [], [], 0
 
     for g in circuit:
-        op = gate_to_op(g)
+        op = gate_to_op(g, M, fuse_oracle)
         if op is None:
             flush()
             segments.append(("single", g))
             continue
         need = [a for a in _op_axis_targets(op) if a not in axes]
-        if len(axes) + len(need) > max_axes:
+        over_axes = len(axes) + len(need) > max_axes
+        over_tables = op[0] == "camodc" and n_camodc >= MAX_CAMODC_PER_SEGMENT
+        if over_axes or over_tables:
             flush()
             need = _op_axis_targets(op)
         run.append(op)
+        if op[0] == "camodc":
+            n_camodc += 1
         for a in need:
             if a not in axes:
                 axes.append(a)
     flush()
     return segments
+
+
+# ---------------------------------------------------------------------------
+# Benes oracle tables.
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _camodc_table(C: int, A: int, M: int, bi: int):
+    """Benes swap-mask tables for the controlled modular multiply.
+
+    Returns (stage_bits tuple, table np.ndarray (S, bi, 128) f32): element at
+    (row r, lane c) of a state block has M-register value (r*128 + c) mod 2^M
+    (valid because bi is a multiple of 2^(M-7) and block row offsets are
+    multiples of bi), so each stage's (2^M,) element mask tiles exactly."""
+    from quantumcomputer_tpu.ops.benes import benes_route
+
+    size = 1 << M
+    f = np.arange(size, dtype=np.int64)
+    pi = np.where(f < C, (A * f) % C, f)  # scatter form: element f -> slot A*f mod C
+    stages = benes_route(pi)
+    bits = tuple(b for b, _ in stages)
+    tab = np.empty((len(stages), bi, LANE), dtype=np.float32)
+    r = np.arange(bi, dtype=np.int64)[:, None]
+    c = np.arange(LANE, dtype=np.int64)[None, :]
+    fidx = (r * LANE + c) % size
+    for si, (_, mask) in enumerate(stages):
+        tab[si] = mask[fidx].astype(np.float32)
+    return bits, tab
 
 
 # ---------------------------------------------------------------------------
@@ -196,7 +241,7 @@ class _Layout:
         return pl.BlockSpec(self.block, self.index_map(), memory_space=pltpu.VMEM)
 
 
-def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, dtype, row_pid):
+def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, dtype, row_pid, tables=()):
     """Apply the op list to the dict of (bi, 128) sub-arrays in place-ish."""
     m = lay.m
     bi = lay.bi
@@ -380,11 +425,38 @@ def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, 
                         subs_im[bits] = jnp.where(bit1, nre * ps + nim * pc, nim)
                     else:
                         subs_re[bits], subs_im[bits] = nre, nim
+        elif kind == "camodc_k":
+            # Controlled modular multiply as a Benes network: a palindrome of
+            # conditional pair exchanges over the M-register bits, gated by
+            # this op's precomputed stage masks AND the control bit.
+            c_q, stage_bits, ti = op[1], op[2], op[3]
+            tab_ref = tables[ti]  # (S, bi, 128) f32 of 0/1
+            for bits in product((0, 1), repeat=m):
+                ctrl = get_bit(c_q, bits)
+                if isinstance(ctrl, int) and ctrl == 0:
+                    continue  # identity on this sub-array
+                xr, xi = subs_re[bits], subs_im[bits]
+                if isinstance(ctrl, int):
+                    gate = None  # statically on
+                else:
+                    gate = ctrl == 1
+                for si, b in enumerate(stage_bits):
+                    cond = tab_ref[si] > 0.5
+                    if gate is not None:
+                        cond = jnp.logical_and(cond, gate)
+                    pr, _ = roll_pair(xr, b)
+                    pi_, _ = roll_pair(xi, b)
+                    xr = jnp.where(cond, pr, xr)
+                    xi = jnp.where(cond, pi_, xi)
+                subs_re[bits], subs_im[bits] = xr, xi
         else:  # pragma: no cover
             raise ValueError(f"unknown fused op {op}")
 
 
-def _fused_kernel(re_ref, im_ref, ore_ref, oim_ref, *, ops, lay: _Layout, M: int):
+def _fused_kernel(*refs, ops, lay: _Layout, M: int, n_tables: int = 0):
+    re_ref, im_ref = refs[0], refs[1]
+    tables = refs[2 : 2 + n_tables]
+    ore_ref, oim_ref = refs[2 + n_tables], refs[3 + n_tables]
     m = lay.m
     bi = lay.bi
     row_pid = pl.program_id(m)  # grid = (gaps..., row_block)
@@ -395,7 +467,7 @@ def _fused_kernel(re_ref, im_ref, ore_ref, oim_ref, *, ops, lay: _Layout, M: int
     subs_im = {bits: xim[bits] for bits in product((0, 1), repeat=m)}
     dtype = xre.dtype
 
-    _apply_ops_to_subs(subs_re, subs_im, ops, lay, M, dtype, row_pid)
+    _apply_ops_to_subs(subs_re, subs_im, ops, lay, M, dtype, row_pid, tables)
 
     def assemble(subs):
         def build(prefix):
@@ -414,11 +486,27 @@ def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M
     lay = _Layout(n, axes)
     view = lay.view
     spec = lay.spec()
-    kernel = partial(_fused_kernel, ops=ops, lay=lay, M=M)
+    # Materialize Benes mask tables for any oracle ops (constant operands,
+    # loaded into VMEM once — the index map never changes across the grid).
+    tables = []
+    table_specs = []
+    kops = []
+    for op in ops:
+        if op[0] == "camodc":
+            assert lay.bi == 64, "Benes oracle requires full 64-row blocks"
+            stage_bits, tab = _camodc_table(op[2], op[3], M, lay.bi)
+            kops.append(("camodc_k", op[1], stage_bits, len(tables)))
+            tables.append(jnp.asarray(tab, re.dtype))
+            table_specs.append(
+                pl.BlockSpec(tab.shape, lambda *p: (0, 0, 0), memory_space=pltpu.VMEM)
+            )
+        else:
+            kops.append(op)
+    kernel = partial(_fused_kernel, ops=tuple(kops), lay=lay, M=M, n_tables=len(tables))
     ore, oim = pl.pallas_call(
         kernel,
         grid=lay.grid,
-        in_specs=[spec, spec],
+        in_specs=[spec, spec] + table_specs,
         out_specs=(spec, spec),
         out_shape=(
             jax.ShapeDtypeStruct(view, re.dtype),
@@ -426,7 +514,7 @@ def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M
         ),
         input_output_aliases={0: 0, 1: 1},
         interpret=_interpret(),
-    )(re.reshape(view), im.reshape(view))
+    )(re.reshape(view), im.reshape(view), *tables)
     return ore.reshape(re.shape), oim.reshape(im.shape)
 
 

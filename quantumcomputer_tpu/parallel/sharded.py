@@ -126,6 +126,44 @@ def _measure_local(planar, key, n: int, rdtype):
     return gidx, collapsed
 
 
+def apply_circuit_sharded(z, circuit: Circuit, *, n: int, M: int, d: int, me, backend: str, fuse: bool = True):
+    """Apply a circuit to the local shard.  With the pallas backend, maximal
+    runs of gates whose qubits are ALL shard-local go through the fused
+    multi-gate kernel (ops/pallas_fused.py) — one HBM pass per run; gates
+    touching globally-sharded qubits dispatch individually (collectives)."""
+    n_local = n - d
+    if backend != "pallas" or not fuse or n_local < 14:
+        for g in circuit:
+            z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend)
+        return z
+
+    from quantumcomputer_tpu.ops import pallas_fused as pf
+
+    def local_fusable(g: Gate) -> bool:
+        return pf.gate_to_op(g, M) is not None and all(q < n_local for q in g.qubits)
+
+    run: list = []
+
+    def flush(zz):
+        nonlocal run
+        if run:
+            for seg in pf.plan_circuit(tuple(run), n_local, M):
+                if seg[0] == "fused":
+                    zz = pf.apply_segment(zz, seg[1], seg[2], M)
+                else:
+                    zz = apply_gate_sharded(zz, seg[1], n=n, M=M, d=d, me=me, backend=backend)
+            run = []
+        return zz
+
+    for g in circuit:
+        if local_fusable(g):
+            run.append(g)
+        else:
+            z = flush(z)
+            z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend)
+    return flush(z)
+
+
 def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str = "xla"):
     """Dispatch one gate on the local shard (complex, flat 2^(n-d))."""
     n_local = n - d
@@ -291,12 +329,12 @@ class ShardedStateVectorEngine:
             def body(planar):  # local view: (2, 2^(n-d))
                 me = lax.axis_index(AXIS)
                 z = sv.to_complex(planar)
-                for g in circuit:
-                    z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend)
+                z = apply_circuit_sharded(z, circuit, n=n, M=M, d=d, me=me, backend=backend)
                 return sv.from_complex(z)
 
             smapped = jax.shard_map(
-                body, mesh=self.mesh, in_specs=(P(None, AXIS),), out_specs=P(None, AXIS)
+                body, mesh=self.mesh, in_specs=(P(None, AXIS),), out_specs=P(None, AXIS),
+                check_vma=False,  # pallas_call out_shapes carry no vma info
             )
             fn = jax.jit(smapped, donate_argnums=(0,))
             self._run_cache[circuit] = fn
@@ -321,6 +359,7 @@ class ShardedStateVectorEngine:
             mesh=self.mesh,
             in_specs=(P(None, AXIS), P()),
             out_specs=(P(), P(None, AXIS)),
+            check_vma=False,
         )
         return jax.jit(smapped, donate_argnums=(0,))
 
@@ -341,12 +380,12 @@ class ShardedStateVectorEngine:
                 # |0..01> reset, shard-local construction (global index 1).
                 onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == 1).astype(rdtype)
                 z = lax.complex(onehot, jnp.zeros_like(onehot))
-                for g in circuit:
-                    z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend)
+                z = apply_circuit_sharded(z, circuit, n=n, M=M, d=d, me=me, backend=backend)
                 return _measure_local(sv.from_complex(z), k, n, rdtype)
 
             smapped = jax.shard_map(
-                body, mesh=self.mesh, in_specs=(P(),), out_specs=(P(), P(None, AXIS))
+                body, mesh=self.mesh, in_specs=(P(),), out_specs=(P(), P(None, AXIS)),
+                check_vma=False,
             )
             fn = jax.jit(smapped)
             self._run_cache[ck] = fn

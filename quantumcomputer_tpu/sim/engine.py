@@ -92,15 +92,19 @@ def apply_gate(state: jax.Array, g: Gate, M: int, backend: str = "xla") -> jax.A
     raise ValueError(f"unknown gate: {g}")
 
 
-def apply_circuit(state: jax.Array, circuit: Circuit, M: int, backend: str, fuse: bool = True) -> jax.Array:
+def apply_circuit(
+    state: jax.Array, circuit: Circuit, M: int, backend: str, fuse: bool = True, oracle: str = "gather"
+) -> jax.Array:
     """Apply a whole circuit to a (traced) complex state.  The pallas
     backend first segments the circuit into fused multi-gate runs (one HBM
-    pass each — see ops/pallas_fused.py); other backends dispatch per gate."""
+    pass each — see ops/pallas_fused.py); other backends dispatch per gate.
+    oracle="benes" routes modular-multiply gates through the fused Benes
+    kernel instead of the XLA gather (see pallas_fused.gate_to_op)."""
     if backend == "pallas" and fuse:
         from quantumcomputer_tpu.ops import pallas_fused
 
         n = int(state.shape[0]).bit_length() - 1
-        for seg in pallas_fused.plan_circuit(circuit, n, M):
+        for seg in pallas_fused.plan_circuit(circuit, n, M, fuse_oracle=(oracle == "benes")):
             if seg[0] == "fused":
                 state = pallas_fused.apply_segment(state, seg[1], seg[2], M)
             else:
@@ -127,14 +131,18 @@ class StateVectorEngine:
         dtype=jnp.complex64,
         backend: str = "xla",
         fuse: bool = True,
+        oracle: str = "gather",
     ):
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
+        if oracle not in ("gather", "benes"):
+            raise ValueError(f"unknown oracle backend {oracle!r}")
         self.register = register
         self.dtype = jnp.dtype(dtype)
         self.real_dtype = sv.real_dtype_of(dtype)
         self.backend = backend
         self.fuse = fuse
+        self.oracle = oracle
         self._run_cache: dict = {}
 
     # -- state lifecycle ----------------------------------------------------
@@ -152,7 +160,7 @@ class StateVectorEngine:
         key = (circuit, with_norms)
         fn = self._run_cache.get(key)
         if fn is None:
-            M, backend, fuse = self.register.M, self.backend, self.fuse
+            M, backend, fuse, oracle = self.register.M, self.backend, self.fuse, self.oracle
 
             if with_norms:
 
@@ -170,7 +178,7 @@ class StateVectorEngine:
 
                 def run(planar):
                     state = sv.to_complex(planar)
-                    state = apply_circuit(state, circuit, M, backend, fuse)
+                    state = apply_circuit(state, circuit, M, backend, fuse, oracle)
                     return sv.from_complex(state)
 
             fn = jax.jit(run, donate_argnums=(0,))
@@ -190,12 +198,12 @@ class StateVectorEngine:
         key = (circuit, "reset")
         fn = self._run_cache.get(key)
         if fn is None:
-            M, backend, fuse = self.register.M, self.backend, self.fuse
+            M, backend, fuse, oracle = self.register.M, self.backend, self.fuse, self.oracle
             n, rdtype = self.register.n, self.real_dtype
 
             def run():
                 state = sv.to_complex(sv.initial_planar(n, rdtype))
-                state = apply_circuit(state, circuit, M, backend, fuse)
+                state = apply_circuit(state, circuit, M, backend, fuse, oracle)
                 return sv.from_complex(state)
 
             fn = jax.jit(run)
@@ -209,12 +217,12 @@ class StateVectorEngine:
         ck = (circuit, "measure")
         fn = self._run_cache.get(ck)
         if fn is None:
-            M, backend, fuse = self.register.M, self.backend, self.fuse
+            M, backend, fuse, oracle = self.register.M, self.backend, self.fuse, self.oracle
             n, rdtype = self.register.n, self.real_dtype
 
             def run(k):
                 state = sv.to_complex(sv.initial_planar(n, rdtype))
-                state = apply_circuit(state, circuit, M, backend, fuse)
+                state = apply_circuit(state, circuit, M, backend, fuse, oracle)
                 planar = sv.from_complex(state)
                 return _measure_planar_impl(planar, k)
 

@@ -151,3 +151,67 @@ def test_fuse_off_matches_fuse_on(rng):
     a_ = e_on.to_numpy(e_on.run(circ))
     b_ = e_off.to_numpy(e_off.run(circ))
     np.testing.assert_allclose(a_, b_, atol=2e-5)
+
+
+@pytest.mark.parametrize("C,A,M,c_q", [(15, 7, 4, 9), (15, 13, 4, 15), (33, 29, 6, 13), (251, 13, 8, 14)])
+def test_fused_benes_oracle(C, A, M, c_q, rng):
+    psi = random_state(N, rng)
+    gates = [cir.CAMODC(C, A, c_q)]
+    re = jnp.asarray(psi.real, jnp.float32)
+    im = jnp.asarray(psi.imag, jnp.float32)
+    segs = pf.plan_circuit(tuple(gates), N, M, fuse_oracle=True)
+    assert segs[0][0] == "fused" and segs[0][1][0][0] == "camodc"
+    for _, ops, axes in segs:
+        re, im = pf.apply_fused(re, im, ops, axes, N, M)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    want = ref.apply_c_amodc(psi, C, A, c_q, M)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_fused_benes_oracle_in_mixed_run(rng):
+    # The Shor pattern: H layer + modexp ladder fused together.
+    C, a, M = 33, 7, 6
+    psi = random_state(N, rng)
+    gates = []
+    for j, hq in enumerate((13, 14, 15, 7)):
+        gates.append(cir.H(hq))             # some dense work interleaved
+        gates.append(cir.CAMODC(C, pow(a, 1 << j, C), M + j))
+    re = jnp.asarray(psi.real, jnp.float32)
+    im = jnp.asarray(psi.imag, jnp.float32)
+    for seg in pf.plan_circuit(tuple(gates), N, M, fuse_oracle=True):
+        assert seg[0] == "fused"
+        re, im = pf.apply_fused(re, im, seg[1], seg[2], N, M)
+    got = np.asarray(re) + 1j * np.asarray(im)
+    want = apply_oracle_with_camodc(psi, gates, M)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def apply_oracle_with_camodc(psi, gates, M):
+    want = psi.copy()
+    for g in gates:
+        if g.name == "camodc":
+            want = ref.apply_c_amodc(want, g.meta[0], g.meta[1], g.qubits[0], M)
+        else:
+            want = ref.apply_1q(want, cir.gate_matrix_1q(g), g.qubits[0])
+    return want
+
+
+def test_planner_camodc_table_budget():
+    C, M = 251, 8
+    gates = [cir.CAMODC(C, 13 + 2 * j, 14) for j in range(5)]
+    segs = pf.plan_circuit(tuple(gates), 16, M, fuse_oracle=True)
+    assert all(s[0] == "fused" for s in segs)
+    for s in segs:
+        assert sum(1 for op in s[1] if op[0] == "camodc") <= pf.MAX_CAMODC_PER_SEGMENT
+
+
+def test_engine_full_shor_with_benes_oracle():
+    # The whole period-finding circuit (H + ladder + iQFT) through the
+    # engine with fusion: oracles now run as Benes stages, not gathers.
+    C, a, L, M = 33, 7, 9, 6
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas", oracle="benes")
+    segs = pf.plan_circuit(shor_circuit(C, a, L, M), L + M, M, fuse_oracle=True)
+    assert all(s[0] == "fused" for s in segs), "oracle must fuse, not fall back"
+    got = eng.to_numpy(eng.run(shor_circuit(C, a, L, M)))
+    want = ref.shor_circuit(C, a, L, M)
+    np.testing.assert_allclose(got, want, atol=2e-5)

@@ -153,3 +153,18 @@ def test_shors_algorithm_with_mesh():
 
     res = shors_algorithm(C=15, L=3, M=4, forced_trial_int=7, seed=0, dtype=jnp.complex128, mesh=mesh)
     assert res.ok and res.factors == (5, 3)
+
+
+def test_sharded_local_fusion_parity(rng):
+    # n=16, d=2 -> n_local=14: local runs go through the fused pallas
+    # kernels inside shard_map; globals via collectives.  Compare against
+    # the single-chip xla engine in complex64.
+    L, M = 10, 6
+    C, a_int = 33, 7
+    circuit = shor_circuit(C, a_int, L, M)
+    mesh = build_mesh(num_devices=4)
+    multi = ShardedStateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, mesh=mesh, backend="pallas")
+    single = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="xla")
+    a = single.to_numpy(single.run(circuit))
+    b = multi.to_numpy(multi.run(circuit))
+    np.testing.assert_allclose(a, b, atol=3e-5)
