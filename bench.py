@@ -87,6 +87,21 @@ def bench_gate_throughput(n: int, reps: int = 5, backend: str = "pallas"):
     return 1.0 / per_gate, big - small, per_gate
 
 
+def bench_full_shor_circuit(n: int = 28):
+    """Wall-clock of ONE full period-finding circuit at scale: C=8191 (the
+    largest prime below 2^13), M=13, L=n-13 — the flagship workload.  The
+    reference's practical ceiling was ~N=39 on 12 qubits in minutes
+    (BASELINE.md); this is the same circuit family at 2^28 amplitudes."""
+    from quantumcomputer_tpu.models.shor_circuit import shor_circuit
+    from quantumcomputer_tpu.utils.profiling import time_circuit
+
+    C, a, M = 8191, 3, 13
+    L = n - M
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas")
+    circ = shor_circuit(C, a, L, M)
+    return time_circuit(eng, circ, iters=2), len(circ)
+
+
 def bench_shor15(seed: int = 0):
     """Shor N=15 wall-clock, execute-only (compile amortized out)."""
     from quantumcomputer_tpu.algorithms.shor import shors_algorithm
@@ -140,6 +155,7 @@ def main():
 
     stream_gbps = bench_stream_bandwidth(n) if on_tpu else 0.0
     shor_s, shor_ok = bench_shor15()
+    full_s, full_gates = bench_full_shor_circuit(n) if on_tpu else (0.0, 0)
 
     print(
         json.dumps(
@@ -153,6 +169,8 @@ def main():
                 "stream_roofline_frac": round(stream_gbps / bw_gbps, 4),
                 "shor15_wallclock_s": round(shor_s, 4),
                 "shor15_ok": shor_ok,
+                "shor8191_circuit_n28_s": round(full_s, 4),
+                "shor8191_circuit_gates": full_gates,
                 "n_qubits": n,
             }
         )

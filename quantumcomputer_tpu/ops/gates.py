@@ -26,7 +26,6 @@ index, LSB-first; M register = bits [0, M).
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

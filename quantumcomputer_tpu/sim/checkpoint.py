@@ -23,7 +23,6 @@ import jax
 import numpy as np
 
 from quantumcomputer_tpu.models.circuit import Circuit
-from quantumcomputer_tpu.sim import statevec as sv
 
 
 def circuit_fingerprint(circuit: Circuit) -> str:

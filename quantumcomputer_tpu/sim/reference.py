@@ -21,8 +21,6 @@ conventions:
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import numpy as np
 
 SQRT1_2 = 1.0 / math.sqrt(2.0)

@@ -18,7 +18,7 @@ from typing import List, Optional, Tuple
 
 import jax
 
-from quantumcomputer_tpu.models.circuit import Circuit, Gate
+from quantumcomputer_tpu.models.circuit import Circuit
 from quantumcomputer_tpu.sim import statevec as sv
 
 
