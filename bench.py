@@ -87,18 +87,21 @@ def bench_gate_throughput(n: int, reps: int = 5, backend: str = "pallas"):
     return 1.0 / per_gate, big - small, per_gate
 
 
-def bench_full_shor_circuit(n: int = 28):
+def bench_full_shor_circuit(n: int = 28, layout: str = "m_high"):
     """Wall-clock of ONE full period-finding circuit at scale: C=8191 (the
     largest prime below 2^13), M=13, L=n-13 — the flagship workload.  The
     reference's practical ceiling was ~N=39 on 12 qubits in minutes
-    (BASELINE.md); this is the same circuit family at 2^28 amplitudes."""
-    from quantumcomputer_tpu.models.shor_circuit import shor_circuit
+    (BASELINE.md); this is the same circuit family at 2^28 amplitudes.
+    layout="m_high" puts the work register in the top physical bits: the
+    oracle becomes a major-axis row gather and all H/iQFT butterflies land
+    on low physical qubits (maximal fusion)."""
+    from quantumcomputer_tpu.models.shor_circuit import shor_circuit, shor_circuit_mhigh
     from quantumcomputer_tpu.utils.profiling import time_circuit
 
     C, a, M = 8191, 3, 13
     L = n - M
-    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas")
-    circ = shor_circuit(C, a, L, M)
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas", layout=layout)
+    circ = shor_circuit_mhigh(C, a, L, M) if layout == "m_high" else shor_circuit(C, a, L, M)
     return time_circuit(eng, circ, iters=2), len(circ)
 
 

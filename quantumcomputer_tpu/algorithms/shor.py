@@ -106,9 +106,16 @@ def find_period(
     """One quantum period-finding attempt (find_period, qc_shor.c:912-964):
     reset -> circuit -> measure -> omega -> continued fractions -> period test."""
     reg = engine.register
-    circuit = shor_circuit(C, a, reg.L, reg.M)
+    if getattr(engine, "layout", "standard") == "m_high":
+        from quantumcomputer_tpu.models.shor_circuit import shor_circuit_mhigh
+
+        circuit = shor_circuit_mhigh(C, a, reg.L, reg.M)
+    else:
+        circuit = shor_circuit(C, a, reg.L, reg.M)
     # Reset -> circuit -> measure, one compiled program (qc_shor.c:922-928).
     idx, _ = engine.run_and_measure(circuit, key)
+    if getattr(engine, "layout", "standard") == "m_high":
+        idx = engine.logical_index(idx)
     omega = read_omega(idx, reg.L, reg.M)
     period = nt.find_period_from_omega(omega, a, C, num_fractions, trials_per_denominator)
     log.debug("a=%d measured index=%d omega=%.6f period=%s", a, idx, omega, period)
@@ -143,6 +150,7 @@ def shors_algorithm(
     mesh=None,
     num_fractions: int = nt.NUM_CONTINUED_FRACTIONS,
     trials_per_denominator: int = nt.TRIALS_PER_DENOMINATOR,
+    layout: str = "standard",
 ) -> ShorResult:
     """Full Shor driver (qc_shor.c:1003-1134).
 
@@ -160,9 +168,11 @@ def shors_algorithm(
         if mesh is not None:
             from quantumcomputer_tpu.parallel.sharded import ShardedStateVectorEngine
 
+            if layout != "standard":
+                raise ValueError("the m_high layout is single-chip only (M must stay shard-local)")
             engine = ShardedStateVectorEngine(Register(L=L, M=M), dtype=dtype, mesh=mesh, backend=backend)
         else:
-            engine = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend=backend)
+            engine = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend=backend, layout=layout)
     if seed is None:
         seed = int(time.time_ns() % (1 << 31))
     key = jax.random.PRNGKey(seed)

@@ -49,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
         default=1,
         help="shard the state vector over this many devices (power of two)",
     )
+    p.add_argument(
+        "--layout",
+        choices=["standard", "m_high"],
+        default="standard",
+        help="physical qubit layout (m_high: work register in top bits; faster oracle, single-chip)",
+    )
     p.add_argument("--fractions", type=int, default=nt.NUM_CONTINUED_FRACTIONS, help="continued-fraction depth")
     p.add_argument("--trials", type=int, default=nt.TRIALS_PER_DENOMINATOR, help="multiples tried per denominator")
     return p
@@ -65,6 +71,8 @@ def validate(args: argparse.Namespace) -> Optional[str]:
         return "Forced trial integer must satisfy 1 < a < C-1."
     if args.L + args.M > 32:
         return "L + M > 32 qubits exceeds the single-host index budget."
+    if args.layout == "m_high" and args.devices > 1:
+        return "The m_high layout is single-chip only (use standard with --devices)."
     return None
 
 
@@ -111,6 +119,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         mesh=mesh,
         num_fractions=args.fractions,
         trials_per_denominator=args.trials,
+        layout=args.layout,
     )
 
     if args.verbose:

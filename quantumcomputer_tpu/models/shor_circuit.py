@@ -60,6 +60,24 @@ def shor_circuit(C: int, a: int, L: int, M: int) -> Circuit:
     return tuple(hadamard_layer(L, M) + modexp_ladder(C, a, L, M) + inverse_qft_fused(L, M))
 
 
+def shor_circuit_mhigh(C: int, a: int, L: int, M: int) -> Circuit:
+    """Period-finding circuit in the M-HIGH physical layout.
+
+    Physical qubit map: logical L qubits [M, N) -> physical [0, L); logical
+    M qubits [0, M) -> physical [N-M, N).  Why: the modular-multiply
+    permutation becomes a major-axis row gather (fast DMA direction), and
+    ALL Hadamard/iQFT work lands on low physical qubits where the fused
+    kernels need few or no exposed block axes.  The engine must run this
+    circuit with layout="m_high" (M_eff=0 for the iQFT ladder; initial
+    state |0..01> at physical index 2^L; measured indices are physical and
+    translated back by engine.logical_index).
+    """
+    gates = [H(j) for j in range(L)]
+    gates += [Gate("camodc_high", (j,), meta=(C, pow(a, 1 << j, C), M)) for j in range(L)]
+    gates += [IQFT_STAGE(l) for l in range(L - 1, -1, -1)]
+    return tuple(gates)
+
+
 def shor_circuit_reference(C: int, a: int, L: int, M: int) -> Circuit:
     """Full period-finding circuit, reference gate-for-gate form."""
     return tuple(hadamard_layer(L, M) + modexp_ladder(C, a, L, M) + inverse_qft_reference(L, M))

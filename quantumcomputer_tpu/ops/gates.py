@@ -243,6 +243,27 @@ def apply_permutation(state: jax.Array, perm_inv: jax.Array) -> jax.Array:
     return jnp.take(state, perm_inv, axis=0)
 
 
+def apply_camodc_high(state: jax.Array, C: int, atox: int, c_phys: int, M: int) -> jax.Array:
+    """Controlled a^x mod C gate in the M-HIGH layout (work register in the
+    top M bits of the physical index; see models/shor_circuit.py).
+
+    The M-register permutation becomes a gather over the MAJOR axis of the
+    (2^M, 2^(n-M)) view — whole contiguous rows, the DMA-friendly direction
+    on TPU — instead of the minor-axis gather of apply_c_amodc.  The control
+    qubit c_phys lives in the low bits: a per-column mask selects between
+    the permuted and original rows.
+    """
+    dim = state.shape[0]
+    rest = dim >> M
+    assert c_phys < (dim >> M).bit_length() - 1 + 1 and (1 << c_phys) < rest, "control must be a low (non-M) bit"
+    ginv = jnp.asarray(modmul_inverse_permutation(C, atox, M))
+    x = state.reshape(1 << M, rest)
+    gathered = jnp.take(x, ginv, axis=0)
+    col = jax.lax.iota(jnp.int32, rest)
+    ctrl = ((col >> c_phys) & 1) == 1
+    return jnp.where(ctrl[None, :], gathered, x).reshape(dim)
+
+
 def probabilities(state: jax.Array) -> jax.Array:
     return jnp.real(state * jnp.conj(state))
 

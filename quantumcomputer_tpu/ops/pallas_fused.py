@@ -15,7 +15,7 @@ fused gate.  Qubit classes (state viewed with last dims (rows=64, 128)):
     sublane roll, same no-carry argument;
   * q >= 13  ("axis"): the view exposes bit q as its own dimension of size
     2, blocked at full size — each block holds all 2^m combinations of the
-    m exposed axis bits as sub-arrays (m <= MAX_AXES).
+    m exposed axis bits as sub-arrays (m <= MAX_AXES = 4).
 
 Diagonal gates (phase/Z/RZ/CZ/CPHASE and the fused inverse-QFT ladder) are
 FREE RIDERS: they never constrain the block shape, because any bit of the
@@ -55,7 +55,7 @@ from quantumcomputer_tpu.models.circuit import (
 LANE = 128
 BI = 64            # block rows; rows cover bits [7, 13)
 AXIS_MIN = 13      # targets >= this become exposed block axes
-MAX_AXES = 3       # 2^3 sub-arrays per block
+MAX_AXES = 4       # 2^4 sub-arrays per block (128 KB x 4 buffers in VMEM)
 MIN_N = 14         # below this, single-gate paths are fine
 
 _SQRT1_2 = 1.0 / math.sqrt(2.0)

@@ -87,6 +87,9 @@ def apply_gate(state: jax.Array, g: Gate, M: int, backend: str = "xla") -> jax.A
     if name == "camodc":
         C, atox = g.meta
         return xops.apply_c_amodc(state, C, atox, g.qubits[0], M)
+    if name == "camodc_high":
+        C, atox, m_reg = g.meta
+        return xops.apply_camodc_high(state, C, atox, g.qubits[0], m_reg)
     if name == "iqft_stage":
         return xops.apply_iqft_stage(state, g.qubits[0], M)
     raise ValueError(f"unknown gate: {g}")
@@ -132,24 +135,41 @@ class StateVectorEngine:
         backend: str = "xla",
         fuse: bool = True,
         oracle: str = "gather",
+        layout: str = "standard",
     ):
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
         if oracle not in ("gather", "benes"):
             raise ValueError(f"unknown oracle backend {oracle!r}")
+        if layout not in ("standard", "m_high"):
+            raise ValueError(f"unknown layout {layout!r}")
         self.register = register
         self.dtype = jnp.dtype(dtype)
         self.real_dtype = sv.real_dtype_of(dtype)
         self.backend = backend
         self.fuse = fuse
         self.oracle = oracle
+        self.layout = layout
+        # In the M-high layout the L register occupies the low physical bits
+        # and the iQFT ladder boundary is physical bit 0 (see
+        # models/shor_circuit.shor_circuit_mhigh).
+        self.m_eff = 0 if layout == "m_high" else register.M
+        self.reset_index = (1 << register.L) if layout == "m_high" else 1
         self._run_cache: dict = {}
 
     # -- state lifecycle ----------------------------------------------------
 
     def initial_state(self) -> jax.Array:
-        """|00...01> (qc_shor.c:318-324), planar."""
-        return sv.initial_planar(self.register.n, self.real_dtype)
+        """|00...01> (qc_shor.c:318-324), planar (layout-aware)."""
+        return sv.initial_planar(self.register.n, self.real_dtype, self.reset_index)
+
+    def logical_index(self, phys: int) -> int:
+        """Map a measured physical basis index back to the logical (reference
+        bit-convention) index."""
+        if self.layout == "standard":
+            return phys
+        L, M = self.register.L, self.register.M
+        return (phys >> L) | ((phys & ((1 << L) - 1)) << M)
 
     def zero_state(self) -> jax.Array:
         return sv.zero_planar(self.register.n, self.real_dtype)
@@ -160,7 +180,7 @@ class StateVectorEngine:
         key = (circuit, with_norms)
         fn = self._run_cache.get(key)
         if fn is None:
-            M, backend, fuse, oracle = self.register.M, self.backend, self.fuse, self.oracle
+            M, backend, fuse, oracle = self.m_eff, self.backend, self.fuse, self.oracle
 
             if with_norms:
 
@@ -198,11 +218,11 @@ class StateVectorEngine:
         key = (circuit, "reset")
         fn = self._run_cache.get(key)
         if fn is None:
-            M, backend, fuse, oracle = self.register.M, self.backend, self.fuse, self.oracle
-            n, rdtype = self.register.n, self.real_dtype
+            M, backend, fuse, oracle = self.m_eff, self.backend, self.fuse, self.oracle
+            n, rdtype, r0 = self.register.n, self.real_dtype, self.reset_index
 
             def run():
-                state = sv.to_complex(sv.initial_planar(n, rdtype))
+                state = sv.to_complex(sv.initial_planar(n, rdtype, r0))
                 state = apply_circuit(state, circuit, M, backend, fuse, oracle)
                 return sv.from_complex(state)
 
@@ -217,11 +237,11 @@ class StateVectorEngine:
         ck = (circuit, "measure")
         fn = self._run_cache.get(ck)
         if fn is None:
-            M, backend, fuse, oracle = self.register.M, self.backend, self.fuse, self.oracle
-            n, rdtype = self.register.n, self.real_dtype
+            M, backend, fuse, oracle = self.m_eff, self.backend, self.fuse, self.oracle
+            n, rdtype, r0 = self.register.n, self.real_dtype, self.reset_index
 
             def run(k):
-                state = sv.to_complex(sv.initial_planar(n, rdtype))
+                state = sv.to_complex(sv.initial_planar(n, rdtype, r0))
                 state = apply_circuit(state, circuit, M, backend, fuse, oracle)
                 planar = sv.from_complex(state)
                 return _measure_planar_impl(planar, k)

@@ -53,9 +53,10 @@ def from_complex(z: jax.Array) -> jax.Array:
     return jnp.stack([jnp.real(z), jnp.imag(z)])
 
 
-def initial_planar(n: int, rdtype=jnp.float32) -> jax.Array:
-    """|00...01> as planes: Re at index 1 is 1 (qc_shor.c:318-324)."""
-    return jnp.zeros((2, 1 << n), dtype=rdtype).at[0, 1].set(1.0)
+def initial_planar(n: int, rdtype=jnp.float32, index: int = 1) -> jax.Array:
+    """|00...01> as planes: Re at `index` is 1 (qc_shor.c:318-324; a layout
+    may map the logical index 1 to a different physical position)."""
+    return jnp.zeros((2, 1 << n), dtype=rdtype).at[0, index].set(1.0)
 
 
 def zero_planar(n: int, rdtype=jnp.float32) -> jax.Array:

@@ -45,3 +45,15 @@ def test_main_end_to_end(capsys):
 def test_main_bad_args(capsys):
     rc = main(["-C", "0", "-L", "3", "-M", "4"])
     assert rc == 2
+
+
+def test_layout_flag(capsys):
+    rc = main(["-C", "15", "-L", "3", "-M", "4", "-a", "7", "--seed", "0", "--layout", "m_high"])
+    assert rc == 0
+    assert "Factors of 15 found: (5, 3)." in capsys.readouterr().out
+
+
+def test_layout_mesh_conflict():
+    p = build_parser()
+    args = p.parse_args(["-C", "15", "-L", "3", "-M", "4", "--layout", "m_high", "--devices", "2"])
+    assert validate(args) is not None
