@@ -255,8 +255,12 @@ def apply_camodc_high(state: jax.Array, C: int, atox: int, c_phys: int, M: int) 
     """
     dim = state.shape[0]
     rest = dim >> M
-    assert c_phys < (dim >> M).bit_length() - 1 + 1 and (1 << c_phys) < rest, "control must be a low (non-M) bit"
+    assert (1 << c_phys) < rest, "control must be a low (non-M) bit"
     ginv = jnp.asarray(modmul_inverse_permutation(C, atox, M))
+    # Full-row gather + control mask.  (A column-split variant that gathers
+    # only the control==1 half measured SLOWER on v5e — 0.52 s vs 0.41 s for
+    # the n=28 flagship circuit — the mid-axis stack costs more than the
+    # halved gather saves, so the simple form stays.)
     x = state.reshape(1 << M, rest)
     gathered = jnp.take(x, ginv, axis=0)
     col = jax.lax.iota(jnp.int32, rest)
