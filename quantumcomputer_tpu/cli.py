@@ -42,7 +42,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="complex64",
         help="amplitude precision (complex128 needs JAX x64 mode)",
     )
-    p.add_argument("--backend", choices=["xla", "pallas"], default="xla", help="gate-kernel backend")
+    p.add_argument(
+        "--backend",
+        choices=["auto", "xla", "pallas"],
+        default="auto",
+        help="gate-kernel backend (auto: pallas on TPU, xla elsewhere)",
+    )
     p.add_argument(
         "--devices",
         type=int,
@@ -100,6 +105,12 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print(" --- complex128 parity mode runs on CPU (TPU has no float64 hardware).")
         jax.config.update("jax_platforms", "cpu")
 
+    backend = args.backend
+    if backend == "auto":
+        import jax
+
+        backend = "pallas" if any(d.platform == "tpu" for d in jax.devices()) else "xla"
+
     mesh = None
     if args.devices > 1:
         from quantumcomputer_tpu.parallel.mesh import build_mesh
@@ -115,7 +126,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         forced_trial_int=args.a,
         seed=args.seed,
         dtype=jnp.complex128 if args.dtype == "complex128" else jnp.complex64,
-        backend=args.backend,
+        backend=backend,
         mesh=mesh,
         num_fractions=args.fractions,
         trials_per_denominator=args.trials,

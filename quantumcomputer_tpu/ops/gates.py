@@ -210,10 +210,15 @@ def apply_inverse_qft(state: jax.Array, L: int, M: int) -> jax.Array:
 def modmul_inverse_permutation(C: int, A: int, M: int) -> np.ndarray:
     """Gather indices for the controlled modular-multiply: output position j
     takes its amplitude from g^{-1}(j), where g: f -> A*f mod C (f < C),
-    identity (f >= C).  Requires gcd(A, C) == 1 so g is a permutation."""
+    identity (f >= C).  Requires gcd(A, C) == 1 so g is a permutation, and
+    2^M >= C so the permutation closes within the register (the reference
+    merely warns and then silently wraps indices when 2^M < C,
+    qc_shor.c:340-351 + 654; we refuse, since the gate would not be unitary)."""
     A = A % C
     if math.gcd(A, C) != 1:
         raise ValueError(f"A={A} not coprime to C={C}: gate is not a permutation")
+    if (1 << M) < C:
+        raise ValueError(f"2^M={1 << M} < C={C}: the modular-multiply gate is not unitary (increase M)")
     a_inv = pow(A, -1, C)
     f = np.arange(1 << M, dtype=np.int32)
     return np.where(f < C, (a_inv * f) % C, f).astype(np.int32)

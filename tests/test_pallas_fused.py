@@ -215,3 +215,36 @@ def test_engine_full_shor_with_benes_oracle():
     got = eng.to_numpy(eng.run(shor_circuit(C, a, L, M)))
     want = ref.shor_circuit(C, a, L, M)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_random_circuit_pallas_vs_oracle(rng):
+    """BASELINE config #2 at kernel scale: a random dense/diagonal circuit
+    through the fused pallas backend vs CPU linear algebra (n=14)."""
+    n = 14
+    eng = StateVectorEngine(Register(L=n, M=0), dtype=jnp.complex64, backend="pallas")
+    psi = random_state(n, rng)
+    from quantumcomputer_tpu.sim import statevec as sv
+
+    state = sv.from_numpy_complex(psi, jnp.float32)
+    gates = []
+    names_1q = ["h", "x", "y", "z", "phase", "rx", "ry", "rz"]
+    for _ in range(40):
+        if rng.random() < 0.75:
+            q = int(rng.integers(n))
+            nm = names_1q[int(rng.integers(len(names_1q)))]
+            gates.append(cir.Gate(nm, (q,), (float(rng.random() * 3),) if nm in ("phase", "rx", "ry", "rz") else ()))
+        else:
+            q0, q1 = map(int, rng.choice(n, size=2, replace=False))
+            nm = ["cz", "cphase"][int(rng.integers(2))]
+            gates.append(cir.Gate(nm, (q0, q1), (float(rng.random() * 3),) if nm == "cphase" else ()))
+    out = eng.to_numpy(eng.run(tuple(gates), state))
+    want = psi.copy()
+    for g in gates:
+        if len(g.qubits) == 1:
+            want = ref.apply_1q(want, cir.gate_matrix_1q(g), g.qubits[0])
+        else:
+            hi, lo = (g.qubits if g.qubits[0] > g.qubits[1] else (g.qubits[1], g.qubits[0]))
+            want = ref.apply_c_phase(want, hi, lo, g.params[0]) if g.name == "cphase" else ref.apply_2q(
+                want, cir.gate_matrix_2q(cir.Gate("cz", (hi, lo))), hi, lo
+            )
+    np.testing.assert_allclose(out, want, atol=5e-5)

@@ -92,3 +92,25 @@ def test_cf_depth_knobs():
         num_fractions=1, trials_per_denominator=1,
     )
     assert res.outcome is not None  # runs; typically PERIOD_NOT_FOUND
+
+
+def test_factor_35():
+    # Reference note (qc_shor.c:78-79): 35 factorable; needs 2^M >= 35.
+    res = shors_algorithm(C=35, L=6, M=6, forced_trial_int=2, seed=1, dtype=jnp.complex128)
+    assert res.ok and res.factors == (7, 5)
+    assert res.period == 12  # beyond the 10-multiple sweep: exercises CF
+
+
+def test_factor_39():
+    # Report §IV.A's configuration (factoring 39 at L=6, M=6).
+    res = shors_algorithm(C=39, L=6, M=6, forced_trial_int=7, seed=1, dtype=jnp.complex128)
+    assert res.ok and res.factors == (13, 3)
+
+
+def test_undersized_M_rejected():
+    # The reference silently wraps oracle indices when 2^M < C (non-unitary);
+    # we refuse with a clear error (the CLI warning explains the bound).
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not unitary"):
+        shors_algorithm(C=35, L=5, M=5, forced_trial_int=2, seed=0, dtype=jnp.complex128)
