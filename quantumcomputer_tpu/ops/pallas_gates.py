@@ -250,4 +250,14 @@ def try_apply_gate(state: jax.Array, g: Gate, M: int) -> Optional[jax.Array]:
         else:
             ore, oim = apply_iqft_stage_planar(re, im, l, M)
         return jax.lax.complex(ore, oim)
+    if g.name == "camodc_high":
+        C, atox, m_reg = g.meta
+        rows = 1 << m_reg
+        rest = dim // rows
+        if rows >= 8 and rest >= 1024:
+            from quantumcomputer_tpu.ops import pallas_oracle
+
+            ore, oim = pallas_oracle.apply_camodc_high_planar(re, im, C, atox, g.qubits[0], m_reg)
+            return jax.lax.complex(ore, oim)
+        return None
     return None

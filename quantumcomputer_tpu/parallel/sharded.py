@@ -345,6 +345,38 @@ class ShardedStateVectorEngine:
             state = self.initial_state()
         return self._compiled_run(circuit)(state)
 
+    def run_with_norms(self, circuit: Circuit, state: Optional[jax.Array] = None):
+        """Per-gate norm trace across the mesh (Report §IV.A / FIG. 2 at
+        scale): local |amp|^2 sums psum-reduced after every gate."""
+        if state is None:
+            state = self.initial_state()
+        key = (circuit, "__norms__")
+        fn = self._run_cache.get(key)
+        if fn is None:
+            n, M, d, backend = self.register.n, self.register.M, self.d, self.backend
+
+            def body(planar):
+                me = lax.axis_index(AXIS)
+                z = sv.to_complex(planar)
+                norms = []
+                for g in circuit:
+                    z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend)
+                    norms.append(lax.psum(jnp.sum(jnp.real(z * jnp.conj(z))), AXIS))
+                return sv.from_complex(z), (
+                    jnp.stack(norms) if norms else jnp.zeros((0,), planar.dtype)
+                )
+
+            smapped = jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P(None, AXIS),),
+                out_specs=(P(None, AXIS), P()),
+                check_vma=False,
+            )
+            fn = jax.jit(smapped, donate_argnums=(0,))
+            self._run_cache[key] = fn
+        return fn(state)
+
     # -- measurement ----------------------------------------------------------
 
     def _measure_fn(self):

@@ -108,3 +108,37 @@ def test_mhigh_rejected_on_mesh():
         pytest.skip("needs multiple devices")
     with pytest.raises(ValueError):
         shors_algorithm(C=15, L=3, M=4, forced_trial_int=7, seed=0, mesh=build_mesh(num_devices=2), layout="m_high")
+
+
+@pytest.mark.parametrize("c_phys", [0, 3, 6, 9, 10])
+def test_pallas_dma_oracle_matches_xla(c_phys, rng):
+    """The manual-DMA row-gather kernel (interpret mode) vs apply_camodc_high,
+    covering both pure-block (control stride >= 1024) and mixed-block paths."""
+    import jax.numpy as jnp
+    from quantumcomputer_tpu.ops import pallas_oracle
+
+    C, A, M = 33, 29, 6
+    L = 11
+    n = L + M  # rest = 2048 columns, rows = 64
+    psi = random_state(n, rng)
+    re = jnp.asarray(psi.real, jnp.float32)
+    im = jnp.asarray(psi.imag, jnp.float32)
+    ore, oim = pallas_oracle.apply_camodc_high_planar(re, im, C, A, c_phys, M)
+    got = np.asarray(ore) + 1j * np.asarray(oim)
+    want = np.asarray(xops.apply_camodc_high(jnp.asarray(psi), C, A, c_phys, M))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_mhigh_pallas_engine_uses_dma_oracle(rng):
+    # Full m-high Shor through the pallas engine (DMA oracle in dispatch).
+    C, a, L, M = 33, 7, 9, 6  # rows=64, rest=512
+    from quantumcomputer_tpu.models.shor_circuit import shor_circuit_mhigh
+
+    want = ref.shor_circuit(C, a, L, M)
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas", layout="m_high")
+    got_phys = eng.to_numpy(eng.run(shor_circuit_mhigh(C, a, L, M)))
+    idx = np.arange(1 << (L + M))
+    logical = (idx >> L) | ((idx & ((1 << L) - 1)) << M)
+    got = np.empty_like(got_phys)
+    got[logical] = got_phys
+    np.testing.assert_allclose(got, want, atol=2e-5)

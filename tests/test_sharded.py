@@ -168,3 +168,12 @@ def test_sharded_local_fusion_parity(rng):
     a = single.to_numpy(single.run(circuit))
     b = multi.to_numpy(multi.run(circuit))
     np.testing.assert_allclose(a, b, atol=3e-5)
+
+
+def test_sharded_norm_trace():
+    # FIG. 2 regression across the mesh: per-gate psum'd norms stay at 1.
+    multi = sharded_engine(3, 4)
+    _, norms = multi.run_with_norms(shor_circuit_reference(15, 7, 3, 4))
+    devs = np.abs(np.asarray(norms) - 1.0)
+    assert norms.shape[0] == 3 * 3 + 3 * 2 // 2
+    assert devs.max() < 1e-13
