@@ -98,6 +98,32 @@ def _apply_2q_one_global(z, u4: np.ndarray, p: int, q_local: int, me, D: int):
     return out.reshape(dim)
 
 
+def _apply_2q_both_global(z, u4: np.ndarray, p_hi: int, p_lo: int, me, D: int):
+    """Dense 2q gate with BOTH qubits globally sharded (device bits p_hi,
+    p_lo).  Each device needs the shards of its 3 XOR-partners — three
+    collective_permutes — then a 4-term combination selected by this
+    device's two bits.  u4 is in the 2*bit(hi) + bit(lo) basis."""
+    dtype = z.dtype
+    r_lo = lax.ppermute(z, AXIS, _butterfly_pairs(D, p_lo))
+    r_hi = lax.ppermute(z, AXIS, _butterfly_pairs(D, p_hi))
+    r_both = lax.ppermute(r_lo, AXIS, _butterfly_pairs(D, p_hi))
+    b_hi = _device_bit(me, p_hi)
+    b_lo = _device_bit(me, p_lo)
+    row = 2 * b_hi + b_lo
+    u = jnp.asarray(u4, dtype)  # (4, 4)
+    # Our output row of the 4x4, selected by the traced row index.
+    urow = jnp.where(
+        row == 0, u[0], jnp.where(row == 1, u[1], jnp.where(row == 2, u[2], u[3]))
+    )  # (4,)
+    out = jnp.zeros_like(z)
+    for d_hi in (0, 1):
+        for d_lo in (0, 1):
+            src = (z, r_lo, r_hi, r_both)[2 * d_hi + d_lo]
+            col = 2 * (b_hi ^ d_hi) + (b_lo ^ d_lo)
+            out = out + urow[col] * src
+    return out
+
+
 def _apply_diag_global_scalar(z, diag_val_one, diag_val_zero, bit):
     dtype = z.dtype
     f = jnp.where(bit == 1, jnp.asarray(diag_val_one, dtype), jnp.asarray(diag_val_zero, dtype))
@@ -230,10 +256,8 @@ def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str =
             q_hi, q_lo, m = (q0, q1, m4) if q0 > q1 else (q1, q0, relabel(m4))
             return xops.apply_2q(z, jnp.asarray(m, z.dtype), q_hi, q_lo)
         if g0 and g1:
-            raise NotImplementedError(
-                "dense 2q gate on two globally-sharded qubits: reorder the "
-                "circuit or enlarge the local register"
-            )
+            q_hi, q_lo, m = (q0, q1, m4) if q0 > q1 else (q1, q0, relabel(m4))
+            return _apply_2q_both_global(z, m, q_hi - n_local, q_lo - n_local, me, D)
         if g0:  # q0 global, q1 local; basis already 2*bit(q0)+bit(q1)
             return _apply_2q_one_global(z, m4, q0 - n_local, q1, me, D)
         # q1 global, q0 local: relabel so global qubit indexes the high bit.

@@ -1,0 +1,34 @@
+"""Reference-methodology experiments: TABLE I histogram and FIG. 2 trace."""
+
+import jax.numpy as jnp
+import pytest
+
+from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+from quantumcomputer_tpu.utils.experiments import norm_deviation_trace, omega_histogram
+
+
+def test_table1_histogram_uniform_harmonics():
+    # 100 runs like the Report; counts must cover exactly the period-4
+    # harmonics and be within 5 sigma of uniform (sigma ~ 4.3 at p=1/4).
+    hist = omega_histogram(15, 7, 3, 4, runs=100, seed=7,
+                           engine=StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex128))
+    assert set(hist) <= {0.0, 0.25, 0.5, 0.75}
+    assert sum(hist.values()) == 100
+    for w in (0.0, 0.25, 0.5, 0.75):
+        assert abs(hist.get(w, 0) - 25) <= 22, hist
+
+
+def test_table1_histogram_mhigh_layout_matches():
+    # The layout must not change the physics: same seed, same histogram.
+    e_std = StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex128)
+    e_mh = StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex128, layout="m_high")
+    h1 = omega_histogram(15, 7, 3, 4, runs=40, seed=3, engine=e_std)
+    h2 = omega_histogram(15, 7, 3, 4, runs=40, seed=3, engine=e_mh)
+    assert sum(h1.values()) == sum(h2.values()) == 40
+    assert set(h2) <= {0.0, 0.25, 0.5, 0.75}
+
+
+def test_fig2_norm_trace():
+    tr = norm_deviation_trace(39, 7, 6, 6)
+    # Report §IV.A: deviations at double round-off (their max: 2.4e-15).
+    assert tr.max_deviation < 1e-13

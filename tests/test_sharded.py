@@ -80,10 +80,19 @@ def test_global_dense_2q_one_global(rng):
     np.testing.assert_allclose(a, b, atol=ATOL)
 
 
-def test_both_global_dense_rejected():
-    multi = sharded_engine(4, 2)
-    with pytest.raises(NotImplementedError):
-        multi.run((cir.H(5), cir.CNOT(5, 4)))
+def test_both_global_dense_2q(rng):
+    # Both qubits globally sharded: quad-butterfly via three ppermutes.
+    L, M = 4, 2
+    m = np.linalg.qr(rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4)))[0]
+    circuit = (
+        cir.H(5), cir.H(3), cir.H(1),
+        cir.CNOT(5, 4),      # both global
+        cir.CNOT(3, 5),      # both global, control below target
+        cir.SWAP(4, 3),      # both global
+        cir.U2Q(5, 3, m),    # arbitrary unitary, both global
+    )
+    a, b = run_both(circuit, L, M)
+    np.testing.assert_allclose(a, b, atol=ATOL)
 
 
 def test_global_camodc_control():
