@@ -195,7 +195,6 @@ class _Layout:
         self.axes = tuple(sorted(axes, reverse=True))  # descending
         m = len(self.axes)
         self.m = m
-        a_min = self.axes[-1] if m else 7 + 0  # rows start at bit 7
         # rows cover bits [7, rows_end)
         self.rows_end = self.axes[-1] if m else n
         self.ir = 1 << (self.rows_end - 7)

@@ -102,13 +102,12 @@ def apply_camodc_high_planar(re: jax.Array, im: jax.Array, C: int, atox: int, c_
     assert rest >= MIN_REST, "state rows too short for aligned DMA slabs"
     r2 = rest // LANE  # aligned sub-rows per state row
     stride = 1 << c_phys
-    if stride >= MIN_REST:
-        # whole column blocks are control-pure
-        cb2 = min(stride // LANE, MAX_CB2, r2)
-        pure = True
-    else:
-        cb2 = min(MAX_CB2, r2)
-        pure = False
+    cb2 = min(MAX_CB2, r2)
+    # Pure only when full-width blocks stay inside one control run: shrinking
+    # cb2 to match a smaller stride measured far worse (25.8 ms vs 11.7 ms at
+    # c=10, n=28) — small row slabs drown in per-DMA overhead, so narrower
+    # strides take the mixed fetch-both path at full width instead.
+    pure = stride >= cb2 * LANE
     ginv = jnp.asarray(modmul_inverse_permutation(C, atox, M), jnp.int32)
     view = (rows, r2, LANE)
     out_spec = pl.BlockSpec(
