@@ -43,54 +43,58 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(ginv_ref, re_any, im_any, ore_ref, oim_ref, sre, sim, sems, *, cb2: int, c_phys: int, pure: bool):
+def _kernel(ginv_ref, re_any, im_any, ore_ref, oim_ref, sre, sim, sems, *, cb2: int, c_phys: int, pure: bool, group: int):
+    """One program = one 8-row strip x `group` column blocks; the DMAs for
+    column block i+1 start while block i is blended and written."""
     j0 = pl.program_id(0) * ROWS_PER_BLOCK
-    c2_0 = pl.program_id(1) * cb2
+    cb0 = pl.program_id(1) * group  # first column block of this program
 
-    def copy_rows(row_of_k, bank: int):
-        """Start+wait DMAs for one bank of 8 (cb2, 128) row slabs per plane."""
-        dmas = []
-        for k in range(ROWS_PER_BLOCK):
-            dmas.append(
-                pltpu.make_async_copy(
-                    re_any.at[row_of_k(k), pl.ds(c2_0, cb2), :], sre.at[bank, k], sems.at[bank, 0, k]
+    def dmas_for(ci: int, bank: int):
+        """DMA descriptors for column block cb0+ci into scratch bank `bank`.
+        kind 0 = source rows for control==0 (identity), kind 1 = permuted;
+        the pure path uses kind 0 only, with a predicated row choice."""
+        c2_0 = (cb0 + ci) * cb2
+        out = []
+        kinds = (0,) if pure else (0, 1)
+        for kind in kinds:
+            for k in range(ROWS_PER_BLOCK):
+                if pure:
+                    is_perm = (((c2_0 * LANE) >> c_phys) & 1) == 1
+                    row = jnp.where(is_perm, ginv_ref[j0 + k], j0 + k)
+                else:
+                    row = ginv_ref[j0 + k] if kind else j0 + k
+                out.append(
+                    pltpu.make_async_copy(
+                        re_any.at[row, pl.ds(c2_0, cb2), :], sre.at[bank, kind, k], sems.at[bank, kind, 0, k]
+                    )
                 )
-            )
-            dmas.append(
-                pltpu.make_async_copy(
-                    im_any.at[row_of_k(k), pl.ds(c2_0, cb2), :], sim.at[bank, k], sems.at[bank, 1, k]
+                out.append(
+                    pltpu.make_async_copy(
+                        im_any.at[row, pl.ds(c2_0, cb2), :], sim.at[bank, kind, k], sems.at[bank, kind, 1, k]
+                    )
                 )
-            )
-        for d in dmas:
-            d.start()
-        for d in dmas:
+        return out
+
+    for d in dmas_for(0, 0):
+        d.start()
+    for ci in range(group):
+        bank = ci % 2
+        if ci + 1 < group:
+            for d in dmas_for(ci + 1, 1 - bank):
+                d.start()
+        for d in dmas_for(ci, bank):
             d.wait()
-
-    if pure:
-        # Column blocks never straddle the control bit: this whole block is
-        # either identity (bit c of the first column == 0) or permuted.
-        is_perm = (((c2_0 * LANE) >> c_phys) & 1) == 1
-
-        @pl.when(is_perm)
-        def _():
-            copy_rows(lambda k: ginv_ref[j0 + k], 0)
-
-        @pl.when(jnp.logical_not(is_perm))
-        def _():
-            copy_rows(lambda k: j0 + k, 0)
-
-        ore_ref[...] = sre[0]
-        oim_ref[...] = sim[0]
-    else:
-        # Control bit varies inside the block: fetch both rows and blend.
-        copy_rows(lambda k: j0 + k, 0)
-        copy_rows(lambda k: ginv_ref[j0 + k], 1)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (1, cb2, LANE), 1) + c2_0
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, cb2, LANE), 2)
-        col = sub * LANE + lane
-        ctrl = ((col >> c_phys) & 1) == 1
-        ore_ref[...] = jnp.where(ctrl, sre[1], sre[0])
-        oim_ref[...] = jnp.where(ctrl, sim[1], sim[0])
+        loc = ci * cb2  # offset within this program's output block
+        if pure:
+            ore_ref[:, pl.ds(loc, cb2), :] = sre[bank, 0]
+            oim_ref[:, pl.ds(loc, cb2), :] = sim[bank, 0]
+        else:
+            c2_0 = (cb0 + ci) * cb2
+            sub = jax.lax.broadcasted_iota(jnp.int32, (1, cb2, LANE), 1) + c2_0
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, cb2, LANE), 2)
+            ctrl = (((sub * LANE + lane) >> c_phys) & 1) == 1
+            ore_ref[:, pl.ds(loc, cb2), :] = jnp.where(ctrl, sre[bank, 1], sre[bank, 0])
+            oim_ref[:, pl.ds(loc, cb2), :] = jnp.where(ctrl, sim[bank, 1], sim[bank, 0])
 
 
 def apply_camodc_high_planar(re: jax.Array, im: jax.Array, C: int, atox: int, c_phys: int, M: int):
@@ -108,26 +112,27 @@ def apply_camodc_high_planar(re: jax.Array, im: jax.Array, C: int, atox: int, c_
     # c=10, n=28) — small row slabs drown in per-DMA overhead, so narrower
     # strides take the mixed fetch-both path at full width instead.
     pure = stride >= cb2 * LANE
+    group = min(2, r2 // cb2)  # column blocks per program (double-buffered)
     ginv = jnp.asarray(modmul_inverse_permutation(C, atox, M), jnp.int32)
     view = (rows, r2, LANE)
     out_spec = pl.BlockSpec(
-        (ROWS_PER_BLOCK, cb2, LANE), lambda j, c, g: (j, c, 0), memory_space=pltpu.VMEM
+        (ROWS_PER_BLOCK, group * cb2, LANE), lambda j, c, g: (j, c, 0), memory_space=pltpu.VMEM
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(rows // ROWS_PER_BLOCK, r2 // cb2),
+        grid=(rows // ROWS_PER_BLOCK, r2 // (group * cb2)),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(out_spec, out_spec),
         scratch_shapes=[
-            pltpu.VMEM((2, ROWS_PER_BLOCK, cb2, LANE), re.dtype),
-            pltpu.VMEM((2, ROWS_PER_BLOCK, cb2, LANE), im.dtype),
-            pltpu.SemaphoreType.DMA((2, 2, ROWS_PER_BLOCK)),
+            pltpu.VMEM((2, 2, ROWS_PER_BLOCK, cb2, LANE), re.dtype),
+            pltpu.VMEM((2, 2, ROWS_PER_BLOCK, cb2, LANE), im.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, 2, ROWS_PER_BLOCK)),
         ],
     )
-    kernel = partial(_kernel, cb2=cb2, c_phys=c_phys, pure=pure)
+    kernel = partial(_kernel, cb2=cb2, c_phys=c_phys, pure=pure, group=group)
     ore, oim = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
