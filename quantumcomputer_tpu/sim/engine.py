@@ -267,6 +267,24 @@ class StateVectorEngine:
         idx, collapsed = _measure_planar(state, key)
         return int(idx), collapsed
 
+    def sample(self, state: jax.Array, key: jax.Array, shots: int) -> jax.Array:
+        """Draw `shots` independent basis indices from |amp|^2 WITHOUT
+        collapsing (a statistics/debug convenience: physical runs re-execute
+        the circuit per shot — see utils/experiments.omega_histogram)."""
+        fn = self._run_cache.get(("__sample__", shots, state.shape))
+        if fn is None:
+
+            @jax.jit
+            def fn(planar, k):
+                probs = sv.probabilities(planar)
+                cum = jnp.cumsum(probs)
+                rs = jax.random.uniform(k, (shots,), dtype=probs.dtype)
+                idx = jnp.minimum(jnp.searchsorted(cum, rs, side="left"), probs.shape[-1] - 1)
+                return idx
+
+            self._run_cache[("__sample__", shots, state.shape)] = fn
+        return fn(state, key)
+
     def probabilities(self, state: jax.Array) -> jax.Array:
         return sv.probabilities(state)
 

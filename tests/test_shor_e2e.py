@@ -114,3 +114,20 @@ def test_undersized_M_rejected():
 
     with _pytest.raises(ValueError, match="not unitary"):
         shors_algorithm(C=35, L=5, M=5, forced_trial_int=2, seed=0, dtype=jnp.complex128)
+
+
+def test_batched_sampling():
+    # Statistics convenience: batched shots from the final state without
+    # collapse; distribution must match the omega harmonics.
+    import jax
+    import numpy as np
+    from quantumcomputer_tpu.algorithms.shor import read_omega
+    from quantumcomputer_tpu.models.shor_circuit import shor_circuit
+    from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+
+    eng = StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex128)
+    state = eng.run(shor_circuit(15, 7, 3, 4))
+    idx = np.asarray(eng.sample(state, jax.random.PRNGKey(0), shots=400))
+    assert idx.shape == (400,)
+    omegas = {read_omega(int(i), 3, 4) for i in idx}
+    assert omegas <= {0.0, 0.25, 0.5, 0.75}
