@@ -151,6 +151,7 @@ def shors_algorithm(
     num_fractions: int = nt.NUM_CONTINUED_FRACTIONS,
     trials_per_denominator: int = nt.TRIALS_PER_DENOMINATOR,
     layout: str = "standard",
+    oracle: str = "gather",
 ) -> ShorResult:
     """Full Shor driver (qc_shor.c:1003-1134).
 
@@ -172,7 +173,7 @@ def shors_algorithm(
                 raise ValueError("the m_high layout is single-chip only (M must stay shard-local)")
             engine = ShardedStateVectorEngine(Register(L=L, M=M), dtype=dtype, mesh=mesh, backend=backend)
         else:
-            engine = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend=backend, layout=layout)
+            engine = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend=backend, layout=layout, oracle=oracle)
     if seed is None:
         seed = int(time.time_ns() % (1 << 31))
     key = jax.random.PRNGKey(seed)

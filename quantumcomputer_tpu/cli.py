@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
         default="standard",
         help="physical qubit layout (m_high: work register in top bits; faster oracle, single-chip)",
     )
+    p.add_argument(
+        "--oracle",
+        choices=["gather", "benes"],
+        default="gather",
+        help="modular-multiply kernel (benes: in-place swap network; see COMPONENTS.md tradeoffs)",
+    )
     p.add_argument("--fractions", type=int, default=nt.NUM_CONTINUED_FRACTIONS, help="continued-fraction depth")
     p.add_argument("--trials", type=int, default=nt.TRIALS_PER_DENOMINATOR, help="multiples tried per denominator")
     return p
@@ -131,6 +137,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         num_fractions=args.fractions,
         trials_per_denominator=args.trials,
         layout=args.layout,
+        oracle=args.oracle,
     )
 
     if args.verbose:

@@ -12,9 +12,12 @@ The engine replaces the reference's Register + gate-engine layers
     complex128 for the reference's double-precision parity envelope
     (Report §III.F) — requires jax_enable_x64.
 
-Backends: 'xla' (pure JAX ops, works everywhere) and 'pallas' (fused TPU
-kernels from quantumcomputer_tpu.ops.pallas_gates, falling back to XLA ops
-per-gate where no kernel applies).
+Backends: 'xla' (pure JAX ops, works everywhere) and 'pallas' (multi-gate
+fused TPU kernels — ops/pallas_fused.py plans maximal runs, one HBM pass
+each; single-gate kernels and XLA ops as fallbacks).  Layouts: 'standard'
+(reference bit convention) and 'm_high' (work register in the top physical
+bits: row-gather DMA oracle, low-qubit butterflies — single-chip fast path).
+Oracles: 'gather' (default) or 'benes' (in-place swap-network kernel).
 """
 
 from __future__ import annotations
