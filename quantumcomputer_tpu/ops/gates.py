@@ -106,11 +106,20 @@ def apply_hadamard(state: jax.Array, q: int) -> jax.Array:
     return apply_1q(state, hadamard(state.dtype), q)
 
 
-def apply_2q(state: jax.Array, u4: jax.Array, q_hi: int, q_lo: int) -> jax.Array:
-    """Apply a 4x4 unitary on qubits (q_hi, q_lo), q_hi > q_lo; basis index
-    of the 4x4 is 2*bit(q_hi) + bit(q_lo), matching the reference's
-    (2*control + target) convention (qc_shor.c:549-551)."""
-    assert q_hi > q_lo, "q_hi must be the more significant qubit"
+def _xor_shift(x: jax.Array, q: int) -> jax.Array:
+    """x[p ^ 2^q] for every p: two circular rolls + a bit select.  Setting
+    or clearing bit q never carries past the array end, so the wrapped
+    positions are never selected."""
+    s = 1 << q
+    bit1 = ((jax.lax.iota(jnp.int32, x.shape[0]) >> q) & 1) == 1
+    return jnp.where(bit1, jnp.roll(x, s), jnp.roll(x, -s))
+
+
+def _bit_mask(dim: int, q: int) -> jax.Array:
+    return (jax.lax.iota(jnp.int32, dim) >> q) & 1
+
+
+def _apply_2q_einsum(state: jax.Array, u4: jax.Array, q_hi: int, q_lo: int) -> jax.Array:
     dim = state.shape[0]
     c = 1 << q_lo
     b = 1 << (q_hi - q_lo - 1)
@@ -119,6 +128,40 @@ def apply_2q(state: jax.Array, u4: jax.Array, q_hi: int, q_lo: int) -> jax.Array
     u = u4.astype(state.dtype).reshape(2, 2, 2, 2)
     y = jnp.einsum("efab,xaybc->xeyfc", u, x, precision=jax.lax.Precision.HIGHEST)
     return y.reshape(dim)
+
+
+def _apply_2q_roll(state: jax.Array, u4: jax.Array, q_hi: int, q_lo: int) -> jax.Array:
+    """Layout-safe general 2q apply for large states: gather the three XOR
+    partners with circular rolls and combine with coefficients selected by
+    this position's (hi, lo) bits.  Pure elementwise — no dot, so nothing
+    materializes with sub-(8,128) minor dims on TPU."""
+    dim = state.shape[0]
+    u = u4.astype(state.dtype)
+    xl = _xor_shift(state, q_lo)
+    xh = _xor_shift(state, q_hi)
+    xhl = _xor_shift(xl, q_hi)
+    bh = _bit_mask(dim, q_hi)
+    bl = _bit_mask(dim, q_lo)
+    row = 2 * bh + bl  # this position's output row of the 4x4
+
+    def coef(delta: int) -> jax.Array:
+        """u[row, row ^ delta] as an elementwise array (delta static)."""
+        vals = [u[r, r ^ delta] for r in range(4)]
+        return jnp.where(
+            row == 0, vals[0], jnp.where(row == 1, vals[1], jnp.where(row == 2, vals[2], vals[3]))
+        )
+
+    return coef(0) * state + coef(1) * xl + coef(2) * xh + coef(3) * xhl
+
+
+def apply_2q(state: jax.Array, u4: jax.Array, q_hi: int, q_lo: int) -> jax.Array:
+    """Apply a 4x4 unitary on qubits (q_hi, q_lo), q_hi > q_lo; basis index
+    of the 4x4 is 2*bit(q_hi) + bit(q_lo), matching the reference's
+    (2*control + target) convention (qc_shor.c:549-551)."""
+    assert q_hi > q_lo, "q_hi must be the more significant qubit"
+    if state.shape[0] < _SMALL_DIM:
+        return _apply_2q_einsum(state, u4, q_hi, q_lo)
+    return _apply_2q_roll(state, u4, q_hi, q_lo)
 
 
 def apply_diag_2q(state: jax.Array, diag4: jax.Array, q_hi: int, q_lo: int) -> jax.Array:

@@ -176,3 +176,49 @@ def test_collapse():
     assert int(idx) == 1
     c = np.asarray(collapsed)
     assert c[1] == 1.0 and np.sum(np.abs(c) ** 2) == 1.0
+
+
+def test_apply_2q_roll_path_matches_einsum(rng):
+    """The layout-safe roll form (large states) vs the reference contraction."""
+    n = 14  # dim 16384 >= _SMALL_DIM
+    psi = random_state(n, rng)
+    z = jnp.asarray(psi)
+    m = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
+    u4, _ = np.linalg.qr(m)
+    for hi, lo in ((13, 0), (9, 3), (13, 12), (7, 6), (1, 0)):
+        got = np.asarray(xops.apply_2q(z, jnp.asarray(u4), hi, lo))
+        want = ref.apply_2q(psi, u4, hi, lo)
+        np.testing.assert_allclose(got, want, atol=1e-12, err_msg=f"{hi},{lo}")
+
+
+def test_deep_random_circuit_fused_pallas(rng):
+    """200-gate random circuit through the fused pallas backend vs oracle."""
+    from quantumcomputer_tpu.models import circuit as cir
+    from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+    from quantumcomputer_tpu.sim import statevec as sv
+
+    n = 14
+    psi = random_state(n, rng)
+    eng = StateVectorEngine(Register(L=n, M=0), dtype=jnp.complex64, backend="pallas")
+    state = sv.from_numpy_complex(psi, jnp.float32)
+    names = ["h", "x", "y", "z", "phase", "rx", "ry", "rz"]
+    gates = []
+    want = psi.copy()
+    for _ in range(200):
+        r = rng.random()
+        if r < 0.7:
+            q = int(rng.integers(n))
+            nm = names[int(rng.integers(len(names)))]
+            g = cir.Gate(nm, (q,), (float(rng.random() * 3),) if nm in ("phase", "rx", "ry", "rz") else ())
+            want = ref.apply_1q(want, cir.gate_matrix_1q(g), q)
+        else:
+            q0, q1 = map(int, rng.choice(n, size=2, replace=False))
+            nm = ["cz", "cphase"][int(rng.integers(2))]
+            g = cir.Gate(nm, (q0, q1), (float(rng.random() * 3),) if nm == "cphase" else ())
+            hi, lo = (q0, q1) if q0 > q1 else (q1, q0)
+            theta = g.params[0] if nm == "cphase" else math.pi
+            want = ref.apply_c_phase(want, hi, lo, theta)
+        gates.append(g)
+    out = eng.to_numpy(eng.run(tuple(gates), state))
+    np.testing.assert_allclose(out, want, atol=3e-4)  # 200 f32 gates of drift
+    assert abs(np.sum(np.abs(out) ** 2) - 1) < 1e-3
