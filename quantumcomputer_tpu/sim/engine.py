@@ -266,7 +266,13 @@ class StateVectorEngine:
     def measure(self, state: jax.Array, key: jax.Array) -> Tuple[int, jax.Array]:
         """Single inverse-CDF measurement + collapse (qc_shor.c:272-306).
         Returns (measured basis index, collapsed planar state).  Pure real
-        arithmetic — no complex dtype anywhere."""
+        arithmetic — no complex dtype anywhere.
+
+        CONSUMES the input state (buffer donation): the pre-measurement
+        state is gone afterwards, enforcing the reference's no-remeasure
+        semantic (qc_shor.c:299-301) at the buffer level.  Use sample()
+        BEFORE measure() for non-collapsing statistics, or re-run the
+        circuit for another physical shot."""
         idx, collapsed = _measure_planar(state, key)
         return int(idx), collapsed
 
