@@ -166,6 +166,14 @@ def shors_algorithm(
     if C < 4 or L < 1 or M < 1:
         return ShorResult(outcome=Outcome.BAD_ARGUMENTS, C=C)
     if engine is None:
+        if oracle == "benes" and (mesh is not None or backend == "xla"):
+            log.warning(
+                "oracle='benes' requires the single-chip pallas backend; "
+                "falling back to the gather oracle (mesh=%s, backend=%s)",
+                "set" if mesh is not None else "none",
+                backend,
+            )
+            oracle = "gather"
         if mesh is not None:
             from quantumcomputer_tpu.parallel.sharded import ShardedStateVectorEngine
 
@@ -204,6 +212,10 @@ def shors_algorithm(
             attempt.valid = ok
             attempt.reason = reason
             if not ok:
+                if reason == "trivial factors":
+                    # A valid period was found but yielded only trivial
+                    # factors — distinguish from never finding a period.
+                    result.outcome = Outcome.TRIVIAL_FACTORS
                 log.info("a=%d: period %d rejected (%s)", a, attempt.period, reason)
                 continue
             result.outcome = Outcome.OK

@@ -146,8 +146,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if result.outcome is Outcome.OK and result.factors:
         f0, f1 = result.factors
         print(f" --- Factors of {args.C} found: ({f0}, {f1}).")
-        if args.C // f0 != f1 or f0 * f1 != args.C:
+        # Divisibility, not f0*f1 == C: when C has more than two prime
+        # factors the gcd pair need not multiply to C but is still correct
+        # (the reference's C/f0 == f1 check, qc_shor.c:1337-1339, is too
+        # strict for the same reason).
+        if args.C % f0 != 0 or args.C % f1 != 0:
             print(" --- These factors are incorrect. Consider increasing register sizes as per the warnings.")
+        elif f0 * f1 != args.C:
+            print(f" --- Note: {args.C} has more than two prime factors; {args.C} = {f0} * {args.C // f0}.")
         return 0
     print(f" --- A valid period was not found and hence C = {args.C} could not be factorised.")
     return 3

@@ -24,15 +24,26 @@ AXIS = "q"
 
 
 def build_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """1D mesh over 2^d devices (state sharding needs a power of two)."""
+    """1D mesh over 2^d devices (state sharding needs a power of two).
+
+    An explicitly requested non-power-of-two device count is an error (a
+    silently truncated mesh would surprise `--devices 6` users); with no
+    explicit request, the largest power-of-two prefix of the available
+    devices is used."""
+    explicit = num_devices is not None or devices is not None
     if devices is None:
         devices = jax.devices()
         if num_devices is not None:
+            if num_devices > len(devices):
+                raise ValueError(f"requested {num_devices} devices, only {len(devices)} available")
             devices = devices[:num_devices]
     devices = list(devices)
     d = len(devices).bit_length() - 1
     if len(devices) != 1 << d:
-        # use the largest power-of-two prefix
+        if explicit:
+            raise ValueError(
+                f"state sharding needs a power-of-two device count, got {len(devices)}"
+            )
         devices = devices[: 1 << d]
     return Mesh(np.array(devices), (AXIS,))
 

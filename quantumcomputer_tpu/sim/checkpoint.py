@@ -84,11 +84,21 @@ def run_with_checkpoints(
     start_seg = 0
     if resume:
         last = latest_segment(directory)
-        if last is not None and last < len(segments):
+        # last == len(segments) means every segment (including the final
+        # one) is already snapshotted: load it and skip the loop entirely.
+        if last is not None and 0 < last <= len(segments):
             try:
                 sharding = getattr(engine, "sharding", None)
                 st, meta = load_state(_segment_path(directory, last), sharding)
-                if meta.get("fingerprint") == fp and meta.get("segment") == last:
+                # segment index alone is ambiguous across segmentations
+                # (segment k == "k*segment_gates gates applied"), so a
+                # snapshot taken under a different segment_gates would map
+                # to the wrong gate offset — refuse it.
+                if (
+                    meta.get("fingerprint") == fp
+                    and meta.get("segment") == last
+                    and meta.get("segment_gates") == segment_gates
+                ):
                     state = st
                     start_seg = last
             except Exception:
@@ -100,6 +110,11 @@ def run_with_checkpoints(
         save_state(
             _segment_path(directory, seg + 1),
             state,
-            {"fingerprint": fp, "segment": seg + 1, "n": engine.register.n},
+            {
+                "fingerprint": fp,
+                "segment": seg + 1,
+                "segment_gates": segment_gates,
+                "n": engine.register.n,
+            },
         )
     return state

@@ -212,7 +212,12 @@ class StateVectorEngine:
         """Apply a circuit; one fused jit program per distinct circuit.
         Input/output states are planar (2, 2^n) arrays.  With no input
         state, the |0..01> reset is folded into the compiled program
-        (one executable, no eager initialization ops)."""
+        (one executable, no eager initialization ops).
+
+        CONSUMES a caller-supplied `state` (buffer donation — the TPU-native
+        equivalent of the reference's pointer swap, qc_shor.c:242-249): the
+        input buffer is reused for the output and must not be touched again.
+        Keep a copy (`state + 0`) if you need the pre-circuit state."""
         if state is None:
             return self._compiled_run_from_reset(circuit)()
         return self._compiled_run(circuit, with_norms=False)(state)
@@ -256,7 +261,9 @@ class StateVectorEngine:
 
     def run_with_norms(self, circuit: Circuit, state: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
         """Apply a circuit, also returning the post-gate norm trace — the
-        probability-conservation oracle of Report §IV.A / FIG. 2."""
+        probability-conservation oracle of Report §IV.A / FIG. 2.
+
+        CONSUMES a caller-supplied `state` (buffer donation), like run()."""
         if state is None:
             state = self.initial_state()
         return self._compiled_run(circuit, with_norms=True)(state)

@@ -62,6 +62,38 @@ def test_fingerprint_guard(tmp_path):
     np.testing.assert_allclose(out, want, atol=1e-12)
 
 
+def test_segment_gates_mismatch_ignored(tmp_path):
+    """A snapshot taken under a different segment_gates maps segment index
+    to a different gate offset — resume must refuse it, not misapply it."""
+    C, a, L, M = 15, 7, 3, 4
+    circ = shor_circuit(C, a, L, M)
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    ckpt.run_with_checkpoints(eng, circ, str(tmp_path), segment_gates=2)
+    # Drop the tail so resume would engage, then resume with a DIFFERENT
+    # segmentation: the stale snapshots must be ignored (recompute from 0).
+    total = ckpt.latest_segment(str(tmp_path))
+    os.remove(str(tmp_path / f"segment_{total:05d}.npz"))
+    out = eng.to_numpy(ckpt.run_with_checkpoints(eng, circ, str(tmp_path), segment_gates=3))
+    want = ref.shor_circuit(C, a, L, M)
+    np.testing.assert_allclose(out, want, atol=1e-12)
+
+
+def test_resume_when_all_segments_done(tmp_path):
+    """last == len(segments): the final snapshot is loaded and returned
+    without recomputing anything."""
+    C, a, L, M = 15, 7, 3, 4
+    circ = shor_circuit(C, a, L, M)
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    ckpt.run_with_checkpoints(eng, circ, str(tmp_path), segment_gates=2)
+    calls = []
+    orig_run = eng.run
+    eng.run = lambda *a, **k: (calls.append(1), orig_run(*a, **k))[1]
+    out = eng.to_numpy(ckpt.run_with_checkpoints(eng, circ, str(tmp_path), segment_gates=2))
+    assert calls == [], "fully-checkpointed run must not re-execute segments"
+    want = ref.shor_circuit(C, a, L, M)
+    np.testing.assert_allclose(out, want, atol=1e-12)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_checkpoint_roundtrip(tmp_path):
     C, a, L, M = 15, 7, 3, 4

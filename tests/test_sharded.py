@@ -154,6 +154,11 @@ def test_mesh_guardrails():
     with pytest.raises(ValueError):
         # M register crossing the shard boundary must be rejected.
         ShardedStateVectorEngine(Register(L=1, M=3), dtype=jnp.complex128, mesh=mesh)
+    with pytest.raises(ValueError):
+        # Explicit non-power-of-two device count must error, not truncate.
+        build_mesh(num_devices=6)
+    with pytest.raises(ValueError):
+        build_mesh(num_devices=999)  # more than available
 
 
 def test_shors_algorithm_with_mesh():
