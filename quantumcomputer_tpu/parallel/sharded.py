@@ -152,16 +152,30 @@ def _measure_local(planar, key, n: int, rdtype):
     return gidx, collapsed
 
 
-def apply_circuit_sharded(z, circuit: Circuit, *, n: int, M: int, d: int, me, backend: str, fuse: bool = True):
+def apply_circuit_sharded(
+    z, circuit: Circuit, *, n: int, M: int, d: int, me, backend: str,
+    fuse: bool = True, trace_norms: bool = False,
+):
     """Apply a circuit to the local shard.  With the pallas backend, maximal
     runs of gates whose qubits are ALL shard-local go through the fused
     multi-gate kernel (ops/pallas_fused.py) — one HBM pass per run; gates
-    touching globally-sharded qubits dispatch individually (collectives)."""
+    touching globally-sharded qubits dispatch individually (collectives).
+
+    trace_norms=True also returns the psum'd post-step norm list — the
+    FIG. 2 probability-conservation oracle on the production path (one
+    norm per fused segment / per collective gate)."""
+    norms: list = []
+
+    def step_done(zz):
+        if trace_norms:
+            norms.append(lax.psum(jnp.sum(jnp.real(zz * jnp.conj(zz))), AXIS))
+        return zz
+
     n_local = n - d
     if backend != "pallas" or not fuse or n_local < 14:
         for g in circuit:
-            z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend)
-        return z
+            z = step_done(apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend))
+        return (z, norms) if trace_norms else z
 
     from quantumcomputer_tpu.ops import pallas_fused as pf
 
@@ -175,9 +189,9 @@ def apply_circuit_sharded(z, circuit: Circuit, *, n: int, M: int, d: int, me, ba
         if run:
             for seg in pf.plan_circuit(tuple(run), n_local, M):
                 if seg[0] == "fused":
-                    zz = pf.apply_segment(zz, seg[1], seg[2], M)
+                    zz = step_done(pf.apply_segment(zz, seg[1], seg[2], M))
                 else:
-                    zz = apply_gate_sharded(zz, seg[1], n=n, M=M, d=d, me=me, backend=backend)
+                    zz = step_done(apply_gate_sharded(zz, seg[1], n=n, M=M, d=d, me=me, backend=backend))
             run = []
         return zz
 
@@ -186,8 +200,9 @@ def apply_circuit_sharded(z, circuit: Circuit, *, n: int, M: int, d: int, me, ba
             run.append(g)
         else:
             z = flush(z)
-            z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend)
-    return flush(z)
+            z = step_done(apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend))
+    z = flush(z)
+    return (z, norms) if trace_norms else z
 
 
 def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str = "xla"):
@@ -370,8 +385,9 @@ class ShardedStateVectorEngine:
         return self._compiled_run(circuit)(state)
 
     def run_with_norms(self, circuit: Circuit, state: Optional[jax.Array] = None):
-        """Per-gate norm trace across the mesh (Report §IV.A / FIG. 2 at
-        scale): local |amp|^2 sums psum-reduced after every gate."""
+        """Post-step norm trace across the mesh (Report §IV.A / FIG. 2 at
+        scale), on the PRODUCTION path: per fused segment with the pallas
+        backend, per gate otherwise; local |amp|^2 sums psum-reduced."""
         if state is None:
             state = self.initial_state()
         key = (circuit, "__norms__")
@@ -382,10 +398,9 @@ class ShardedStateVectorEngine:
             def body(planar):
                 me = lax.axis_index(AXIS)
                 z = sv.to_complex(planar)
-                norms = []
-                for g in circuit:
-                    z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend)
-                    norms.append(lax.psum(jnp.sum(jnp.real(z * jnp.conj(z))), AXIS))
+                z, norms = apply_circuit_sharded(
+                    z, circuit, n=n, M=M, d=d, me=me, backend=backend, trace_norms=True
+                )
                 return sv.from_complex(z), (
                     jnp.stack(norms) if norms else jnp.zeros((0,), planar.dtype)
                 )

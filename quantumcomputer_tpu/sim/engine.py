@@ -98,26 +98,65 @@ def apply_gate(state: jax.Array, g: Gate, M: int, backend: str = "xla") -> jax.A
     raise ValueError(f"unknown gate: {g}")
 
 
+def _nan_hook(state: jax.Array, label: str) -> None:
+    """jax.debug NaN/Inf check (SURVEY.md §5 race-detection analog): prints
+    from inside the compiled program when the state goes non-finite."""
+    re, im = jnp.real(state), jnp.imag(state)
+    bad = jnp.logical_not(jnp.isfinite(re).all() & jnp.isfinite(im).all())
+    jax.lax.cond(
+        bad,
+        lambda: jax.debug.print("*** non-finite amplitudes after " + label),
+        lambda: None,
+    )
+
+
 def apply_circuit(
-    state: jax.Array, circuit: Circuit, M: int, backend: str, fuse: bool = True, oracle: str = "gather"
-) -> jax.Array:
+    state: jax.Array,
+    circuit: Circuit,
+    M: int,
+    backend: str,
+    fuse: bool = True,
+    oracle: str = "gather",
+    trace_norms: bool = False,
+    nan_checks: bool = False,
+):
     """Apply a whole circuit to a (traced) complex state.  The pallas
     backend first segments the circuit into fused multi-gate runs (one HBM
     pass each — see ops/pallas_fused.py); other backends dispatch per gate.
     oracle="benes" routes modular-multiply gates through the fused Benes
-    kernel instead of the XLA gather (see pallas_fused.gate_to_op)."""
+    kernel instead of the XLA gather (see pallas_fused.gate_to_op).
+
+    trace_norms=True additionally returns the post-step norm list — the
+    probability-conservation oracle of Report §IV.A / FIG. 2, evaluated on
+    the PRODUCTION path: per fused segment under the pallas planner, per
+    gate otherwise.  nan_checks=True inserts a jax.debug non-finite check
+    after every step."""
+    norms: list = []
+
+    def step_done(s, label):
+        if trace_norms:
+            norms.append(xops.norm(s))
+        if nan_checks:
+            _nan_hook(s, label)
+        return s
+
     if backend == "pallas" and fuse:
         from quantumcomputer_tpu.ops import pallas_fused
 
         n = int(state.shape[0]).bit_length() - 1
-        for seg in pallas_fused.plan_circuit(circuit, n, M, fuse_oracle=(oracle == "benes")):
+        for i, seg in enumerate(pallas_fused.plan_circuit(circuit, n, M, fuse_oracle=(oracle == "benes"))):
             if seg[0] == "fused":
                 state = pallas_fused.apply_segment(state, seg[1], seg[2], M)
+                state = step_done(state, f"fused segment {i} ({len(seg[1])} ops)")
             else:
                 state = apply_gate(state, seg[1], M, backend)
-        return state
-    for g in circuit:
-        state = apply_gate(state, g, M, backend)
+                state = step_done(state, f"gate {seg[1].name}{seg[1].qubits}")
+    else:
+        for i, g in enumerate(circuit):
+            state = apply_gate(state, g, M, backend)
+            state = step_done(state, f"gate {i} {g.name}{g.qubits}")
+    if trace_norms:
+        return state, norms
     return state
 
 
@@ -139,6 +178,7 @@ class StateVectorEngine:
         fuse: bool = True,
         oracle: str = "gather",
         layout: str = "standard",
+        nan_checks: bool = False,
     ):
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
@@ -153,6 +193,7 @@ class StateVectorEngine:
         self.fuse = fuse
         self.oracle = oracle
         self.layout = layout
+        self.nan_checks = nan_checks
         # In the M-high layout the L register occupies the low physical bits
         # and the iQFT ladder boundary is physical bit 0 (see
         # models/shor_circuit.shor_circuit_mhigh).
@@ -180,19 +221,20 @@ class StateVectorEngine:
     # -- execution ----------------------------------------------------------
 
     def _compiled_run(self, circuit: Circuit, with_norms: bool) -> Callable:
-        key = (circuit, with_norms)
+        key = (circuit, with_norms, self.nan_checks)
         fn = self._run_cache.get(key)
         if fn is None:
             M, backend, fuse, oracle = self.m_eff, self.backend, self.fuse, self.oracle
+            nan_checks = self.nan_checks
 
             if with_norms:
 
                 def run(planar):
                     state = sv.to_complex(planar)
-                    norms = []
-                    for g in circuit:
-                        state = apply_gate(state, g, M, backend)
-                        norms.append(xops.norm(state))
+                    state, norms = apply_circuit(
+                        state, circuit, M, backend, fuse, oracle,
+                        trace_norms=True, nan_checks=nan_checks,
+                    )
                     return sv.from_complex(state), (
                         jnp.stack(norms) if norms else jnp.zeros((0,), planar.dtype)
                     )
@@ -201,7 +243,9 @@ class StateVectorEngine:
 
                 def run(planar):
                     state = sv.to_complex(planar)
-                    state = apply_circuit(state, circuit, M, backend, fuse, oracle)
+                    state = apply_circuit(
+                        state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks
+                    )
                     return sv.from_complex(state)
 
             fn = jax.jit(run, donate_argnums=(0,))
@@ -260,8 +304,11 @@ class StateVectorEngine:
         return int(idx), collapsed
 
     def run_with_norms(self, circuit: Circuit, state: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
-        """Apply a circuit, also returning the post-gate norm trace — the
-        probability-conservation oracle of Report §IV.A / FIG. 2.
+        """Apply a circuit, also returning the post-step norm trace — the
+        probability-conservation oracle of Report §IV.A / FIG. 2, on the
+        PRODUCTION execution path: with the pallas backend and fusion on,
+        one norm per fused segment (the granularity production actually
+        executes at); per gate otherwise.
 
         CONSUMES a caller-supplied `state` (buffer donation), like run()."""
         if state is None:

@@ -45,6 +45,53 @@ def test_norm_trace_regression():
     assert devs.max() < 1e-13, f"max norm deviation {devs.max():.3e}"
 
 
+def test_norm_trace_fused_production_path():
+    """FIG. 2 regression through the kernels production actually runs: the
+    pallas fused planner (n=14 so fusion engages), per-segment norms, on the
+    39-factorization circuit family (qc_shor.c:78-79) with a widened L."""
+    from quantumcomputer_tpu.ops import pallas_fused as pf
+
+    C, a, L, M = 39, 7, 8, 6
+    circ = shor_circuit(C, a, L, M)
+    segs = pf.plan_circuit(circ, L + M, M)
+    n_fused = sum(1 for s in segs if s[0] == "fused")
+    assert n_fused >= 1, "circuit must exercise the fused kernel"
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas")
+    _, norms = eng.run_with_norms(circ)
+    assert norms.shape[0] == len(segs), "one norm per production segment"
+    devs = np.abs(np.asarray(norms) - 1.0)
+    assert devs.max() < 1e-6, f"max fused-path norm deviation {devs.max():.3e}"
+
+
+def test_norm_trace_c128_per_gate_granularity():
+    """xla/c128 mode keeps the reference's per-gate granularity."""
+    C, a, L, M = 39, 7, 6, 6
+    circ = shor_circuit_reference(C, a, L, M)
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    _, norms = eng.run_with_norms(circ)
+    assert norms.shape[0] == len(circ)
+    assert np.abs(np.asarray(norms) - 1.0).max() < 1e-13
+
+
+def test_nan_check_hook(capfd):
+    """nan_checks=True prints from inside the compiled program when the
+    state goes non-finite (and stays silent on healthy circuits)."""
+    import jax
+
+    from quantumcomputer_tpu.sim import statevec as sv
+
+    eng = StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex128, nan_checks=True)
+    state = eng.run(shor_circuit(15, 7, 3, 4))
+    jax.effects_barrier()
+    assert "non-finite" not in capfd.readouterr().out
+    bad = np.asarray(eng.initial_state()).copy()
+    bad[0, 0] = np.nan
+    out_state = eng.run(shor_circuit(15, 7, 3, 4), jnp.asarray(bad))
+    out_state.block_until_ready()
+    jax.effects_barrier()
+    assert "non-finite" in capfd.readouterr().out
+
+
 def test_complex64_norm_envelope():
     """Throughput dtype: norm must still hold to f32 round-off."""
     C, a, L, M = 21, 2, 4, 5
