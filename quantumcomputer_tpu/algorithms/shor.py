@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from quantumcomputer_tpu.algorithms import number_theory as nt
 from quantumcomputer_tpu.models.shor_circuit import shor_circuit
 from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
-from quantumcomputer_tpu.utils.logging import get_logger
+from quantumcomputer_tpu.utils.logging import get_logger, verbosity
 
 log = get_logger("shor")
 
@@ -112,11 +112,35 @@ def find_period(
         circuit = shor_circuit_mhigh(C, a, reg.L, reg.M)
     else:
         circuit = shor_circuit(C, a, reg.L, reg.M)
-    # Reset -> circuit -> measure, one compiled program (qc_shor.c:922-928).
-    idx, _ = engine.run_and_measure(circuit, key)
+    _, very_verbose = verbosity()
+    if very_verbose:
+        # Reference -V progress surface (qc_shor.c:918-932, 716-735): run
+        # the three circuit phases as separate programs with a blocking norm
+        # fetch after each, so the progress lines reflect real execution
+        # (dispatch alone is async).  Both circuit forms are laid out as
+        # [H layer | modexp ladder | iQFT], L gates per phase.
+        print("      - Performing quantum computation...")
+        L = reg.L
+        phases = (
+            ("         - Applying Hadamard matrices.", circuit[:L]),
+            ("         - Applying a^x mod (C) gates.", circuit[L : 2 * L]),
+            ("         - Performing inverse quantum Fourier transform.", circuit[2 * L :]),
+        )
+        state = None
+        for banner, phase in phases:
+            print(banner)
+            state = engine.run(tuple(phase), state)
+            engine.norm(state)  # host fetch = true execution barrier
+        print("      - Measuring state...")
+        idx, _ = engine.measure(state, key)
+    else:
+        # Reset -> circuit -> measure, one compiled program (qc_shor.c:922-928).
+        idx, _ = engine.run_and_measure(circuit, key)
     if getattr(engine, "layout", "standard") == "m_high":
         idx = engine.logical_index(idx)
     omega = read_omega(idx, reg.L, reg.M)
+    if very_verbose:
+        print("      - Using continued fractions to guess period...")
     period = nt.find_period_from_omega(omega, a, C, num_fractions, trials_per_denominator)
     log.debug("a=%d measured index=%d omega=%.6f period=%s", a, idx, omega, period)
     return AttemptRecord(a=a, measured_index=idx, omega=omega, period=period, valid=period is not None)
@@ -189,8 +213,16 @@ def shors_algorithm(
     start = time.perf_counter()
     result = ShorResult(outcome=Outcome.PERIOD_NOT_FOUND, C=C)
 
-    trial_ints = [forced_trial_int] if forced_trial_int else list(range(2, C - 1))
+    forced = bool(forced_trial_int)
+    verbose, _ = verbosity()
+    # Reference -v attempt surface (qc_shor.c:1019-1063, 1072-1120): the
+    # trailing blank line is loop-path only, like the reference's "\n\n"s.
+    tail = "" if forced else "\n"
+    trial_ints = [forced_trial_int] if forced else list(range(2, C - 1))
     for a in trial_ints:
+        if verbose:
+            kind = "Forced trial integer" if forced else "Trial integer"
+            print(f" --- {kind} a = {a}, finding period ...")
         g = nt.gcd(a, C)
         if g not in (1, C):
             # a shares a factor with C: the factorization is classical, and
@@ -206,7 +238,9 @@ def shors_algorithm(
             attempt = find_period(engine, C, a, sub, num_fractions, trials_per_denominator)
             result.attempts.append(attempt)
             if attempt.period is None:
-                log.info("a=%d: no valid period from omega=%.4f", a, attempt.omega)
+                if verbose and not forced:
+                    print(f" --- A valid period could not be found for a = {a}.{tail}")
+                log.debug("a=%d: no valid period from omega=%.4f", a, attempt.omega)
                 continue
             ok, reason, factors = _validate_and_factor(C, a, attempt.period)
             attempt.valid = ok
@@ -216,8 +250,19 @@ def shors_algorithm(
                     # A valid period was found but yielded only trivial
                     # factors — distinguish from never finding a period.
                     result.outcome = Outcome.TRIVIAL_FACTORS
-                log.info("a=%d: period %d rejected (%s)", a, attempt.period, reason)
+                    if forced:
+                        print(" --- The factors found are trivial, consider trying a different trial integer.")
+                    else:
+                        print(" --- Factors found are trivial. Continuing to find non-trivial factors.")
+                elif verbose:
+                    print(f" --- Period was found to be {attempt.period}, but it did not pass the validity requirements.{tail}")
+                log.debug("a=%d: period %d rejected (%s)", a, attempt.period, reason)
                 continue
+            if verbose:
+                print(
+                    f" --- A valid period = {attempt.period} has been found so the factors of "
+                    f"C = {C} have been found quantum mechanically.\n"
+                )
             result.outcome = Outcome.OK
             result.factors = factors
             result.period = attempt.period

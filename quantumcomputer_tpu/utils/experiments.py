@@ -10,6 +10,7 @@ helpers reproduce both experiments on the TPU engine.
 from __future__ import annotations
 
 from collections import Counter
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import jax
@@ -63,3 +64,80 @@ def norm_deviation_trace(C: int, a: int, L: int, M: int, engine: Optional[StateV
     if engine is None:
         engine = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
     return norm_trace(engine, shor_circuit_reference(C, a, L, M))
+
+
+@dataclass
+class Table1Result:
+    """Scripted TABLE I check: omega histogram + chi-squared uniformity."""
+
+    counts: Dict[float, int]
+    runs: int
+    chi2: float
+    p_value: float
+    passed: bool
+
+    def __str__(self) -> str:
+        bins = ", ".join(f"w={w:.2f}: {c}" for w, c in sorted(self.counts.items()))
+        return (
+            f"TABLE I ({self.runs} runs): {bins} | chi2={self.chi2:.2f} "
+            f"p={self.p_value:.4f} -> {'PASS' if self.passed else 'FAIL'}"
+        )
+
+
+def table1_experiment(
+    runs: int = 400,
+    seed: int = 0,
+    engine: Optional[StateVectorEngine] = None,
+    min_p: float = 0.001,
+) -> Table1Result:
+    """Repeatable TABLE I harness (Report §IV.B): factor 15 with L=3, M=4,
+    a=7; theory predicts the measured omega exactly uniform over the four
+    harmonics {0, 1/4, 1/2, 3/4}.  Runs `runs` independent physical shots
+    (fresh reset -> circuit -> collapse each, qc_shor.c:299-301), asserts
+    every omega lands on a harmonic, and chi-squared-tests uniformity.
+
+    The check passes when p >= min_p; min_p defaults to 0.001 so a correct
+    simulator fails ~0.1% of the time by chance — tighten locally when
+    investigating, don't loosen."""
+    C, a, L, M = 15, 7, 3, 4
+    hist = omega_histogram(C, a, L, M, runs=runs, seed=seed, engine=engine)
+    harmonics = (0.0, 0.25, 0.5, 0.75)
+    stray = {w: c for w, c in hist.items() if w not in harmonics}
+    if stray:
+        return Table1Result(counts=hist, runs=runs, chi2=float("inf"), p_value=0.0, passed=False)
+    counts = [hist.get(w, 0) for w in harmonics]
+    expected = runs / 4.0
+    chi2 = sum((c - expected) ** 2 / expected for c in counts)
+    # p = Q(dof/2, chi2/2), dof = 3 (regularized upper incomplete gamma).
+    from jax.scipy.special import gammaincc
+
+    p = float(gammaincc(1.5, chi2 / 2.0))
+    return Table1Result(
+        counts={w: hist.get(w, 0) for w in harmonics},
+        runs=runs,
+        chi2=float(chi2),
+        p_value=p,
+        passed=p >= min_p,
+    )
+
+
+def main(argv=None) -> int:
+    """CLI: `python -m quantumcomputer_tpu.utils.experiments [--runs N]`
+    runs the scripted TABLE I check on the default backend (TPU when
+    available) and exits nonzero on failure."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Scripted TABLE I omega-distribution check")
+    ap.add_argument("--runs", type=int, default=400)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--min-p", type=float, default=0.001)
+    args = ap.parse_args(argv)
+    res = table1_experiment(runs=args.runs, seed=args.seed, min_p=args.min_p)
+    print(res)
+    return 0 if res.passed else 1
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

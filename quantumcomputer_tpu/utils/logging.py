@@ -12,11 +12,16 @@ import sys
 
 _ROOT = "quantumcomputer_tpu"
 _configured = False
+_verbose = False
+_very_verbose = False
 
 
 def configure(verbose: bool = False, very_verbose: bool = False) -> None:
-    """Set the package log level from the CLI verbosity flags."""
-    global _configured
+    """Set the package log level from the CLI verbosity flags.  -V implies
+    -v, like the reference's getopt handler (qc_shor.c:1201-1208)."""
+    global _configured, _verbose, _very_verbose
+    _verbose = verbose or very_verbose
+    _very_verbose = very_verbose
     level = logging.WARNING
     if very_verbose:
         level = logging.DEBUG
@@ -30,6 +35,12 @@ def configure(verbose: bool = False, very_verbose: bool = False) -> None:
         logger.addHandler(handler)
         logger.propagate = False
         _configured = True
+
+
+def verbosity() -> tuple[bool, bool]:
+    """(verbose, very_verbose) — the reference's two globals
+    (qc_shor.c:228-229), set by configure()."""
+    return _verbose, _very_verbose
 
 
 def get_logger(name: str) -> logging.Logger:

@@ -4,6 +4,13 @@ with validation actually enforced."""
 import pytest
 
 from quantumcomputer_tpu.cli import build_parser, main, validate
+from quantumcomputer_tpu.utils import logging as qlog
+
+
+@pytest.fixture(autouse=True)
+def _reset_verbosity():
+    yield
+    qlog.configure(False, False)
 
 
 def test_mandatory_flags():
@@ -40,6 +47,40 @@ def test_main_end_to_end(capsys):
     assert rc == 0
     assert "Factors of 15 found: (5, 3)." in out
     assert "*WARNING*" in out  # L=3 < recommended for C=15
+
+
+def test_verbose_attempt_surface(capsys):
+    """-v reproduces the reference's per-attempt lines (qc_shor.c:1019-1063)."""
+    rc = main(["-C", "15", "-L", "3", "-M", "4", "-a", "7", "--seed", "0", "-v"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert " --- Forced trial integer a = 7, finding period ..." in out
+    assert "have been found quantum mechanically." in out
+    assert " --- Time to run Shor's Algorithm: " in out
+
+
+def test_very_verbose_phase_surface(capsys):
+    """-V reproduces the reference's per-phase progress (qc_shor.c:716-735,
+    918-932): quantum-computation banner, the three gate-group lines,
+    measuring, continued fractions."""
+    rc = main(["-C", "15", "-L", "3", "-M", "4", "-a", "7", "--seed", "0", "-V"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "      - Performing quantum computation..." in out
+    assert "         - Applying Hadamard matrices." in out
+    assert "         - Applying a^x mod (C) gates." in out
+    assert "         - Performing inverse quantum Fourier transform." in out
+    assert "      - Measuring state..." in out
+    assert "      - Using continued fractions to guess period..." in out
+    assert "Factors of 15 found: (5, 3)." in out
+
+
+def test_verbose_trial_loop_surface(capsys):
+    """Unforced -v loop prints per-trial lines like qc_shor.c:1072-1120."""
+    rc = main(["-C", "15", "-L", "3", "-M", "4", "--seed", "5", "-v"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert " --- Trial integer a = 2, finding period ..." in out
 
 
 def test_main_bad_args(capsys):

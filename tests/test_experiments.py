@@ -32,3 +32,35 @@ def test_fig2_norm_trace():
     tr = norm_deviation_trace(39, 7, 6, 6)
     # Report §IV.A: deviations at double round-off (their max: 2.4e-15).
     assert tr.max_deviation < 1e-13
+
+
+def test_table1_scripted_chi2():
+    """The scripted TABLE I harness: 400 shots, chi-squared vs uniform."""
+    from quantumcomputer_tpu.utils.experiments import table1_experiment
+
+    res = table1_experiment(
+        runs=400, seed=11,
+        engine=StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex128),
+    )
+    assert res.passed, str(res)
+    assert sum(res.counts.values()) == 400
+    assert res.p_value > 0.001
+
+
+def test_table1_detects_broken_distribution():
+    """The harness must FAIL a biased simulator (sanity of the test itself):
+    feed it a histogram far from uniform via a rigged engine."""
+    from quantumcomputer_tpu.utils import experiments as ex
+
+    class Rigged:
+        layout = "standard"
+        register = Register(L=3, M=4)
+
+        def run_and_measure(self, circuit, key):
+            return 16, None  # always the same index -> omega = 0 always
+
+        def logical_index(self, idx):
+            return idx
+
+    res = ex.table1_experiment(runs=100, seed=0, engine=Rigged())
+    assert not res.passed
