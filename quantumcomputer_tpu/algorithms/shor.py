@@ -190,22 +190,33 @@ def shors_algorithm(
     if C < 4 or L < 1 or M < 1:
         return ShorResult(outcome=Outcome.BAD_ARGUMENTS, C=C)
     if engine is None:
-        if oracle == "benes" and (mesh is not None or backend == "xla"):
-            log.warning(
-                "oracle='benes' requires the single-chip pallas backend; "
-                "falling back to the gather oracle (mesh=%s, backend=%s)",
-                "set" if mesh is not None else "none",
-                backend,
-            )
-            oracle = "gather"
-        if mesh is not None:
-            from quantumcomputer_tpu.parallel.sharded import ShardedStateVectorEngine
-
+        if isinstance(dtype, str) and dtype == "dd64":
+            # Double-float parity mode: f64-equivalent accuracy on TPU
+            # hardware (sim/dd_engine.py).  Single-chip, standard layout.
+            if mesh is not None:
+                raise ValueError("dd64 parity mode is single-chip (no mesh support)")
             if layout != "standard":
-                raise ValueError("the m_high layout is single-chip only (M must stay shard-local)")
-            engine = ShardedStateVectorEngine(Register(L=L, M=M), dtype=dtype, mesh=mesh, backend=backend)
+                raise ValueError("dd64 parity mode uses the standard layout")
+            from quantumcomputer_tpu.sim.dd_engine import DDStateVectorEngine
+
+            engine = DDStateVectorEngine(Register(L=L, M=M))
         else:
-            engine = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend=backend, layout=layout, oracle=oracle)
+            if oracle == "benes" and (mesh is not None or backend == "xla"):
+                log.warning(
+                    "oracle='benes' requires the single-chip pallas backend; "
+                    "falling back to the gather oracle (mesh=%s, backend=%s)",
+                    "set" if mesh is not None else "none",
+                    backend,
+                )
+                oracle = "gather"
+            if mesh is not None:
+                from quantumcomputer_tpu.parallel.sharded import ShardedStateVectorEngine
+
+                if layout != "standard":
+                    raise ValueError("the m_high layout is single-chip only (M must stay shard-local)")
+                engine = ShardedStateVectorEngine(Register(L=L, M=M), dtype=dtype, mesh=mesh, backend=backend)
+            else:
+                engine = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend=backend, layout=layout, oracle=oracle)
     if seed is None:
         seed = int(time.time_ns() % (1 << 31))
     key = jax.random.PRNGKey(seed)

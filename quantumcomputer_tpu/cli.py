@@ -38,9 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None, help="RNG seed (default: wall clock)")
     p.add_argument(
         "--dtype",
-        choices=["complex64", "complex128"],
+        choices=["complex64", "complex128", "dd64"],
         default="complex64",
-        help="amplitude precision (complex128 needs JAX x64 mode)",
+        help=(
+            "amplitude precision: complex64 (TPU throughput), complex128 "
+            "(f64 parity, CPU-only), dd64 (double-float: f64-equivalent "
+            "1e-12 parity ON TPU via two-f32 arithmetic)"
+        ),
     )
     p.add_argument(
         "--backend",
@@ -74,6 +78,8 @@ def build_parser() -> argparse.ArgumentParser:
 def validate(args: argparse.Namespace) -> Optional[str]:
     if args.C <= 3:
         return "Number to be factorised C is invalid (must be > 3)."
+    if args.dtype == "dd64" and (args.devices > 1 or args.layout != "standard"):
+        return "dd64 parity mode is single-chip, standard layout."
     if args.L <= 0:
         return "L is invalid (must be positive)."
     if args.M <= 0:
@@ -131,7 +137,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         M=args.M,
         forced_trial_int=args.a,
         seed=args.seed,
-        dtype=jnp.complex128 if args.dtype == "complex128" else jnp.complex64,
+        dtype={"complex128": jnp.complex128, "dd64": "dd64"}.get(args.dtype, jnp.complex64),
         backend=backend,
         mesh=mesh,
         num_fractions=args.fractions,
