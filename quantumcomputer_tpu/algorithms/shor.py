@@ -212,9 +212,9 @@ def shors_algorithm(
             if mesh is not None:
                 from quantumcomputer_tpu.parallel.sharded import ShardedStateVectorEngine
 
-                if layout != "standard":
-                    raise ValueError("the m_high layout is single-chip only (M must stay shard-local)")
-                engine = ShardedStateVectorEngine(Register(L=L, M=M), dtype=dtype, mesh=mesh, backend=backend)
+                engine = ShardedStateVectorEngine(
+                    Register(L=L, M=M), dtype=dtype, mesh=mesh, backend=backend, layout=layout
+                )
             else:
                 engine = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend=backend, layout=layout, oracle=oracle)
     if seed is None:

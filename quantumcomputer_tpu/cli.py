@@ -88,8 +88,8 @@ def validate(args: argparse.Namespace) -> Optional[str]:
         return "Forced trial integer must satisfy 1 < a < C-1."
     if args.L + args.M > 32:
         return "L + M > 32 qubits exceeds the single-host index budget."
-    if args.layout == "m_high" and args.devices > 1:
-        return "The m_high layout is single-chip only (use standard with --devices)."
+    if args.layout == "m_high" and args.devices > (1 << args.M):
+        return "m_high sharding needs devices <= 2^M (global bits must fit in the work register)."
     return None
 
 

@@ -292,6 +292,46 @@ def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str =
         ctrl = _device_bit(me, c_q - n_local)
         return jnp.where(ctrl == 1, permuted, z)
 
+    if name == "camodc_high":
+        # M-HIGH layout oracle ON THE MESH: the work register occupies the
+        # top M physical bits, of which the top d are device coordinates —
+        # the row permutation f -> A*f mod C becomes a DEVICE exchange
+        # (ROADMAP item 4; single-chip form: ops/gates.apply_camodc_high).
+        #
+        # Lowering: the permutation's (src_device -> dst_device) schedule is
+        # STATIC (C, A, M, D all compile-time), so it decomposes into one
+        # ppermute rotation per used device offset: round delta ships every
+        # device's block to device+delta; receivers gather the rows whose
+        # source lives in that block.  Rounds whose offset no (src, dst)
+        # pair uses are skipped entirely at trace time.  The control qubit
+        # is a low physical bit, so the final control mask is shard-local.
+        C, atox, m_reg = g.meta
+        c_phys = g.qubits[0]
+        assert d <= m_reg, "m_high sharding needs the global bits inside the M register"
+        rest = 1 << (n - m_reg)  # columns (L-register span)
+        R = (1 << m_reg) >> d    # work-register rows per device
+        ginv_np = np.asarray(xops.modmul_inverse_permutation(C, atox, m_reg), np.int64)
+        sdev_tab = jnp.asarray(ginv_np // R, jnp.int32)  # src device per global row
+        srow_tab = jnp.asarray(ginv_np % R, jnp.int32)   # src local row per global row
+        rows = np.arange(1 << m_reg, dtype=np.int64)
+        used_deltas = sorted({int(v) for v in ((rows // R - ginv_np // R) % D)})
+        x = z.reshape(R, rest)
+        sdev_loc = lax.dynamic_slice_in_dim(sdev_tab, me * R, R)
+        srow_loc = lax.dynamic_slice_in_dim(srow_tab, me * R, R)
+        acc = x
+        for delta in used_deltas:
+            if delta == 0:
+                incoming, src = x, me
+            else:
+                incoming = lax.ppermute(x, AXIS, [(p, (p + delta) % D) for p in range(D)])
+                src = (me - delta) % D
+            gathered = jnp.take(incoming, srow_loc, axis=0)
+            mask = (sdev_loc == src)[:, None]
+            acc = jnp.where(mask, gathered, acc)
+        col = lax.iota(jnp.int32, rest)
+        ctrl = ((col >> c_phys) & 1) == 1
+        return jnp.where(ctrl[None, :], acc, x).reshape(z.shape)
+
     if name == "iqft_stage":
         l = g.qubits[0]
         if not is_global(l):
@@ -330,31 +370,57 @@ class ShardedStateVectorEngine:
         dtype=jnp.complex64,
         mesh: Optional[Mesh] = None,
         backend: str = "xla",
+        layout: str = "standard",
     ):
+        if layout not in ("standard", "m_high"):
+            raise ValueError(f"unknown layout {layout!r}")
         self.register = register
         self.dtype = jnp.dtype(dtype)
         self.real_dtype = sv.real_dtype_of(dtype)
         self.backend = backend
+        self.layout = layout
         self.mesh = mesh if mesh is not None else build_mesh()
         self.d = mesh_degree(self.mesh)
         if register.n - self.d < 1:
             raise ValueError("register too small for this mesh")
-        if register.M > register.n - self.d:
+        if layout == "m_high":
+            # Work register in the TOP physical bits: the global (device)
+            # bits live inside it; the oracle row exchange rides ICI and
+            # every H/iQFT butterfly is shard-local (ROADMAP item 4).
+            if self.d > register.M:
+                raise ValueError(
+                    f"mesh degree d={self.d} must be <= M={register.M}: "
+                    "the m_high global bits must lie inside the work register"
+                )
+        elif register.M > register.n - self.d:
             raise ValueError(
                 f"M={register.M} must be <= n_local={register.n - self.d}: "
                 "the work register must stay shard-local"
             )
+        # m_high: L register in physical low bits, iQFT ladder boundary at 0,
+        # reset |0..01> at physical index 2^L (logical M-register value 1).
+        self.m_eff = 0 if layout == "m_high" else register.M
+        self.reset_index = (1 << register.L) if layout == "m_high" else 1
         self.sharding = state_sharding(self.mesh)
         self._run_cache: dict = {}
+
+    def logical_index(self, phys: int) -> int:
+        """Measured physical basis index -> logical (reference convention)."""
+        if self.layout == "standard":
+            return phys
+        L, M = self.register.L, self.register.M
+        return (phys >> L) | ((phys & ((1 << L) - 1)) << M)
 
     # -- state lifecycle ----------------------------------------------------
 
     def initial_state(self) -> jax.Array:
         n, rdtype = self.register.n, self.real_dtype
 
+        r0 = self.reset_index
+
         @partial(jax.jit, out_shardings=self.sharding)
         def init():
-            return sv.initial_planar(n, rdtype)
+            return sv.initial_planar(n, rdtype, r0)
 
         return init()
 
@@ -363,7 +429,7 @@ class ShardedStateVectorEngine:
     def _compiled_run(self, circuit: Circuit) -> Callable:
         fn = self._run_cache.get(circuit)
         if fn is None:
-            n, M, d, backend = self.register.n, self.register.M, self.d, self.backend
+            n, M, d, backend = self.register.n, self.m_eff, self.d, self.backend
 
             def body(planar):  # local view: (2, 2^(n-d))
                 me = lax.axis_index(AXIS)
@@ -393,7 +459,7 @@ class ShardedStateVectorEngine:
         key = (circuit, "__norms__")
         fn = self._run_cache.get(key)
         if fn is None:
-            n, M, d, backend = self.register.n, self.register.M, self.d, self.backend
+            n, M, d, backend = self.register.n, self.m_eff, self.d, self.backend
 
             def body(planar):
                 me = lax.axis_index(AXIS)
@@ -440,16 +506,17 @@ class ShardedStateVectorEngine:
         ck = (circuit, "__run_measure__")
         fn = self._run_cache.get(ck)
         if fn is None:
-            n, M, d, backend = self.register.n, self.register.M, self.d, self.backend
+            n, M, d, backend = self.register.n, self.m_eff, self.d, self.backend
             rdtype = self.real_dtype
             D = 1 << d
             ls = (1 << n) // D
+            r0 = self.reset_index
 
             def body(k):
                 me = lax.axis_index(AXIS)
                 idt = _index_dtype(n)
-                # |0..01> reset, shard-local construction (global index 1).
-                onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == 1).astype(rdtype)
+                # |0..01> reset, shard-local construction (layout-aware index).
+                onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == r0).astype(rdtype)
                 z = lax.complex(onehot, jnp.zeros_like(onehot))
                 z = apply_circuit_sharded(z, circuit, n=n, M=M, d=d, me=me, backend=backend)
                 return _measure_local(sv.from_complex(z), k, n, rdtype)

@@ -94,7 +94,11 @@ def test_layout_flag(capsys):
     assert "Factors of 15 found: (5, 3)." in capsys.readouterr().out
 
 
-def test_layout_mesh_conflict():
+def test_layout_mesh_combination():
     p = build_parser()
+    # m_high + mesh is now supported (sharded row-exchange oracle) as long
+    # as the device bits fit inside the work register.
     args = p.parse_args(["-C", "15", "-L", "3", "-M", "4", "--layout", "m_high", "--devices", "2"])
+    assert validate(args) is None
+    args = p.parse_args(["-C", "15", "-L", "3", "-M", "2", "--layout", "m_high", "--devices", "8"])
     assert validate(args) is not None

@@ -101,13 +101,18 @@ def test_mhigh_pallas_backend(rng):
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
-def test_mhigh_rejected_on_mesh():
+def test_mhigh_on_mesh_factors():
+    """m_high + mesh is supported since round 2 (sharded row-exchange
+    oracle); the driver must factor correctly through it."""
     from quantumcomputer_tpu.parallel.mesh import build_mesh
 
     if len(jax.devices()) < 2:
         pytest.skip("needs multiple devices")
-    with pytest.raises(ValueError):
-        shors_algorithm(C=15, L=3, M=4, forced_trial_int=7, seed=0, mesh=build_mesh(num_devices=2), layout="m_high")
+    res = shors_algorithm(
+        C=15, L=3, M=4, forced_trial_int=7, seed=0,
+        dtype=jnp.complex128, mesh=build_mesh(num_devices=2), layout="m_high",
+    )
+    assert res.ok and res.factors == (5, 3)
 
 
 @pytest.mark.parametrize("c_phys", [0, 3, 6, 9, 10])

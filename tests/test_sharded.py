@@ -184,6 +184,61 @@ def test_sharded_local_fusion_parity(rng):
     np.testing.assert_allclose(a, b, atol=3e-5)
 
 
+@pytest.mark.parametrize("C,a,L,M,d", [(15, 7, 3, 4, 3), (15, 7, 3, 4, 2), (21, 2, 4, 5, 3), (33, 7, 5, 6, 3)])
+def test_sharded_mhigh_full_circuit_parity(C, a, L, M, d):
+    """m_high ON THE MESH (ROADMAP 4): the oracle row exchange rides
+    ppermute rounds; amplitudes must match the single-chip m_high engine
+    and (after the layout unmap) the logical-order reference, to 1e-12."""
+    from quantumcomputer_tpu.models.shor_circuit import shor_circuit_mhigh
+
+    circ = shor_circuit_mhigh(C, a, L, M)
+    mesh = build_mesh(num_devices=1 << d)
+    multi = ShardedStateVectorEngine(
+        Register(L=L, M=M), dtype=jnp.complex128, mesh=mesh, layout="m_high"
+    )
+    single = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128, layout="m_high")
+    got = multi.to_numpy(multi.run(circ))
+    want = single.to_numpy(single.run(circ))
+    np.testing.assert_allclose(got, want, atol=ATOL)
+    # Unmap physical m_high order -> logical order and check vs the oracle.
+    n = L + M
+    phys = np.arange(1 << n)
+    logical = ((phys >> L) | ((phys & ((1 << L) - 1)) << M))
+    got_logical = np.zeros_like(got)
+    got_logical[logical] = got
+    np.testing.assert_allclose(got_logical, ref.shor_circuit(C, a, L, M), atol=ATOL)
+
+
+def test_sharded_mhigh_measure_and_shors():
+    """End-to-end mesh + m_high: measured omegas land on harmonics and the
+    driver factors 15."""
+    from quantumcomputer_tpu.algorithms.shor import read_omega, shors_algorithm
+    from quantumcomputer_tpu.models.shor_circuit import shor_circuit_mhigh
+
+    mesh = build_mesh(num_devices=8)
+    eng = ShardedStateVectorEngine(
+        Register(L=3, M=4), dtype=jnp.complex128, mesh=mesh, layout="m_high"
+    )
+    circ = shor_circuit_mhigh(15, 7, 3, 4)
+    key = jax.random.PRNGKey(4)
+    for _ in range(10):
+        key, sub = jax.random.split(key)
+        idx, _ = eng.run_and_measure(circ, sub)
+        assert read_omega(eng.logical_index(idx), 3, 4) in (0.0, 0.25, 0.5, 0.75)
+    res = shors_algorithm(
+        C=15, L=3, M=4, forced_trial_int=7, seed=0, dtype=jnp.complex128,
+        mesh=mesh, layout="m_high",
+    )
+    assert res.ok and res.factors == (5, 3)
+
+
+def test_sharded_mhigh_guardrails():
+    mesh = build_mesh(num_devices=8)
+    with pytest.raises(ValueError):
+        # d=3 > M=2: device bits would spill out of the work register.
+        ShardedStateVectorEngine(Register(L=5, M=2), dtype=jnp.complex128, mesh=mesh, layout="m_high")
+
+
 def test_sharded_norm_trace():
     # FIG. 2 regression across the mesh: per-gate psum'd norms stay at 1.
     multi = sharded_engine(3, 4)
