@@ -49,13 +49,18 @@ def detect_bandwidth() -> tuple[str, float]:
 
 
 def pick_n() -> int:
-    """Largest n where two planar-f32 buffers fit comfortably."""
+    """Largest n where a gate pass compiles on this runtime (measured).
+
+    planar f32 state = 2^(n+3) bytes.  The AOT tunnel does not honor buffer
+    donation at compile time, so a pass needs in+out live: n=29 = 4+4 GiB
+    (fits 16 GB v5e HBM, verified 640 GB/s); n=30 = 8+8 GiB RESOURCE_EXHAUSTs
+    at compile.  n=30 single-chip needs donation-aware compilation or 32 GB
+    HBM; the sharded engine reaches n>=30 by adding chips (2 x v5e -> n=30).
+    """
     dev = jax.devices()[0]
     if dev.platform != "tpu":
         return 24  # keep CPU runs quick
-    # planar f32 state = 2^(n+3) bytes; gate pass needs ~2 live buffers.
-    # 16 GB HBM (v5e): n=28 -> 2 GB/state, 4 GB live. Safe.
-    return 28
+    return 29
 
 
 def bench_gate_throughput(n: int, reps: int = 5, backend: str = "pallas"):
@@ -71,16 +76,18 @@ def bench_gate_throughput(n: int, reps: int = 5, backend: str = "pallas"):
     from quantumcomputer_tpu.utils.profiling import time_circuit
 
     eng = StateVectorEngine(Register(L=n, M=0), dtype=jnp.complex64, backend=backend)
-    qubits = sorted({0, 1, 2, n // 4, n // 2, n - 3, n - 2, n - 1})
+    # 17 DISTINCT qubits: the planner's per-qubit gate merging collapses
+    # repeated-qubit blocks to a handful of ops (legitimately — standard
+    # circuit simplification), which would leave nothing to measure.
+    # Distinct qubits force 17 real butterflies; exactly 4 of them are
+    # axis-class (>= 13) so the block still fits one fused segment
+    # (MAX_AXES) and the number measures fusion, not segment splitting.
+    qubits = list(range(13)) + [n - 4, n - 3, n - 2, n - 1]
 
     def block(k: int):
-        gs = []
-        for i in range(k):
-            q = qubits[i % len(qubits)]
-            gs.append(cir.RY(q, 0.1 + 0.013 * i))
-        return tuple(gs)
+        return tuple(cir.RY(qubits[i], 0.1 + 0.013 * i) for i in range(k))
 
-    small, big = 2, 18
+    small, big = 4, 17
     t_small = time_circuit(eng, block(small), iters=reps)
     t_big = time_circuit(eng, block(big), iters=reps)
     per_gate = max((t_big - t_small) / (big - small), 1e-12)
@@ -158,7 +165,10 @@ def main():
 
     stream_gbps = bench_stream_bandwidth(n) if on_tpu else 0.0
     shor_s, shor_ok = bench_shor15()
-    full_s, full_gates = bench_full_shor_circuit(n) if on_tpu else (0.0, 0)
+    # Flagship circuit stays at n=28 for cross-round comparability (the
+    # VERDICT target is the n=28 wall-clock); the gate/stream metrics above
+    # run at the measured single-chip ceiling.
+    full_s, full_gates = bench_full_shor_circuit(28) if on_tpu else (0.0, 0)
 
     print(
         json.dumps(
@@ -175,6 +185,11 @@ def main():
                 "shor8191_circuit_n28_s": round(full_s, 4),
                 "shor8191_circuit_gates": full_gates,
                 "n_qubits": n,
+                "n30_status": (
+                    "n=30 single-chip RESOURCE_EXHAUSTs at compile: the AOT "
+                    "tunnel keeps in+out live (8+8 GiB > v5e HBM); n=29 is the "
+                    "measured single-chip ceiling; n>=30 via the sharded engine"
+                ),
             }
         )
     )

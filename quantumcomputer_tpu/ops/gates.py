@@ -30,6 +30,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 SQRT1_2 = 1.0 / math.sqrt(2.0)
 
@@ -314,6 +315,76 @@ def apply_camodc_high(state: jax.Array, C: int, atox: int, c_phys: int, M: int) 
     col = jax.lax.iota(jnp.int32, rest)
     ctrl = ((col >> c_phys) & 1) == 1
     return jnp.where(ctrl[None, :], gathered, x).reshape(dim)
+
+
+def modexp_combo_multipliers(C: int, A_list) -> np.ndarray:
+    """combo[mask] = prod_k (A_k^{-1})^{bit_k(mask)} mod C.
+
+    The controlled modular-multiply gates all multiply the work register by
+    constants mod C, so THEY COMMUTE: a run of K such gates composes into a
+    single permutation whose multiplier depends only on the K control bits.
+    combo enumerates all 2^K composed inverse multipliers."""
+    K = len(A_list)
+    ainvs = [pow(int(A) % C, -1, C) for A in A_list]
+    combos = np.ones(1 << K, np.int64)
+    for mask in range(1, 1 << K):
+        low = mask & -mask
+        combos[mask] = (combos[mask ^ low] * ainvs[low.bit_length() - 1]) % C
+    return combos
+
+
+def _ladder_src_rows(C: int, A_list, controls, col_index, m_index, M: int):
+    """Composed source work-register value: (combo(ctrl bits) * f) mod C for
+    f < C, identity otherwise.  col_index: int32 array of the non-M index
+    bits; m_index: int32 (column) array of work-register values."""
+    if C * C >= (1 << 31):
+        raise ValueError(f"C={C} too large for int32 ladder composition")
+    if (1 << M) < C:
+        raise ValueError(
+            f"2^M={1 << M} < C={C}: the modular-multiply gate is not unitary (increase M)"
+        )
+    combos = jnp.asarray(modexp_combo_multipliers(C, A_list), jnp.int32)
+    bits = jnp.zeros_like(col_index)
+    for k, c in enumerate(controls):
+        bits = bits | (((col_index >> c) & 1) << k)
+    mult = combos[bits]
+    src = (mult * m_index) % C  # broadcasts (.., rest) x (rows, ..)
+    return jnp.where(m_index < C, src, jnp.broadcast_to(m_index, src.shape))
+
+
+def apply_camodc_ladder_high(state: jax.Array, C: int, A_list, controls, M: int) -> jax.Array:
+    """A RUN of controlled modular multiplies as ONE pass, M-HIGH layout.
+
+    Replaces len(A_list) sequential c_amodc applications (qc_shor.c:728-731
+    applies them back to back): out[f, col] = in[(combo * f) mod C, col]
+    where combo is the composed inverse multiplier selected by the control
+    bits of `col` (controls[k] = physical low-bit of gate k).  One full-state
+    gather instead of K — the dominant flagship-circuit cost collapses by K.
+    """
+    dim = state.shape[0]
+    rows = 1 << M
+    rest = dim >> M
+    col = lax.iota(jnp.int32, rest)
+    f = jnp.arange(rows, dtype=jnp.int32)[:, None]
+    src = _ladder_src_rows(C, A_list, controls, col[None, :], f, M)  # (rows, rest)
+    x = state.reshape(rows, rest)
+    return jnp.take_along_axis(x, src, axis=0).reshape(dim)
+
+
+def apply_camodc_ladder(state: jax.Array, C: int, A_list, controls, M: int) -> jax.Array:
+    """A run of controlled modular multiplies as ONE pass, STANDARD layout
+    (work register in the LOW M bits; controls are bits >= M of the index).
+    out[idx_hi, f] = in[idx_hi, (combo(ctrl bits of idx_hi) * f) mod C]."""
+    dim = state.shape[0]
+    m_dim = 1 << M
+    outer = dim >> M
+    hi = lax.iota(jnp.int32, outer)[:, None]
+    f = jnp.arange(m_dim, dtype=jnp.int32)[None, :]
+    # Control bits are absolute index bits: bit c of the index = bit (c - M)
+    # of the high part.
+    src = _ladder_src_rows(C, A_list, [c - M for c in controls], hi, f, M)  # (outer, m_dim)
+    x = state.reshape(outer, m_dim)
+    return jnp.take_along_axis(x, src, axis=1).reshape(dim)
 
 
 def probabilities(state: jax.Array) -> jax.Array:

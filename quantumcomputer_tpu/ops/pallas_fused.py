@@ -112,6 +112,62 @@ def _op_axis_targets(op: tuple) -> List[int]:
     return []
 
 
+def _op_matrix_2x2(op: tuple) -> Optional[np.ndarray]:
+    """2x2 complex matrix of a u1q/diag1 op (None for other kinds)."""
+    if op[0] == "u1q":
+        v = op[2]
+        return np.array(v[:4], np.complex128).reshape(2, 2) + 1j * np.array(v[4:], np.complex128).reshape(2, 2)
+    if op[0] == "diag1":
+        r0, i0, r1, i1 = op[2]
+        return np.array([[r0 + 1j * i0, 0.0], [0.0, r1 + 1j * i1]], np.complex128)
+    return None
+
+
+def _matrix_to_op(q: int, m: np.ndarray) -> tuple:
+    if abs(m[0, 1]) == 0.0 and abs(m[1, 0]) == 0.0:
+        return ("diag1", q, (float(m[0, 0].real), float(m[0, 0].imag), float(m[1, 1].real), float(m[1, 1].imag)))
+    return ("u1q", q, tuple(float(v) for v in np.concatenate([m.real.ravel(), m.imag.ravel()])))
+
+
+def compose_ops(ops) -> tuple:
+    """Merge single-qubit ops per qubit inside a fused segment.
+
+    1q gates on DISTINCT qubits commute, so each qubit's u1q/diag1 sequence
+    composes into one 2x2 product regardless of interleaving — the standard
+    gate-merging circuit simplification.  Multi-qubit ops (diag2, iqft,
+    camodc) conservatively flush all pending products.  This bounds the
+    fused kernel's VPU work per element at one dense butterfly per qubit,
+    which is what makes long dense chains memory- rather than compute-bound.
+    """
+    out: list = []
+    pending: dict = {}  # q -> (index in out of placeholder, matrix)
+    order: list = []
+
+    def flush_all():
+        for q in order:
+            idx, m = pending[q]
+            out[idx] = _matrix_to_op(q, m)
+        pending.clear()
+        order.clear()
+
+    for op in ops:
+        m = _op_matrix_2x2(op)
+        if m is None:
+            flush_all()
+            out.append(op)
+            continue
+        q = op[1]
+        if q in pending:
+            idx, acc = pending[q]
+            pending[q] = (idx, m @ acc)
+        else:
+            out.append(None)  # placeholder, filled at flush
+            pending[q] = (len(out) - 1, m)
+            order.append(q)
+    flush_all()
+    return tuple(o for o in out if o is not None)
+
+
 def plan_circuit(circuit: Circuit, n: int, M: int, max_axes: int = MAX_AXES, fuse_oracle: bool = False):
     """Segment a circuit into fused runs and single gates.
 
@@ -127,7 +183,11 @@ def plan_circuit(circuit: Circuit, n: int, M: int, max_axes: int = MAX_AXES, fus
     def flush():
         nonlocal run, axes, n_camodc
         if run:
-            segments.append(("fused", tuple(run), tuple(sorted(axes, reverse=True))))
+            ops = compose_ops(tuple(run))
+            # Per-qubit merging may have emptied axis butterflies? No — it
+            # never removes ops, only merges same-qubit ones; axes stay valid
+            # (a merged u1q on an axis qubit still needs that axis).
+            segments.append(("fused", ops, tuple(sorted(axes, reverse=True))))
         run, axes, n_camodc = [], [], 0
 
     for g in circuit:
@@ -198,7 +258,13 @@ class _Layout:
         # rows cover bits [7, rows_end)
         self.rows_end = self.axes[-1] if m else n
         self.ir = 1 << (self.rows_end - 7)
-        self.bi = min(BI, self.ir)
+        # Block rows scale with the axis count so every block stays ~1 MB per
+        # plane (2^(11-m) rows x 128 lanes x 4 B x 2^m sub-arrays): small
+        # fixed-size blocks measured 2x below streaming roofline at n>=28
+        # (grid-step overhead), while 2 MB blocks overflow the 16 MB scoped
+        # VMEM budget (2 planes x in/out x double buffering = 8x the block).
+        # In-block sublane rolls only need bi >= 64.
+        self.bi = min(self.ir, max(BI, 1 << (11 - m)))
         # view dims, most-significant first:
         #   gap_above_a1, 2, gap_a1_a2, 2, ..., 2, ir_rows, 128
         dims: List[int] = []
@@ -492,7 +558,7 @@ def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M
     kops = []
     for op in ops:
         if op[0] == "camodc":
-            assert lay.bi == 64, "Benes oracle requires full 64-row blocks"
+            assert lay.bi % 64 == 0, "Benes oracle requires 64-row-aligned blocks"
             stage_bits, tab = _camodc_table(op[2], op[3], M, lay.bi)
             kops.append(("camodc_k", op[1], stage_bits, len(tables)))
             tables.append(jnp.asarray(tab, re.dtype))

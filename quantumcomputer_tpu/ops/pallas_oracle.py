@@ -97,6 +97,118 @@ def _kernel(ginv_ref, re_any, im_any, ore_ref, oim_ref, sre, sim, sems, *, cb2: 
             oim_ref[:, pl.ds(loc, cb2), :] = jnp.where(ctrl, sim[bank, 1], sim[bank, 0])
 
 
+def _ladder_kernel(combos_ref, re_any, im_any, ore_ref, oim_ref, sre, sim, sems, *, cb2: int, controls, C: int, group: int):
+    """Composed-oracle pure path: every column block is control-pure for ALL
+    K fused oracles (their strides >= the block width), so each output row
+    has exactly ONE source row — (combo * j) mod C, computed on the scalar
+    core from the 2^K-entry combo table (a full per-mask row table would
+    blow the 1 MB SMEM scalar-prefetch budget).  One pass: 1R + 1W."""
+    j0 = pl.program_id(0) * ROWS_PER_BLOCK
+    cb0 = pl.program_id(1) * group
+
+    def dmas_for(ci: int, bank: int):
+        c2_0 = (cb0 + ci) * cb2
+        col0 = c2_0 * LANE
+        mask = 0
+        for k, c in enumerate(controls):
+            mask = mask + (((col0 >> c) & 1) << k)
+        combo = combos_ref[mask]
+        out = []
+        for k in range(ROWS_PER_BLOCK):
+            j = j0 + k
+            row = jnp.where(j < C, (combo * j) % C, j)
+            out.append(
+                pltpu.make_async_copy(
+                    re_any.at[row, pl.ds(c2_0, cb2), :], sre.at[bank, k], sems.at[bank, 0, k]
+                )
+            )
+            out.append(
+                pltpu.make_async_copy(
+                    im_any.at[row, pl.ds(c2_0, cb2), :], sim.at[bank, k], sems.at[bank, 1, k]
+                )
+            )
+        return out
+
+    for d in dmas_for(0, 0):
+        d.start()
+    for ci in range(group):
+        bank = ci % 2
+        if ci + 1 < group:
+            for d in dmas_for(ci + 1, 1 - bank):
+                d.start()
+        for d in dmas_for(ci, bank):
+            d.wait()
+        loc = ci * cb2
+        ore_ref[:, pl.ds(loc, cb2), :] = sre[bank]
+        oim_ref[:, pl.ds(loc, cb2), :] = sim[bank]
+
+
+def ladder_high_supported(controls, M: int, n: int) -> bool:
+    """True when the fused-run DMA kernel can run this ladder: all control
+    strides cover at least an 8-sub-row slab, the state is large enough for
+    aligned DMAs, and the mask table stays small."""
+    rest = 1 << (n - M)
+    if rest < MIN_REST or (1 << M) < ROWS_PER_BLOCK:
+        return False
+    if len(controls) > 8:  # 2^K combo-table entries; 8 is far beyond the circuit's need
+        return False
+    if (1 << M) * (1 << M) >= (1 << 31):  # in-kernel combo*j must fit int32
+        return False
+    # stride 2^11 lanes = 16 aligned sub-rows: (16, 128) 8 KB DMA slabs.
+    # c=10 would give (8, 128) 4 KB slabs, measured 5x slower on v5e (the
+    # per-DMA overhead dominates) — leave c=10 on the per-gate mixed path.
+    return min(controls) >= 11
+
+
+def apply_camodc_ladder_high_planar(re: jax.Array, im: jax.Array, C: int, A_list, controls, M: int):
+    """A fused RUN of controlled modular multiplies (m_high layout) in ONE
+    HBM pass.  The multiplications commute, so the run composes into a
+    single permutation per control-bit pattern; with every control stride
+    >= the column-block width, each block is pure and each output row needs
+    exactly one source row (1R + 1W total — K gates for the price of one).
+    """
+    dim = re.shape[0]
+    rows = 1 << M
+    rest = dim // rows
+    r2 = rest // LANE
+    assert ladder_high_supported(controls, M, dim.bit_length() - 1)
+    # Block width limited by the SMALLEST control stride (purity for all).
+    cb2 = min(MAX_CB2, r2, 1 << (min(controls) - 7))
+    group = min(2, r2 // cb2)
+    from quantumcomputer_tpu.ops.gates import modexp_combo_multipliers
+
+    combos = jnp.asarray(modexp_combo_multipliers(C, A_list), jnp.int32)
+    view = (rows, r2, LANE)
+    out_spec = pl.BlockSpec(
+        (ROWS_PER_BLOCK, group * cb2, LANE), lambda j, c, g: (j, c, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rows // ROWS_PER_BLOCK, r2 // (group * cb2)),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(out_spec, out_spec),
+        scratch_shapes=[
+            pltpu.VMEM((2, ROWS_PER_BLOCK, cb2, LANE), re.dtype),
+            pltpu.VMEM((2, ROWS_PER_BLOCK, cb2, LANE), im.dtype),
+            pltpu.SemaphoreType.DMA((2, 2, ROWS_PER_BLOCK)),
+        ],
+    )
+    kernel = partial(_ladder_kernel, cb2=cb2, controls=tuple(controls), C=C, group=group)
+    ore, oim = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(view, re.dtype),
+            jax.ShapeDtypeStruct(view, im.dtype),
+        ),
+        interpret=_interpret(),
+    )(combos, re.reshape(view), im.reshape(view))
+    return ore.reshape(dim), oim.reshape(dim)
+
+
 def apply_camodc_high_planar(re: jax.Array, im: jax.Array, C: int, atox: int, c_phys: int, M: int):
     """Controlled modular multiply on planar planes, M-high layout."""
     dim = re.shape[0]

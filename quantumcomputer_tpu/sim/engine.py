@@ -93,6 +93,12 @@ def apply_gate(state: jax.Array, g: Gate, M: int, backend: str = "xla") -> jax.A
     if name == "camodc_high":
         C, atox, m_reg = g.meta
         return xops.apply_camodc_high(state, C, atox, g.qubits[0], m_reg)
+    if name == "camodc_ladder":
+        C, m_reg = g.meta[0], g.meta[1]
+        return xops.apply_camodc_ladder(state, C, g.meta[2:], g.qubits, m_reg)
+    if name == "camodc_ladder_high":
+        C, m_reg = g.meta[0], g.meta[1]
+        return xops.apply_camodc_ladder_high(state, C, g.meta[2:], g.qubits, m_reg)
     if name == "iqft_stage":
         return xops.apply_iqft_stage(state, g.qubits[0], M)
     raise ValueError(f"unknown gate: {g}")
@@ -108,6 +114,58 @@ def _nan_hook(state: jax.Array, label: str) -> None:
         lambda: jax.debug.print("*** non-finite amplitudes after " + label),
         lambda: None,
     )
+
+
+def fuse_oracle_ladders(circuit: Circuit, M: int, eligible=None) -> Circuit:
+    """Rewrite maximal runs of >= 2 modular-multiply gates (same C, same
+    work register) into single composed-ladder gates.
+
+    The gates all multiply the work register by constants mod C, so they
+    COMMUTE and a run of K composes into one permutation whose multiplier
+    is selected by the K control bits (ops/gates.modexp_combo_multipliers).
+    The Shor circuit applies its L oracles back to back (qc_shor.c:728-731),
+    so the dominant cost — K full-state oracle passes — collapses to one.
+
+    `eligible(gate)` (optional) limits which gates may join a run — used by
+    the pallas path to fuse only runs its DMA ladder kernel accepts (the
+    XLA gather realization of a composed ladder materializes a full-state
+    index tensor and is catastrophically slow on TPU at scale)."""
+    out: list = []
+    gates = list(circuit)
+    i = 0
+    while i < len(gates):
+        g = gates[i]
+        if g.name in ("camodc", "camodc_high") and (eligible is None or eligible(g)):
+            C = g.meta[0]
+            m_reg = g.meta[2] if g.name == "camodc_high" else M
+            j = i + 1
+            while j < len(gates):
+                h = gates[j]
+                if h.name != g.name or h.meta[0] != C:
+                    break
+                if eligible is not None and not eligible(h):
+                    break
+                if g.name == "camodc_high" and h.meta[2] != m_reg:
+                    break
+                if h.qubits[0] in {gates[k].qubits[0] for k in range(i, j)}:
+                    break  # repeated control: composition is still valid only
+                           # for distinct control bits (one bit per factor)
+                j += 1
+            if j - i >= 2 and C * C < (1 << 31):
+                run = gates[i:j]
+                name = "camodc_ladder_high" if g.name == "camodc_high" else "camodc_ladder"
+                out.append(
+                    Gate(
+                        name,
+                        qubits=tuple(h.qubits[0] for h in run),
+                        meta=(C, m_reg) + tuple(int(h.meta[1]) % C for h in run),
+                    )
+                )
+                i = j
+                continue
+        out.append(g)
+        i += 1
+    return tuple(out)
 
 
 def apply_circuit(
@@ -139,6 +197,24 @@ def apply_circuit(
         if nan_checks:
             _nan_hook(s, label)
         return s
+
+    if fuse:
+        if backend == "pallas":
+            # Fuse only runs the DMA ladder kernel accepts; everything else
+            # keeps its per-gate DMA path (the XLA ladder fallback would be
+            # far slower than unfused at scale).
+            from quantumcomputer_tpu.ops.pallas_oracle import ladder_high_supported
+
+            n_bits = int(state.shape[0]).bit_length() - 1
+
+            def _eligible(g: Gate) -> bool:
+                return g.name == "camodc_high" and ladder_high_supported(
+                    (g.qubits[0],), g.meta[2], n_bits
+                )
+
+            circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible)
+        else:
+            circuit = fuse_oracle_ladders(circuit, M)
 
     if backend == "pallas" and fuse:
         from quantumcomputer_tpu.ops import pallas_fused

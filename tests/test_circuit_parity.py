@@ -53,6 +53,9 @@ def test_norm_trace_fused_production_path():
 
     C, a, L, M = 39, 7, 8, 6
     circ = shor_circuit(C, a, L, M)
+    # Under the pallas backend, standard-layout camodc runs do NOT ladder-
+    # fuse (only m_high runs the DMA ladder kernel supports), so the
+    # production plan is over the raw circuit.
     segs = pf.plan_circuit(circ, L + M, M)
     n_fused = sum(1 for s in segs if s[0] == "fused")
     assert n_fused >= 1, "circuit must exercise the fused kernel"
@@ -64,10 +67,10 @@ def test_norm_trace_fused_production_path():
 
 
 def test_norm_trace_c128_per_gate_granularity():
-    """xla/c128 mode keeps the reference's per-gate granularity."""
+    """fuse=False xla/c128 mode keeps the reference's per-gate granularity."""
     C, a, L, M = 39, 7, 6, 6
     circ = shor_circuit_reference(C, a, L, M)
-    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128, fuse=False)
     _, norms = eng.run_with_norms(circ)
     assert norms.shape[0] == len(circ)
     assert np.abs(np.asarray(norms) - 1.0).max() < 1e-13

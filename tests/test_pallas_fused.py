@@ -118,18 +118,35 @@ def test_fused_full_iqft(rng):
 
 def test_planner_budget_and_breaks():
     gates = [cir.H(13), cir.H(14), cir.H(15), cir.H(13), cir.CNOT(1, 0), cir.H(2)]
-    # qubit 13,14,15 fill the axis budget; second H(13) reuses axis 13; CNOT
+    # qubit 13,14,15 fill the axis budget; the second H(13) MERGES with the
+    # first (per-qubit 1q composition -> H@H = identity diagonal); CNOT
     # breaks the run; trailing H(2) is its own (axis-free) segment.
     segs = pf.plan_circuit(tuple(gates), 16, 0)
     kinds = [s[0] for s in segs]
     assert kinds == ["fused", "single", "fused"]
     assert segs[0][2] == (15, 14, 13)
-    assert len(segs[0][1]) == 4
-    # budget overflow splits
+    assert len(segs[0][1]) == 3  # H(13)+H(13) merged into one op
     gates2 = [cir.H(q) for q in (13, 14, 15, 12, 11, 10)] + [cir.RY(13, 0.3)]
     segs2 = pf.plan_circuit(tuple(gates2), 16, 0)
     assert [s[0] for s in segs2] == ["fused"] * len(segs2)
-    assert sum(len(s[1]) for s in segs2) == 7
+    # RY(13) merges with H(13); the rest are distinct qubits.
+    assert sum(len(s[1]) for s in segs2) == 6
+
+
+def test_compose_ops_merging(rng):
+    """Interleaved 1q gates on distinct qubits merge per qubit and the
+    merged segment matches the unmerged application."""
+    psi = random_state(N, rng)
+    gates = []
+    for i in range(12):
+        q = (0, 8, 14)[i % 3]
+        gates.append(cir.RY(q, 0.1 + 0.07 * i))
+    segs = pf.plan_circuit(tuple(gates), N, 0)
+    assert len(segs) == 1 and segs[0][0] == "fused"
+    assert len(segs[0][1]) == 3  # one composed op per qubit
+    got = run_fused(psi, gates)
+    want = apply_oracle(psi, gates)
+    np.testing.assert_allclose(got, want, atol=ATOL)
 
 
 def test_engine_pallas_backend_uses_fusion_full_shor():

@@ -32,7 +32,7 @@ def test_time_circuit_runs():
 def test_norm_trace_fig2_regression():
     """Report §IV.A / FIG. 2: norm deviation stays at double round-off
     through every gate of factoring 39 (L=6, M=6)."""
-    eng = StateVectorEngine(Register(L=6, M=6), dtype=jnp.complex128)
+    eng = StateVectorEngine(Register(L=6, M=6), dtype=jnp.complex128, fuse=False)
     tr = prof.norm_trace(eng, shor_circuit_reference(39, 7, 6, 6))
     # gate-for-gate: 3L + L(L-1)/2 applications (SURVEY.md §3.2)
     assert len(tr.deviations) == 3 * 6 + 6 * 5 // 2
