@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -207,6 +208,171 @@ def apply_camodc_ladder_high_planar(re: jax.Array, im: jax.Array, C: int, A_list
         interpret=_interpret(),
     )(combos, re.reshape(view), im.reshape(view))
     return ore.reshape(dim), oim.reshape(dim)
+
+
+STRIP = 8  # schedule steps per grid iteration (also the bank slot count)
+
+
+def cycle_schedule(ginv: np.ndarray):
+    """Order output rows along the permutation's cycles.
+
+    Output row j needs source row ginv[j] (control==1 columns) and itself
+    (control==0 columns).  Walking each cycle j -> ginv[j] -> ... makes
+    step t's IDENTITY row equal step t-1's freshly-read SOURCE row, so the
+    kernel reads each input row exactly once (plus one extra read per
+    cycle head): ~1R + 1W total instead of the blocked 2R + 1W.
+
+    Returns (out_row, src_row, prev_kind) int32 arrays; prev_kind:
+    0 = chain (previous step's source), 1 = fresh read of out_row,
+    2 = self (fixed point: source IS the row)."""
+    rows = len(ginv)
+    out_row = np.empty(rows, np.int32)
+    src_row = np.empty(rows, np.int32)
+    prev_kind = np.empty(rows, np.int32)
+    visited = np.zeros(rows, bool)
+    t = 0
+    for j0 in range(rows):
+        if visited[j0]:
+            continue
+        if ginv[j0] == j0:
+            out_row[t], src_row[t], prev_kind[t] = j0, j0, 2
+            visited[j0] = True
+            t += 1
+            continue
+        j, first = j0, True
+        while not visited[j]:
+            visited[j] = True
+            out_row[t] = j
+            src_row[t] = ginv[j]
+            prev_kind[t] = 1 if first else 0
+            first = False
+            t += 1
+            j = int(ginv[j])
+    assert t == rows
+    return out_row, src_row, prev_kind
+
+
+def _cycle_kernel(sched_ref, x_any, ox_any, slots, stage, sems, fsems, osems, *, cb2: int, c_phys: int, n_strips: int):
+    """Cycle-ordered oracle pass over ONE plane.
+
+    Grid = (col_groups, n_strips); strips iterate fastest.  Per strip: 8
+    source-row DMAs into this strip's bank (+ predicated fresh reads for
+    cycle heads), then 8 blends staged and DMA'd to their output rows.
+    Three banks rotate so the chain row (the previous strip's last source)
+    survives the next strip's prefetch."""
+    cg = pl.program_id(0)
+    t = pl.program_id(1)
+    c0 = cg * cb2
+
+    def src_dma(ts, bank, k):
+        src = sched_ref[1, ts * STRIP + k]
+        return pltpu.make_async_copy(
+            x_any.at[src, pl.ds(c0, cb2), :], slots.at[bank, 0, k], sems.at[bank, k]
+        )
+
+    def fresh_dma(ts, bank, k):
+        out = sched_ref[0, ts * STRIP + k]
+        return pltpu.make_async_copy(
+            x_any.at[out, pl.ds(c0, cb2), :], slots.at[bank, 1, k], fsems.at[bank, k]
+        )
+
+    def out_dma(ts, bank, k):
+        out = sched_ref[0, ts * STRIP + k]
+        return pltpu.make_async_copy(
+            stage.at[bank, k], ox_any.at[out, pl.ds(c0, cb2), :], osems.at[bank, k]
+        )
+
+    def start_strip(ts, bank):
+        for k in range(STRIP):
+            src_dma(ts, bank, k).start()
+            kind = sched_ref[2, ts * STRIP + k]
+
+            @pl.when(kind == 1)
+            def _():
+                fresh_dma(ts, bank, k).start()
+
+    bank = t % 3
+    nbank = (t + 1) % 3
+    pbank = (t - 1) % 3
+
+    @pl.when(t == 0)
+    def _():
+        start_strip(0, 0)
+
+    # Prefetch strip t+1; its bank's staging buffers were last used by
+    # strip t-2, whose output DMAs must complete first.
+    @pl.when(t + 1 < n_strips)
+    def _():
+        @pl.when(t >= 2)
+        def _():
+            for k in range(STRIP):
+                out_dma(t - 2, nbank, k).wait()
+        start_strip(t + 1, nbank)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (cb2, LANE), 0) + c0
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cb2, LANE), 1)
+    ctrl = (((sub * LANE + lane) >> c_phys) & 1) == 1
+
+    for k in range(STRIP):
+        src_dma(t, bank, k).wait()
+        kind = sched_ref[2, t * STRIP + k]
+
+        @pl.when(kind == 1)
+        def _():
+            fresh_dma(t, bank, k).wait()
+
+        src_val = slots[bank, 0, k]
+        chain_val = slots[pbank, 0, STRIP - 1] if k == 0 else slots[bank, 0, k - 1]
+        prev_val = jnp.where(kind == 0, chain_val, jnp.where(kind == 1, slots[bank, 1, k], src_val))
+        stage[bank, k] = jnp.where(ctrl, src_val, prev_val)
+        out_dma(t, bank, k).start()
+
+    # Drain the tail strips' output DMAs (no successor waits for them).
+    @pl.when(t >= n_strips - 3)
+    def _():
+        for k in range(STRIP):
+            out_dma(t, bank, k).wait()
+
+
+def apply_camodc_high_cycle_planar(re: jax.Array, im: jax.Array, C: int, atox: int, c_phys: int, M: int):
+    """Controlled modular multiply, m_high layout, cycle-ordered: ~1R + 1W
+    (vs 2R + 1W for the blocked mixed path) for ANY control position."""
+    dim = re.shape[0]
+    rows = 1 << M
+    rest = dim // rows
+    r2 = rest // LANE
+    ginv = np.asarray(modmul_inverse_permutation(C, atox, M))
+    out_row, src_row, prev_kind = cycle_schedule(ginv)
+    sched = jnp.asarray(np.stack([out_row, src_row, prev_kind]))
+    # (3 banks x [src|fresh] x 8 slots + 3 x 8 staging) x cb2 x 128 x 4 B
+    # must stay under the 16 MB scoped-VMEM budget: cb2 = 128 -> 14.2 MB.
+    cb2 = min(128, r2)
+    n_strips = rows // STRIP
+    view = (rows, r2, LANE)
+
+    def one_plane(x):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(r2 // cb2, n_strips),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((3, 2, STRIP, cb2, LANE), x.dtype),  # [src | fresh] slots
+                pltpu.VMEM((3, STRIP, cb2, LANE), x.dtype),     # out staging
+                pltpu.SemaphoreType.DMA((3, STRIP)),
+                pltpu.SemaphoreType.DMA((3, STRIP)),
+                pltpu.SemaphoreType.DMA((3, STRIP)),
+            ],
+        )
+        kernel = partial(_cycle_kernel, cb2=cb2, c_phys=c_phys, n_strips=n_strips)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(view, x.dtype),
+            interpret=_interpret(),
+        )(sched, x.reshape(view))
+
+    return one_plane(re).reshape(dim), one_plane(im).reshape(dim)
 
 
 def apply_camodc_high_planar(re: jax.Array, im: jax.Array, C: int, atox: int, c_phys: int, M: int):
