@@ -61,6 +61,29 @@ def block_prob_sums(planar: jax.Array) -> jax.Array:
     return sums[:, 0]
 
 
+def sample_indices(planar: jax.Array, rs: jax.Array) -> jax.Array:
+    """Batched hierarchical inverse-CDF sampling: `rs` uniform draws in
+    [0, 1) -> basis indices, WITHOUT materializing the full probability
+    vector or its cumsum (one fused block-sum pass + per-shot work bounded
+    by one block)."""
+    sums = block_prob_sums(planar)
+    cum = jnp.cumsum(sums)
+    total = cum[-1]
+    scaled = rs.astype(cum.dtype) * total
+    b = jnp.minimum(jnp.searchsorted(cum, scaled, side="left"), sums.shape[0] - 1)
+    offset = cum[b] - sums[b]
+
+    def local(bi, ri):
+        start = bi * BLOCK
+        re = jax.lax.dynamic_slice(planar[0], (start,), (BLOCK,))
+        im = jax.lax.dynamic_slice(planar[1], (start,), (BLOCK,))
+        cs = jnp.cumsum(re * re + im * im)
+        li = jnp.minimum(jnp.searchsorted(cs, ri, side="left"), BLOCK - 1)
+        return start + li
+
+    return jax.vmap(local)(b, scaled - offset)
+
+
 def sample_index(planar: jax.Array, r: jax.Array) -> jax.Array:
     """Hierarchical inverse-CDF sample from a planar state (traced)."""
     dim = planar.shape[-1]

@@ -217,26 +217,34 @@ class DDStateVectorEngine:
     """Drop-in engine running the double-float parity mode (TPU-native f64
     substitute).  Single-chip, standard layout, xla backend semantics.
 
-    Dispatch granularity: ONE COMPILED PROGRAM PER GATE (the reference's own
-    operate_matrix granularity, qc_shor.c:370-420).  Whole-circuit programs
-    are available via fuse_program=True but are NOT the default: XLA's
-    backend optimizations (level > 0) recompute shared values into multiple
-    fusion clusters with inconsistent rounding once the program grows past a
-    few gates, silently corrupting the error-free transforms (measured:
-    4e-9 amplitude errors on XLA:CPU for a 5-gate program; 1e-15 per-gate).
-    Per-gate programs keep every EFT inside one fusion context.  At parity
-    sizes (n <= 13) the extra dispatches are negligible."""
+    Dispatch granularity is BACKEND-DEPENDENT.  XLA:CPU's backend
+    optimizations (level > 0) recompute shared values into multiple fusion
+    clusters with inconsistent rounding once a program grows past a few
+    gates, silently corrupting the error-free transforms (measured: 4e-9
+    amplitude errors for a 5-gate program; 1e-15 per-gate) — so on CPU each
+    gate compiles as its own program (the reference's own operate_matrix
+    granularity, qc_shor.c:370-420), keeping every EFT inside one fusion
+    context.  XLA:TPU preserves EFT rounding across whole-circuit programs
+    (measured 6.8e-16 at n=11 fused), so on TPU the default is one program
+    per circuit (fewer dispatches).  Override with fuse_program=True/False."""
 
     layout = "standard"
     backend = "dd"
     dtype = "dd64"
 
-    def __init__(self, register: Register, nan_checks: bool = False, fuse_program: bool = False):
+    def __init__(self, register: Register, nan_checks: bool = False, fuse_program: Optional[bool] = None):
         self.register = register
         self.real_dtype = jnp.float32
         self.nan_checks = nan_checks
-        self.fuse_program = fuse_program
+        self._fuse_program = fuse_program
         self._run_cache: dict = {}
+
+    @property
+    def fuse_program(self) -> bool:
+        if self._fuse_program is None:
+            # Resolved lazily so engine construction never initializes JAX.
+            self._fuse_program = jax.default_backend() == "tpu"
+        return self._fuse_program
 
     # -- state lifecycle ------------------------------------------------------
 

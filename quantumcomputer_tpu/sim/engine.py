@@ -409,17 +409,26 @@ class StateVectorEngine:
     def sample(self, state: jax.Array, key: jax.Array, shots: int) -> jax.Array:
         """Draw `shots` independent basis indices from |amp|^2 WITHOUT
         collapsing (a statistics/debug convenience: physical runs re-execute
-        the circuit per shot — see utils/experiments.omega_histogram)."""
+        the circuit per shot — see utils/experiments.omega_histogram).
+
+        Large f32 states sample hierarchically (one fused block-sum pass +
+        per-shot work bounded by one block — no full-state probability
+        vector or cumsum is ever materialized); small/f64 states use the
+        flat scan matching the reference order exactly."""
         fn = self._run_cache.get(("__sample__", shots, state.shape))
         if fn is None:
+            dim = state.shape[-1]
 
             @jax.jit
             def fn(planar, k):
+                rs = jax.random.uniform(k, (shots,), dtype=planar.dtype)
+                if planar.dtype == jnp.float32 and dim >= (1 << 16):
+                    from quantumcomputer_tpu.ops import pallas_measure
+
+                    return pallas_measure.sample_indices(planar, rs)
                 probs = sv.probabilities(planar)
                 cum = jnp.cumsum(probs)
-                rs = jax.random.uniform(k, (shots,), dtype=probs.dtype)
-                idx = jnp.minimum(jnp.searchsorted(cum, rs, side="left"), probs.shape[-1] - 1)
-                return idx
+                return jnp.minimum(jnp.searchsorted(cum, rs, side="left"), dim - 1)
 
             self._run_cache[("__sample__", shots, state.shape)] = fn
         return fn(state, key)

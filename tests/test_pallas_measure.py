@@ -60,6 +60,36 @@ def test_sampling_distribution(rng):
     assert hits >= 18
 
 
+def test_batched_sample_indices(rng):
+    """Batched hierarchical sampling: same distribution as the flat scan,
+    no full-state cumsum.  Concentrated state must dominate the draws."""
+    dim = 1 << N
+    psi = np.full(dim, np.sqrt(0.05 / (dim - 1)), dtype=np.complex128)
+    psi[4242] = np.sqrt(0.95)
+    planar = planar_of(psi)
+    rs = jax.random.uniform(jax.random.PRNGKey(7), (500,), jnp.float32)
+    idx = np.asarray(pm.sample_indices(planar, rs))
+    assert idx.shape == (500,)
+    assert (idx == 4242).mean() > 0.9
+    assert ((idx >= 0) & (idx < dim)).all()
+
+
+def test_engine_sample_hierarchical(rng):
+    """engine.sample at n=17/f32 routes through the batched pallas path and
+    matches the flat-scan statistics."""
+    from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+
+    psi = random_state(N, rng)
+    eng = StateVectorEngine(Register(L=N, M=0), dtype=jnp.complex64)
+    state = planar_of(psi)
+    idx = np.asarray(eng.sample(state, jax.random.PRNGKey(3), 256))
+    assert idx.shape == (256,)
+    # empirical mean probability of sampled indices should be far above
+    # uniform (sampling weights by |amp|^2)
+    probs = np.abs(psi) ** 2
+    assert probs[idx].mean() > probs.mean()
+
+
 def test_engine_measure_uses_hierarchical_path(rng):
     # f32 state at n=17 routes through the pallas reduction inside the
     # jitted measure program; collapse must still be a valid one-hot.
