@@ -168,6 +168,68 @@ def compose_ops(ops) -> tuple:
     return tuple(o for o in out if o is not None)
 
 
+LANEMAT_MIN = 2  # lane-class 1q ops per segment before they fuse to one MXU matmul
+ROWMAT_MIN = 2
+
+
+def _expand_1q(u: np.ndarray, bit: int, nbits: int) -> np.ndarray:
+    """u acting on `bit` of an nbits-wide index as a dense 2^nbits matrix."""
+    hi = np.eye(1 << (nbits - 1 - bit), dtype=np.complex128)
+    lo = np.eye(1 << bit, dtype=np.complex128)
+    return np.kron(hi, np.kron(u, lo))
+
+
+def matmul_group_ops(ops):
+    """Rewrite each segment's lane-class (q <= 6) and row-class (7..12)
+    1q ops into single MXU matmuls.
+
+    All 1q ops on distinct qubits commute, so within a barrier-free span
+    the lane ops compose into ONE 128x128 operator on the lane index and
+    the row ops into ONE 64x64 operator on the sublane-group index.  The
+    MXU applies these at a fraction of the VPU's roll+select cost, which
+    is what bounds dense-chain throughput (~12 VPU ops/elem per butterfly
+    measured on v5e).  Returns (ops', matrices) where matrices[i] is the
+    (2, S, S) f32 [W_re^T | W_im^T] operand for table index i."""
+    out: list = []
+    mats: list = []
+    lane: list = []  # (2x2 matrix, qubit)
+    rows: list = []
+
+    def emit(group, nbits, size):
+        if not group:
+            return
+        if len(group) < (LANEMAT_MIN if size == LANE else ROWMAT_MIN):
+            out.extend(op for op, _ in group)
+            return
+        w = np.eye(size, dtype=np.complex128)
+        for op, m2 in group:
+            w = _expand_1q(m2, op[1] if size == LANE else op[1] - 7, nbits) @ w
+        wt = w.T  # out = x @ W^T
+        real_only = bool(np.all(np.abs(wt.imag) < 1e-300))
+        tab = np.stack([wt.real, wt.imag]).astype(np.float32)
+        kind = "lanemat" if size == LANE else "rowmat"
+        out.append((kind, len(mats), real_only))
+        mats.append(tab)
+
+    def flush():
+        emit(lane, 7, LANE)
+        emit(rows, 6, 64)
+        lane.clear()
+        rows.clear()
+
+    for op in ops:
+        m2 = _op_matrix_2x2(op)
+        if m2 is not None and op[1] <= 6:
+            lane.append((op, m2))
+        elif m2 is not None and 7 <= op[1] <= 12:
+            rows.append((op, m2))
+        else:
+            flush()
+            out.append(op)
+    flush()
+    return tuple(out), mats
+
+
 def plan_circuit(circuit: Circuit, n: int, M: int, max_axes: int = MAX_AXES, fuse_oracle: bool = False):
     """Segment a circuit into fused runs and single gates.
 
@@ -490,6 +552,44 @@ def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, 
                         subs_im[bits] = jnp.where(bit1, nre * ps + nim * pc, nim)
                     else:
                         subs_re[bits], subs_im[bits] = nre, nim
+        elif kind == "lanemat":
+            # Composed lane-class (q <= 6) 1q ops as ONE 128x128 MXU matmul
+            # per sub-array: out = x @ W^T (see matmul_group_ops).
+            ti, real_only = op[1], op[2]
+            tab = tables[ti]
+            wrt = tab[0]
+            hp = jax.lax.Precision.HIGHEST
+            for bits in product((0, 1), repeat=m):
+                xr, xi = subs_re[bits], subs_im[bits]
+                if real_only:
+                    subs_re[bits] = jnp.dot(xr, wrt, precision=hp)
+                    subs_im[bits] = jnp.dot(xi, wrt, precision=hp)
+                else:
+                    wit = tab[1]
+                    subs_re[bits] = jnp.dot(xr, wrt, precision=hp) - jnp.dot(xi, wit, precision=hp)
+                    subs_im[bits] = jnp.dot(xr, wit, precision=hp) + jnp.dot(xi, wrt, precision=hp)
+        elif kind == "rowmat":
+            # Composed row-class (7..12) 1q ops as a 64x64 operator on each
+            # 64-sublane group: out_g = V @ x_g (W^T operand => V = tab^T).
+            ti, real_only = op[1], op[2]
+            tab = tables[ti]
+            hp = jax.lax.Precision.HIGHEST
+            vr = tab[0].T
+            vi = None if real_only else tab[1].T
+            for bits in product((0, 1), repeat=m):
+                xr, xi = subs_re[bits], subs_im[bits]
+                nre, nim = [], []
+                for g2 in range(bi // 64):
+                    sl = slice(g2 * 64, (g2 + 1) * 64)
+                    xrg, xig = xr[sl], xi[sl]
+                    if real_only:
+                        nre.append(jnp.dot(vr, xrg, precision=hp))
+                        nim.append(jnp.dot(vr, xig, precision=hp))
+                    else:
+                        nre.append(jnp.dot(vr, xrg, precision=hp) - jnp.dot(vi, xig, precision=hp))
+                        nim.append(jnp.dot(vi, xrg, precision=hp) + jnp.dot(vr, xig, precision=hp))
+                subs_re[bits] = jnp.concatenate(nre, 0) if len(nre) > 1 else nre[0]
+                subs_im[bits] = jnp.concatenate(nim, 0) if len(nim) > 1 else nim[0]
         elif kind == "camodc_k":
             # Controlled modular multiply as a Benes network: a palindrome of
             # conditional pair exchanges over the M-register bits, gated by
@@ -567,6 +667,20 @@ def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M
             )
         else:
             kops.append(op)
+    # Compose lane/row 1q chains into MXU matmuls (f32 planes only: the
+    # matrices are staged as f32 operands).
+    if re.dtype == jnp.float32:
+        grouped, mats = matmul_group_ops(tuple(kops))
+        off = len(tables)
+        kops = [
+            (op[0], op[1] + off, op[2]) if op[0] in ("lanemat", "rowmat") else op
+            for op in grouped
+        ]
+        for tab in mats:
+            tables.append(jnp.asarray(tab))
+            table_specs.append(
+                pl.BlockSpec(tab.shape, lambda *p: (0, 0, 0), memory_space=pltpu.VMEM)
+            )
     kernel = partial(_fused_kernel, ops=tuple(kops), lay=lay, M=M, n_tables=len(tables))
     ore, oim = pl.pallas_call(
         kernel,
