@@ -171,6 +171,19 @@ def apply_circuit_sharded(
             norms.append(lax.psum(jnp.sum(jnp.real(zz * jnp.conj(zz))), AXIS))
         return zz
 
+    if fuse:
+        # m_high oracle runs fuse into composed ladders: ONE ppermute
+        # rotation instead of one per gate (K-fold less ICI volume).
+        from quantumcomputer_tpu.sim.engine import fuse_oracle_ladders
+
+        def _eligible(g: Gate) -> bool:
+            return (
+                g.name == "camodc_high"
+                and g.meta[0] * (1 << g.meta[2]) < (1 << 31)  # int32 combo*f bound
+            )
+
+        circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible)
+
     n_local = n - d
     if backend != "pallas" or not fuse or n_local < 14:
         for g in circuit:
@@ -331,6 +344,45 @@ def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str =
         col = lax.iota(jnp.int32, rest)
         ctrl = ((col >> c_phys) & 1) == 1
         return jnp.where(ctrl[None, :], acc, x).reshape(z.shape)
+
+    if name == "camodc_ladder_high":
+        # A fused RUN of m_high oracles on the mesh (see engine.fuse_oracle_
+        # ladders): the composed source row depends on the COLUMN's control
+        # bits (all shard-local), so ONE D-round ppermute rotation replaces
+        # K of them — the collective volume drops K-fold.  Row selection
+        # within each incoming block is a per-element gather (the source
+        # row varies per column).
+        C, m_reg = g.meta[0], g.meta[1]
+        A_list = g.meta[2:]
+        controls = g.qubits
+        assert d <= m_reg
+        from quantumcomputer_tpu.ops.gates import modexp_combo_multipliers
+
+        rest = 1 << (n - m_reg)
+        R = (1 << m_reg) >> d
+        combos = jnp.asarray(modexp_combo_multipliers(C, A_list), jnp.int32)
+        col = lax.iota(jnp.int32, rest)
+        bits = jnp.zeros_like(col)
+        for k, c in enumerate(controls):
+            bits = bits | (((col >> c) & 1) << k)
+        mult = combos[bits]  # (rest,)
+        x = z.reshape(R, rest)
+        f_out = (me * R + lax.iota(jnp.int32, R))[:, None]  # global output rows
+        src = jnp.where(f_out < C, (mult[None, :] * f_out) % C, f_out)  # (R, rest)
+        src_dev = src // R
+        src_loc = src % R
+        # Statically conservative: every offset may be needed by some
+        # (row, mask) pair somewhere on the mesh.
+        acc = x
+        for delta in range(D):
+            if delta == 0:
+                incoming, src_of = x, me
+            else:
+                incoming = lax.ppermute(x, AXIS, [(p, (p + delta) % D) for p in range(D)])
+                src_of = (me - delta) % D
+            gathered = jnp.take_along_axis(incoming, src_loc, axis=0)
+            acc = jnp.where(src_dev == src_of, gathered, acc)
+        return acc.reshape(z.shape)
 
     if name == "iqft_stage":
         l = g.qubits[0]

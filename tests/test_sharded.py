@@ -239,6 +239,37 @@ def test_sharded_mhigh_guardrails():
         ShardedStateVectorEngine(Register(L=5, M=2), dtype=jnp.complex128, mesh=mesh, layout="m_high")
 
 
+def test_ici_device_ordering():
+    """Multi-host/DCN policy: devices sort by comm domain so low mesh bits
+    stay intra-slice (ICI) and only high bits cross DCN (SURVEY.md §5)."""
+    from dataclasses import dataclass
+
+    from quantumcomputer_tpu.parallel import mesh as pm
+
+    @dataclass
+    class Dev:
+        id: int
+        slice_index: int
+
+    # interleaved arrival order across two slices
+    devs = [Dev(0, 1), Dev(1, 0), Dev(2, 1), Dev(3, 0), Dev(4, 0), Dev(5, 1), Dev(6, 0), Dev(7, 1)]
+    ordered = pm.order_devices_for_ici(devs)
+    assert [d.slice_index for d in ordered] == [0, 0, 0, 0, 1, 1, 1, 1]
+    assert [d.id for d in ordered[:4]] == [1, 3, 4, 6]
+    # single-domain devices keep their natural id order
+    flat = [Dev(i, 0) for i in (3, 1, 2, 0)]
+    assert [d.id for d in pm.order_devices_for_ici(flat)] == [0, 1, 2, 3]
+
+
+def test_ici_degree():
+    from dataclasses import dataclass
+
+    from quantumcomputer_tpu.parallel import mesh as pm
+
+    mesh = build_mesh(num_devices=8)  # CPU: one comm domain
+    assert pm.ici_degree(mesh) == 3  # all exchanges "ICI"
+
+
 def test_sharded_norm_trace():
     # FIG. 2 regression across the mesh: per-gate psum'd norms stay at 1.
     multi = sharded_engine(3, 4)
