@@ -168,7 +168,7 @@ def compose_ops(ops) -> tuple:
     return tuple(o for o in out if o is not None)
 
 
-LANEMAT_MIN = 2  # lane-class 1q ops per segment before they fuse to one MXU matmul
+LANEMAT_MIN = 2  # lane-class ops per segment before they fuse to one MXU matmul
 ROWMAT_MIN = 2
 
 
@@ -179,53 +179,117 @@ def _expand_1q(u: np.ndarray, bit: int, nbits: int) -> np.ndarray:
     return np.kron(hi, np.kron(u, lo))
 
 
-def matmul_group_ops(ops):
-    """Rewrite each segment's lane-class (q <= 6) and row-class (7..12)
-    1q ops into single MXU matmuls.
+def _lane_op_matrix(op: tuple, M: int) -> Optional[np.ndarray]:
+    """128x128 matrix of an op supported ENTIRELY on the lane bits [0, 7),
+    or None.  Composition order is preserved, so non-commuting lane ops
+    (e.g. iQFT stages) chain exactly."""
+    m2 = _op_matrix_2x2(op)
+    if m2 is not None:
+        return _expand_1q(m2, op[1], 7) if op[1] <= 6 else None
+    if op[0] == "diag2" and op[1] <= 6 and op[2] <= 6:
+        v = op[3]
+        d = np.array(v[:4]) + 1j * np.array(v[4:])
+        lane = np.arange(LANE)
+        return np.diag(d[2 * ((lane >> op[1]) & 1) + ((lane >> op[2]) & 1)])
+    if op[0] == "iqft" and op[1] <= 6:
+        # H(l) then the closed-form ladder diagonal down to M — the whole
+        # stage lives on lane bits, so the iQFT's lane-stage suffix
+        # composes into the lane matrix (it IS the 2^(l+1)-point no-swap
+        # inverse QFT block).
+        l = op[1]
+        h = _expand_1q(np.array([[_SQRT1_2, _SQRT1_2], [_SQRT1_2, -_SQRT1_2]]), l, 7)
+        lane = np.arange(LANE)
+        mask = (1 << l) - (1 << M) if l > M else 0
+        theta = np.pi * (lane & mask) / float(1 << l)
+        phase = np.where(((lane >> l) & 1) == 1, np.exp(1j * theta), 1.0)
+        return np.diag(phase) @ h
+    return None
 
-    All 1q ops on distinct qubits commute, so within a barrier-free span
-    the lane ops compose into ONE 128x128 operator on the lane index and
-    the row ops into ONE 64x64 operator on the sublane-group index.  The
-    MXU applies these at a fraction of the VPU's roll+select cost, which
-    is what bounds dense-chain throughput (~12 VPU ops/elem per butterfly
-    measured on v5e).  Returns (ops', matrices) where matrices[i] is the
-    (2, S, S) f32 [W_re^T | W_im^T] operand for table index i."""
+
+def _row_op_matrix(op: tuple, M: int) -> Optional[np.ndarray]:
+    """64x64 matrix of an op supported entirely on row bits [7, 13)."""
+    m2 = _op_matrix_2x2(op)
+    if m2 is not None:
+        return _expand_1q(m2, op[1] - 7, 6) if 7 <= op[1] <= 12 else None
+    if op[0] == "diag2" and 7 <= op[2] and op[1] <= 12:
+        v = op[3]
+        d = np.array(v[:4]) + 1j * np.array(v[4:])
+        r = np.arange(64)
+        return np.diag(d[2 * ((r >> (op[1] - 7)) & 1) + ((r >> (op[2] - 7)) & 1)])
+    if op[0] == "iqft" and 7 <= op[1] <= 12 and M >= 7:
+        l = op[1]
+        h = _expand_1q(np.array([[_SQRT1_2, _SQRT1_2], [_SQRT1_2, -_SQRT1_2]]), l - 7, 6)
+        r = np.arange(64)
+        mask = ((1 << l) - (1 << M)) >> 7
+        theta = np.pi * (r & mask) / float(1 << (l - 7))
+        phase = np.where(((r >> (l - 7)) & 1) == 1, np.exp(1j * theta), 1.0)
+        return np.diag(phase) @ h
+    return None
+
+
+def _is_neutral(op: tuple) -> bool:
+    """Ops on bits >= 13 only: commute with both lane and row chains, so
+    they pass through a pending group without flushing it."""
+    if op[0] in ("u1q", "diag1"):
+        return op[1] >= 13
+    if op[0] == "diag2":
+        return op[2] >= 13
+    return False
+
+
+def matmul_group_ops(ops, M: int):
+    """Rewrite each segment's lane-supported (bits < 7) and row-supported
+    (bits 7..12) op chains into single MXU matmuls.
+
+    Ops on disjoint bit classes commute, so the lane chain composes (in
+    order — non-commuting ops within the chain are fine) into ONE 128x128
+    operator on the lane index and the row chain into ONE 64x64 operator
+    per sublane group; this includes the iQFT's lane-stage suffix and
+    lane-local controlled phases.  The MXU applies these at a fraction of
+    the VPU's roll+select cost (~12 ops/elem per butterfly on v5e), which
+    otherwise bounds dense-chain throughput.  Returns (ops', matrices)
+    with matrices[i] the (2, S, S) f32 [W^T_re | W^T_im] table operand."""
     out: list = []
     mats: list = []
-    lane: list = []  # (2x2 matrix, qubit)
+    lane: list = []  # (op, matrix)
     rows: list = []
 
-    def emit(group, nbits, size):
+    def emit(group, size, min_ops):
         if not group:
             return
-        if len(group) < (LANEMAT_MIN if size == LANE else ROWMAT_MIN):
+        has_iqft = any(op[0] == "iqft" for op, _ in group)
+        if len(group) < min_ops and not has_iqft:
             out.extend(op for op, _ in group)
             return
         w = np.eye(size, dtype=np.complex128)
-        for op, m2 in group:
-            w = _expand_1q(m2, op[1] if size == LANE else op[1] - 7, nbits) @ w
-        wt = w.T  # out = x @ W^T
+        for _, wg in group:
+            w = wg @ w
+        wt = w.T  # kernel computes out = x @ W^T
         real_only = bool(np.all(np.abs(wt.imag) < 1e-300))
         tab = np.stack([wt.real, wt.imag]).astype(np.float32)
-        kind = "lanemat" if size == LANE else "rowmat"
-        out.append((kind, len(mats), real_only))
+        out.append(("lanemat" if size == LANE else "rowmat", len(mats), real_only))
         mats.append(tab)
 
     def flush():
-        emit(lane, 7, LANE)
-        emit(rows, 6, 64)
+        emit(lane, LANE, LANEMAT_MIN)
+        emit(rows, 64, ROWMAT_MIN)
         lane.clear()
         rows.clear()
 
     for op in ops:
-        m2 = _op_matrix_2x2(op)
-        if m2 is not None and op[1] <= 6:
-            lane.append((op, m2))
-        elif m2 is not None and 7 <= op[1] <= 12:
-            rows.append((op, m2))
-        else:
-            flush()
+        wl = _lane_op_matrix(op, M)
+        if wl is not None:
+            lane.append((op, wl))
+            continue
+        wr = _row_op_matrix(op, M)
+        if wr is not None:
+            rows.append((op, wr))
+            continue
+        if _is_neutral(op):
             out.append(op)
+            continue
+        flush()
+        out.append(op)
     flush()
     return tuple(out), mats
 
@@ -670,7 +734,7 @@ def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M
     # Compose lane/row 1q chains into MXU matmuls (f32 planes only: the
     # matrices are staged as f32 operands).
     if re.dtype == jnp.float32:
-        grouped, mats = matmul_group_ops(tuple(kops))
+        grouped, mats = matmul_group_ops(tuple(kops), M)
         off = len(tables)
         kops = [
             (op[0], op[1] + off, op[2]) if op[0] in ("lanemat", "rowmat") else op
