@@ -133,6 +133,57 @@ def IQFT_STAGE(l: int) -> Gate:
 
 
 # ---------------------------------------------------------------------------
+# Adjoints.  Circuits are unitary, so the dagger circuit applies the exact
+# inverse — this powers O(1)-memory backpropagation through the engines
+# (the cotangent transforms by U^dagger; see engine._adjoint_vjp).
+
+
+def dagger_gate(g: Gate, M: int = 0) -> Tuple[Gate, ...]:
+    """The adjoint of one gate as a (possibly multi-)gate sequence.
+    `M` resolves the iQFT stage's ladder boundary (engine-supplied)."""
+    name = g.name
+    if name in ("h", "x", "y", "z", "cnot", "swap", "cz"):
+        return (g,)  # self-adjoint
+    if name in ("phase", "rx", "ry", "rz"):
+        return (Gate(name, g.qubits, (-g.params[0],)),)
+    if name == "cphase":
+        return (Gate(name, g.qubits, (-g.params[0],)),)
+    if name == "u1q":
+        m = np.array(g.matrix, dtype=np.complex128)
+        return (U1Q(g.qubits[0], m.conj().T),)
+    if name == "u2q":
+        m = np.array(g.matrix, dtype=np.complex128)
+        return (U2Q(g.qubits[0], g.qubits[1], m.conj().T),)
+    if name == "camodc":
+        C, atox = g.meta
+        return (CAMODC(C, pow(int(atox) % C, -1, C), g.qubits[0]),)
+    if name == "camodc_high":
+        C, atox, m_reg = g.meta
+        return (Gate("camodc_high", g.qubits, meta=(C, pow(int(atox) % C, -1, C), m_reg)),)
+    if name in ("camodc_ladder", "camodc_ladder_high"):
+        C, m_reg = g.meta[0], g.meta[1]
+        inv = tuple(pow(int(A) % C, -1, C) for A in g.meta[2:])
+        return (Gate(name, g.qubits, meta=(C, m_reg) + inv),)
+    if name == "iqft_stage":
+        # stage = H(l) then CP(l, k, pi/2^(l-k)) for k = l-1..M; the dagger
+        # reverses with negated angles and the H last.
+        l = g.qubits[0]
+        ladder = tuple(
+            Gate("cphase", (l, k), (-math.pi / (1 << (l - k)),)) for k in range(M, l)
+        )
+        return ladder + (H(l),)
+    raise ValueError(f"no adjoint rule for gate {g}")
+
+
+def dagger_circuit(circuit: Circuit, M: int = 0) -> Circuit:
+    """U^dagger of a whole circuit: reversed gate-wise adjoints."""
+    out: list = []
+    for g in reversed(circuit):
+        out.extend(dagger_gate(g, M))
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
 # Dense matrices for the standard set (numpy, complex128) — used by both the
 # engine dispatch and the CPU oracle in tests.
 

@@ -482,18 +482,31 @@ class ShardedStateVectorEngine:
         fn = self._run_cache.get(circuit)
         if fn is None:
             n, M, d, backend = self.register.n, self.m_eff, self.d, self.backend
+            from quantumcomputer_tpu.models.circuit import dagger_circuit
 
-            def body(planar):  # local view: (2, 2^(n-d))
-                me = lax.axis_index(AXIS)
-                z = sv.to_complex(planar)
-                z = apply_circuit_sharded(z, circuit, n=n, M=M, d=d, me=me, backend=backend)
-                return sv.from_complex(z)
+            adj = dagger_circuit(circuit, M)
 
-            smapped = jax.shard_map(
-                body, mesh=self.mesh, in_specs=(P(None, AXIS),), out_specs=P(None, AXIS),
-                check_vma=False,  # pallas_call out_shapes carry no vma info
-            )
-            fn = jax.jit(smapped, donate_argnums=(0,))
+            def _body_of(circ):
+                def body(planar):  # local view: (2, 2^(n-d))
+                    me = lax.axis_index(AXIS)
+                    z = sv.to_complex(planar)
+                    z = apply_circuit_sharded(z, circ, n=n, M=M, d=d, me=me, backend=backend)
+                    return sv.from_complex(z)
+
+                return jax.shard_map(
+                    body, mesh=self.mesh, in_specs=(P(None, AXIS),), out_specs=P(None, AXIS),
+                    check_vma=False,  # pallas_call out_shapes carry no vma info
+                )
+
+            run_impl = _body_of(circuit)
+            adj_impl = _body_of(adj)
+
+            # Exact O(1)-memory adjoint backprop, like the single-chip
+            # engine: the cotangent transforms by U^dagger across the mesh.
+            run = jax.custom_vjp(run_impl)
+            run.defvjp(lambda p: (run_impl(p), None), lambda _, ct: (adj_impl(ct),))
+
+            fn = jax.jit(run, donate_argnums=(0,))
             self._run_cache[circuit] = fn
         return fn
 

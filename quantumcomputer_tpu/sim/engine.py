@@ -316,13 +316,33 @@ class StateVectorEngine:
                     )
 
             else:
+                # Unitary circuits back-propagate exactly with O(1) memory:
+                # the cotangent transforms by U^dagger (the real-linear
+                # transpose of the complex-linear map IS the adjoint
+                # circuit), so no intermediate states are ever saved and
+                # the Pallas kernels need no per-op derivative rules.
+                from quantumcomputer_tpu.models.circuit import dagger_circuit
 
-                def run(planar):
+                adj = dagger_circuit(circuit, M)
+
+                def run_impl(planar):
                     state = sv.to_complex(planar)
                     state = apply_circuit(
                         state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks
                     )
                     return sv.from_complex(state)
+
+                run = jax.custom_vjp(run_impl)
+
+                def _fwd(planar):
+                    return run_impl(planar), None
+
+                def _bwd(_, ct):
+                    z = sv.to_complex(ct)
+                    z = apply_circuit(z, adj, M, backend, fuse, oracle)
+                    return (sv.from_complex(z),)
+
+                run.defvjp(_fwd, _bwd)
 
             fn = jax.jit(run, donate_argnums=(0,))
             self._run_cache[key] = fn
