@@ -104,4 +104,74 @@ uint64_t qc_mult_order(uint64_t a, uint64_t C) {
     return p;
 }
 
+// Modular inverse of a mod C via extended Euclid; 0 when gcd(a, C) != 1.
+uint64_t qc_modinv(uint64_t a, uint64_t C) {
+    int64_t t = 0, newt = 1;
+    int64_t r = (int64_t)C, newr = (int64_t)(a % C);
+    while (newr != 0) {
+        int64_t q = r / newr;
+        int64_t tmp = t - q * newt; t = newt; newt = tmp;
+        tmp = r - q * newr; r = newr; newr = tmp;
+    }
+    if (r != 1) return 0;
+    if (t < 0) t += (int64_t)C;
+    return (uint64_t)t;
+}
+
+// Cycle schedule for the cycle-ordered oracle kernel
+// (quantumcomputer_tpu/ops/pallas_oracle.py): order output rows along the
+// permutation's cycles so each input row is read exactly once.  prev_kind:
+// 0 = chain from the previous step's source, 1 = fresh read (cycle head),
+// 2 = self (fixed point).  ginv[j] = source row for output row j.
+void qc_cycle_schedule(const int32_t* ginv, int64_t rows,
+                       int32_t* out_row, int32_t* src_row, int32_t* prev_kind) {
+    // visited bitmap on the stack-ish heap; rows <= 2^24 in practice.
+    uint8_t* visited = new uint8_t[rows]();
+    int64_t t = 0;
+    for (int64_t j0 = 0; j0 < rows; ++j0) {
+        if (visited[j0]) continue;
+        if (ginv[j0] == (int32_t)j0) {
+            out_row[t] = (int32_t)j0;
+            src_row[t] = (int32_t)j0;
+            prev_kind[t] = 2;
+            visited[j0] = 1;
+            ++t;
+            continue;
+        }
+        int64_t j = j0;
+        int32_t first = 1;
+        while (!visited[j]) {
+            visited[j] = 1;
+            out_row[t] = (int32_t)j;
+            src_row[t] = ginv[j];
+            prev_kind[t] = first;
+            first = 0;
+            ++t;
+            j = (int64_t)ginv[j];
+        }
+    }
+    delete[] visited;
+}
+
+// Composed inverse multipliers for a fused run of modular multiplies
+// (ops/gates.modexp_combo_multipliers): combos[mask] =
+// prod_k (A_k^{-1})^{bit_k(mask)} mod C.  Returns 0 on success, -1 when
+// some A_k is not invertible mod C.
+int qc_combo_multipliers(uint64_t C, const uint64_t* A, int K, uint64_t* combos) {
+    uint64_t ainv[32];
+    if (K > 32) return -1;
+    for (int k = 0; k < K; ++k) {
+        ainv[k] = qc_modinv(A[k] % C, C);
+        if (ainv[k] == 0 && C != 1) return -1;
+    }
+    combos[0] = 1 % C;
+    for (uint64_t mask = 1; mask < ((uint64_t)1 << K); ++mask) {
+        uint64_t low = mask & (~mask + 1);
+        int k = 0;
+        while (!((low >> k) & 1)) ++k;
+        combos[mask] = mulmod(combos[mask ^ low], ainv[k], C);
+    }
+    return 0;
+}
+
 }  // extern "C"

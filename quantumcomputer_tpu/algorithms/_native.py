@@ -66,6 +66,23 @@ def load() -> Optional[ctypes.CDLL]:
         ]
         lib.qc_mult_order.restype = ctypes.c_uint64
         lib.qc_mult_order.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
+        lib.qc_modinv.restype = ctypes.c_uint64
+        lib.qc_modinv.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
+        lib.qc_cycle_schedule.restype = None
+        lib.qc_cycle_schedule.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.qc_combo_multipliers.restype = ctypes.c_int
+        lib.qc_combo_multipliers.argtypes = [
+            ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
         _lib = lib
         return _lib
 
@@ -96,3 +113,34 @@ def find_period_from_omega(omega: float, a: int, C: int, num_fractions: int, tri
 def multiplicative_order(a: int, C: int) -> Optional[int]:
     p = int(load().qc_mult_order(a, C))
     return p if p > 0 else None
+
+
+def cycle_schedule(ginv):
+    """Native cycle-order schedule for the oracle kernel; returns three
+    int32 numpy arrays (out_row, src_row, prev_kind)."""
+    import numpy as np
+
+    g = np.ascontiguousarray(ginv, np.int32)
+    rows = len(g)
+    out_row = np.empty(rows, np.int32)
+    src_row = np.empty(rows, np.int32)
+    prev_kind = np.empty(rows, np.int32)
+    p = ctypes.POINTER(ctypes.c_int32)
+    load().qc_cycle_schedule(
+        g.ctypes.data_as(p), rows,
+        out_row.ctypes.data_as(p), src_row.ctypes.data_as(p), prev_kind.ctypes.data_as(p),
+    )
+    return out_row, src_row, prev_kind
+
+
+def combo_multipliers(C: int, A_list):
+    """Native composed inverse multipliers; returns a uint64 numpy array of
+    size 2^len(A_list), or None when some A is not invertible mod C."""
+    import numpy as np
+
+    K = len(A_list)
+    a = np.ascontiguousarray(A_list, np.uint64)
+    out = np.empty(1 << K, np.uint64)
+    p64 = ctypes.POINTER(ctypes.c_uint64)
+    rc = load().qc_combo_multipliers(C, a.ctypes.data_as(p64), K, out.ctypes.data_as(p64))
+    return out if rc == 0 else None

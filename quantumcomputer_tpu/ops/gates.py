@@ -323,7 +323,15 @@ def modexp_combo_multipliers(C: int, A_list) -> np.ndarray:
     The controlled modular-multiply gates all multiply the work register by
     constants mod C, so THEY COMMUTE: a run of K such gates composes into a
     single permutation whose multiplier depends only on the K control bits.
-    combo enumerates all 2^K composed inverse multipliers."""
+    combo enumerates all 2^K composed inverse multipliers (computed by the
+    native C++ layer when available; Python fallback below)."""
+    from quantumcomputer_tpu.algorithms import _native
+
+    if _native.available():
+        out = _native.combo_multipliers(int(C), [int(A) % C for A in A_list])
+        if out is None:
+            raise ValueError(f"some multiplier not coprime to C={C}: not a permutation")
+        return out.astype(np.int64)
     K = len(A_list)
     ainvs = [pow(int(A) % C, -1, C) for A in A_list]
     combos = np.ones(1 << K, np.int64)

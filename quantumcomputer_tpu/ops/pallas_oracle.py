@@ -224,7 +224,15 @@ def cycle_schedule(ginv: np.ndarray):
 
     Returns (out_row, src_row, prev_kind) int32 arrays; prev_kind:
     0 = chain (previous step's source), 1 = fresh read of out_row,
-    2 = self (fixed point: source IS the row)."""
+    2 = self (fixed point: source IS the row).
+
+    Computed by the native C++ layer when available (large M means a
+    2^M-step walk; native/qc_classical.cpp:qc_cycle_schedule), with this
+    Python walk as the behavioral reference and fallback."""
+    from quantumcomputer_tpu.algorithms import _native
+
+    if _native.available():
+        return _native.cycle_schedule(np.asarray(ginv, np.int32))
     rows = len(ginv)
     out_row = np.empty(rows, np.int32)
     src_row = np.empty(rows, np.int32)

@@ -603,6 +603,42 @@ class ShardedStateVectorEngine:
         idx, collapsed = fn(state, key)
         return int(idx), collapsed
 
+    def sample(self, state: jax.Array, key: jax.Array, shots: int) -> jax.Array:
+        """Draw `shots` independent basis indices from |amp|^2 WITHOUT
+        collapsing, across the mesh: per-shard totals are all_gathered for
+        the device-level pick, then each shot scans only its own shard
+        (same two-level inverse-CDF as measure())."""
+        fn = self._run_cache.get(("__sample__", shots))
+        if fn is None:
+            n = self.register.n
+            rdtype = self.real_dtype
+
+            def body(planar, k):
+                me = lax.axis_index(AXIS)
+                ls = planar.shape[-1]
+                probs = sv.probabilities(planar)
+                rs = jax.random.uniform(k, (shots,), dtype=rdtype)  # same on all shards
+                totals = lax.all_gather(jnp.sum(probs), AXIS)  # (D,)
+                cum_dev = jnp.cumsum(totals)
+                scaled = rs * cum_dev[-1]
+                dev = jnp.minimum(jnp.searchsorted(cum_dev, scaled, side="left"), totals.shape[0] - 1)
+                offset = cum_dev[dev] - totals[dev]
+                local_cum = jnp.cumsum(probs)
+                li = jnp.minimum(
+                    jnp.searchsorted(local_cum, scaled - offset, side="left"), ls - 1
+                )
+                idt = _index_dtype(n)
+                cand = jnp.where(dev == me, dev.astype(idt) * ls + li.astype(idt), 0)
+                return lax.psum(cand, AXIS)
+
+            smapped = jax.shard_map(
+                body, mesh=self.mesh, in_specs=(P(None, AXIS), P()), out_specs=P(),
+                check_vma=False,
+            )
+            fn = jax.jit(smapped)
+            self._run_cache[("__sample__", shots)] = fn
+        return fn(state, key)
+
     # -- inspection ----------------------------------------------------------
 
     def probabilities(self, state: jax.Array) -> jax.Array:

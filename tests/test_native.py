@@ -62,6 +62,62 @@ def test_mult_order_matches():
             assert got == want or (want is None and got is None), (a, C)
 
 
+def test_cycle_schedule_native_matches_python():
+    from quantumcomputer_tpu.algorithms import _native
+    from quantumcomputer_tpu.ops.gates import modmul_inverse_permutation
+
+    if not _native.available():
+        pytest.skip("native library unavailable")
+    import numpy as np
+
+    for C, A, M in [(15, 7, 4), (251, 13, 8), (8191, 3, 13)]:
+        ginv = np.asarray(modmul_inverse_permutation(C, A, M), np.int32)
+        o1, s1, k1 = _native.cycle_schedule(ginv)
+        # Python reference walk (the fallback path in pallas_oracle)
+        rows = len(ginv)
+        visited = np.zeros(rows, bool)
+        o2 = np.empty(rows, np.int32); s2 = np.empty(rows, np.int32); k2 = np.empty(rows, np.int32)
+        t = 0
+        for j0 in range(rows):
+            if visited[j0]:
+                continue
+            if ginv[j0] == j0:
+                o2[t], s2[t], k2[t] = j0, j0, 2
+                visited[j0] = True
+                t += 1
+                continue
+            j, first = j0, True
+            while not visited[j]:
+                visited[j] = True
+                o2[t], s2[t], k2[t] = j, ginv[j], 1 if first else 0
+                first = False
+                t += 1
+                j = int(ginv[j])
+        assert np.array_equal(o1, o2) and np.array_equal(s1, s2) and np.array_equal(k1, k2)
+
+
+def test_combo_multipliers_native_matches_python():
+    from quantumcomputer_tpu.algorithms import _native
+
+    if not _native.available():
+        pytest.skip("native library unavailable")
+    import numpy as np
+
+    C = 8191
+    A = [pow(3, 1 << k, C) for k in range(5)]
+    got = _native.combo_multipliers(C, A)
+    want = np.ones(32, np.int64)
+    for mask in range(1, 32):
+        v = 1
+        for k in range(5):
+            if (mask >> k) & 1:
+                v = (v * pow(A[k], -1, C)) % C
+        want[mask] = v
+    assert np.array_equal(got.astype(np.int64), want)
+    # non-invertible multiplier -> None
+    assert _native.combo_multipliers(12, [4]) is None
+
+
 def test_dispatch_uses_native():
     # The public API must produce identical results with and without native.
     assert nt.find_period_from_omega(0.25, 7, 15, use_native=True) == 4

@@ -239,6 +239,21 @@ def test_sharded_mhigh_guardrails():
         ShardedStateVectorEngine(Register(L=5, M=2), dtype=jnp.complex128, mesh=mesh, layout="m_high")
 
 
+def test_sharded_sample():
+    """Non-collapsing batched sampling across the mesh: indices weight by
+    |amp|^2 and land on the period-4 harmonics' support for Shor-15."""
+    from quantumcomputer_tpu.algorithms.shor import read_omega
+
+    multi = sharded_engine(3, 4)
+    state = multi.run(shor_circuit(15, 7, 3, 4))
+    idx = np.asarray(multi.sample(state, jax.random.PRNGKey(9), 200))
+    assert idx.shape == (200,)
+    for i in idx:
+        assert read_omega(int(i), 3, 4) in (0.0, 0.25, 0.5, 0.75)
+    # state NOT collapsed: norm still 1 and support unchanged
+    assert abs(multi.norm(state) - 1.0) < 1e-12
+
+
 def test_ici_device_ordering():
     """Multi-host/DCN policy: devices sort by comm domain so low mesh bits
     stay intra-slice (ICI) and only high bits cross DCN (SURVEY.md §5)."""
