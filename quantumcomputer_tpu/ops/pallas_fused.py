@@ -227,6 +227,10 @@ def _row_op_matrix(op: tuple, M: int) -> Optional[np.ndarray]:
     return None
 
 
+def _is_diagonal_op(op: tuple) -> bool:
+    return op[0] in ("diag1", "diag2")
+
+
 def _is_neutral(op: tuple) -> bool:
     """Ops on bits >= 13 only: commute with both lane and row chains, so
     they pass through a pending group without flushing it."""
@@ -237,6 +241,28 @@ def _is_neutral(op: tuple) -> bool:
     return False
 
 
+def _row_stage_parts(op: tuple, M: int):
+    """Split an iQFT row stage (7 <= l <= 12, M < 7) into a 64x64 row
+    operator (H(l) + the ROW part of the ladder diagonal) plus the
+    lane-cross residual angles theta(row6, lane): the stage's phase on
+    bit_l==1 elements factorizes exp(i(theta_row + theta_lane)), and the
+    lane part — exp(i*pi*(lane & lanemask)/2^l) gated on row bit l —
+    commutes with every other row/lane-diagonal op, so ALL stages'
+    residuals combine into one (64, 128) phase table."""
+    l = op[1]
+    h = _expand_1q(np.array([[_SQRT1_2, _SQRT1_2], [_SQRT1_2, -_SQRT1_2]]), l - 7, 6)
+    r = np.arange(64)
+    rowmask = ((1 << l) - (1 << M)) >> 7
+    th_row = np.pi * (r & rowmask) / float(1 << (l - 7))
+    gate = ((r >> (l - 7)) & 1) == 1
+    w = np.diag(np.where(gate, np.exp(1j * th_row), 1.0)) @ h
+    lanemask = ((1 << l) - (1 << M)) & (LANE - 1)
+    lane = np.arange(LANE)
+    th_lane = np.pi * (lane & lanemask) / float(1 << l)
+    theta = np.where(gate[:, None], th_lane[None, :], 0.0)  # (64, 128)
+    return w, theta
+
+
 def matmul_group_ops(ops, M: int):
     """Rewrite each segment's lane-supported (bits < 7) and row-supported
     (bits 7..12) op chains into single MXU matmuls.
@@ -245,16 +271,34 @@ def matmul_group_ops(ops, M: int):
     order — non-commuting ops within the chain are fine) into ONE 128x128
     operator on the lane index and the row chain into ONE 64x64 operator
     per sublane group; this includes the iQFT's lane-stage suffix and
-    lane-local controlled phases.  The MXU applies these at a fraction of
-    the VPU's roll+select cost (~12 ops/elem per butterfly on v5e), which
-    otherwise bounds dense-chain throughput.  Returns (ops', matrices)
-    with matrices[i] the (2, S, S) f32 [W^T_re | W^T_im] table operand."""
+    lane-local controlled phases.  iQFT ROW stages (whose ladder reaches
+    into the lanes) split into a row operator + a lane-cross residual; all
+    residuals in a chain combine into ONE (64, 128) phase-table multiply.
+    The MXU applies the chains at a fraction of the VPU's roll+select cost
+    (~12 ops/elem per butterfly on v5e), which otherwise bounds dense-chain
+    throughput.  Returns (ops', matrices) with matrices[i] the f32 table
+    operand for table index i."""
     out: list = []
     mats: list = []
     lane: list = []  # (op, matrix)
     rows: list = []
+    xtheta = np.zeros((64, LANE))  # accumulated lane-cross residual angles
+    has_xtheta = False
+    xtheta_bits: set = set()  # row qubits the residual is conditioned on
 
-    def emit(group, size, min_ops):
+    def emit_rows():
+        nonlocal has_xtheta, xtheta
+        _emit(rows, 64, ROWMAT_MIN)
+        rows.clear()
+        if has_xtheta:
+            tab = np.stack([np.cos(xtheta), np.sin(xtheta)]).astype(np.float32)
+            out.append(("xtable", len(mats)))
+            mats.append(tab)
+            xtheta = np.zeros((64, LANE))
+            has_xtheta = False
+        xtheta_bits.clear()
+
+    def _emit(group, size, min_ops):
         if not group:
             return
         has_iqft = any(op[0] == "iqft" for op, _ in group)
@@ -271,19 +315,40 @@ def matmul_group_ops(ops, M: int):
         mats.append(tab)
 
     def flush():
-        emit(lane, LANE, LANEMAT_MIN)
-        emit(rows, 64, ROWMAT_MIN)
+        emit_rows()
+        _emit(lane, LANE, LANEMAT_MIN)
         lane.clear()
-        rows.clear()
 
     for op in ops:
         wl = _lane_op_matrix(op, M)
         if wl is not None:
+            # A pending lane-cross residual is diagonal in the lanes; a
+            # dense lane op does not commute with it — flush rows first.
+            if has_xtheta and not _is_diagonal_op(op):
+                emit_rows()
             lane.append((op, wl))
             continue
         wr = _row_op_matrix(op, M)
         if wr is not None:
+            # A dense row op on a bit the pending residual is conditioned
+            # on cannot be reordered past it — flush first.
+            if not _is_diagonal_op(op) and op[1] in xtheta_bits:
+                emit_rows()
             rows.append((op, wr))
+            continue
+        if op[0] == "iqft" and 7 <= op[1] <= 12 and M < 7:
+            # The residual is lane-diagonal: it must not be reordered past a
+            # pending DENSE lane chain that precedes it — flush lanes first.
+            if any(not _is_diagonal_op(o) for o, _ in lane):
+                _emit(lane, LANE, LANEMAT_MIN)
+                lane.clear()
+            if op[1] in xtheta_bits:  # repeated stage on the same bit
+                emit_rows()
+            w, theta = _row_stage_parts(op, M)
+            rows.append((op, w))
+            xtheta = xtheta + theta
+            has_xtheta = True
+            xtheta_bits.add(op[1])
             continue
         if _is_neutral(op):
             out.append(op)
@@ -654,6 +719,21 @@ def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, 
                         nim.append(jnp.dot(vi, xrg, precision=hp) + jnp.dot(vr, xig, precision=hp))
                 subs_re[bits] = jnp.concatenate(nre, 0) if len(nre) > 1 else nre[0]
                 subs_im[bits] = jnp.concatenate(nim, 0) if len(nim) > 1 else nim[0]
+        elif kind == "xtable":
+            # Combined lane-cross residual of the iQFT row stages: one
+            # elementwise complex multiply by a (64, 128) phase table that
+            # tiles over 64-sublane groups (row6 = row index mod 64).
+            ti = op[1]
+            tab = tables[ti]
+            pc64, ps64 = tab[0], tab[1]  # (64, 128)
+            reps = bi // 64
+            for bits in product((0, 1), repeat=m):
+                xr = subs_re[bits].reshape(reps, 64, LANE)
+                xi = subs_im[bits].reshape(reps, 64, LANE)
+                nre = xr * pc64[None] - xi * ps64[None]
+                nim = xr * ps64[None] + xi * pc64[None]
+                subs_re[bits] = nre.reshape(bi, LANE)
+                subs_im[bits] = nim.reshape(bi, LANE)
         elif kind == "camodc_k":
             # Controlled modular multiply as a Benes network: a palindrome of
             # conditional pair exchanges over the M-register bits, gated by
@@ -737,7 +817,7 @@ def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M
         grouped, mats = matmul_group_ops(tuple(kops), M)
         off = len(tables)
         kops = [
-            (op[0], op[1] + off, op[2]) if op[0] in ("lanemat", "rowmat") else op
+            (op[0], op[1] + off) + op[2:] if op[0] in ("lanemat", "rowmat", "xtable") else op
             for op in grouped
         ]
         for tab in mats:

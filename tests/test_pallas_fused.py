@@ -116,6 +116,35 @@ def test_fused_full_iqft(rng):
     np.testing.assert_allclose(got, want, atol=ATOL)
 
 
+def test_fused_full_iqft_low_M(rng):
+    """Full inverse QFT with M < 7: lane stages fold into the lane matrix,
+    row stages split into the 64x64 row chain + ONE combined lane-cross
+    phase table (xtable), axis stages stay per-stage."""
+    M = 3
+    psi = random_state(N, rng)
+    gates = [cir.Gate("iqft_stage", (l,)) for l in range(N - 1, M - 1, -1)]
+    segs = pf.plan_circuit(tuple(gates), N, M)
+    got = run_fused(psi, gates, M=M)
+    want = apply_oracle(psi, gates, M=M)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
+def test_row_stage_interleaved_dense(rng):
+    """A dense row gate BETWEEN row stages on the residual's bit must not
+    be reordered past the pending xtable (ordering guard)."""
+    M = 0
+    psi = random_state(N, rng)
+    gates = [
+        cir.Gate("iqft_stage", (10,)),
+        cir.RY(10, 0.7),              # dense on bit 10: must flush the residual
+        cir.Gate("iqft_stage", (9,)),
+        cir.H(3),                      # dense lane op after residuals
+    ]
+    got = run_fused(psi, gates, M=M)
+    want = apply_oracle(psi, gates, M=M)
+    np.testing.assert_allclose(got, want, atol=ATOL)
+
+
 def test_planner_budget_and_breaks():
     gates = [cir.H(13), cir.H(14), cir.H(15), cir.H(13), cir.CNOT(1, 0), cir.H(2)]
     # qubit 13,14,15 fill the axis budget; the second H(13) MERGES with the
