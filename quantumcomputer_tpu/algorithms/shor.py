@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from quantumcomputer_tpu.algorithms import number_theory as nt
 from quantumcomputer_tpu.models.shor_circuit import shor_circuit
 from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
-from quantumcomputer_tpu.utils.logging import get_logger, verbosity
+from quantumcomputer_tpu.utils.logging import get_logger, ui_active, verbosity
 
 log = get_logger("shor")
 
@@ -261,10 +261,14 @@ def shors_algorithm(
                     # A valid period was found but yielded only trivial
                     # factors — distinguish from never finding a period.
                     result.outcome = Outcome.TRIVIAL_FACTORS
-                    if forced:
-                        print(" --- The factors found are trivial, consider trying a different trial integer.")
-                    else:
-                        print(" --- Factors found are trivial. Continuing to find non-trivial factors.")
+                    # The reference prints these unconditionally
+                    # (qc_shor.c:1052/1107); gate on CLI context so library
+                    # callers keep a clean stdout.
+                    if ui_active():
+                        if forced:
+                            print(" --- The factors found are trivial, consider trying a different trial integer.")
+                        else:
+                            print(" --- Factors found are trivial. Continuing to find non-trivial factors.")
                 elif verbose:
                     print(f" --- Period was found to be {attempt.period}, but it did not pass the validity requirements.{tail}")
                 log.debug("a=%d: period %d rejected (%s)", a, attempt.period, reason)

@@ -127,7 +127,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     if args.devices > 1:
         from quantumcomputer_tpu.parallel.mesh import build_mesh
 
-        mesh = build_mesh(num_devices=args.devices)
+        try:
+            mesh = build_mesh(num_devices=args.devices)
+        except ValueError as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 2
         print(f" --- Sharding state vector over {mesh.devices.size} device(s).")
 
     print("\n --- Finding factors...\n")

@@ -739,7 +739,8 @@ def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, 
             # conditional pair exchanges over the M-register bits, gated by
             # this op's precomputed stage masks AND the control bit.
             c_q, stage_bits, ti = op[1], op[2], op[3]
-            tab_ref = tables[ti]  # (S, bi, 128) f32 of 0/1
+            tab_ref = tables[ti]  # (S, 64, 128) f32 of 0/1, tiles over rows
+            reps = bi // 64
             for bits in product((0, 1), repeat=m):
                 ctrl = get_bit(c_q, bits)
                 if isinstance(ctrl, int) and ctrl == 0:
@@ -750,7 +751,13 @@ def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, 
                 else:
                     gate = ctrl == 1
                 for si, b in enumerate(stage_bits):
-                    cond = tab_ref[si] > 0.5
+                    mask64 = tab_ref[si]
+                    mask = (
+                        jnp.broadcast_to(mask64[None], (reps, 64, LANE)).reshape(bi, LANE)
+                        if reps > 1
+                        else mask64
+                    )
+                    cond = mask > 0.5
                     if gate is not None:
                         cond = jnp.logical_and(cond, gate)
                     pr, _ = roll_pair(xr, b)
@@ -803,7 +810,10 @@ def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M
     for op in ops:
         if op[0] == "camodc":
             assert lay.bi % 64 == 0, "Benes oracle requires 64-row-aligned blocks"
-            stage_bits, tab = _camodc_table(op[2], op[3], M, lay.bi)
+            # The mask table always tiles at 64 rows (64*128 = 2^13 >= 2^M
+            # covers a whole period); the kernel broadcasts it over larger
+            # blocks — a bi-sized table at bi=2048 would be ~26 MB of VMEM.
+            stage_bits, tab = _camodc_table(op[2], op[3], M, 64)
             kops.append(("camodc_k", op[1], stage_bits, len(tables)))
             tables.append(jnp.asarray(tab, re.dtype))
             table_specs.append(

@@ -116,6 +116,9 @@ def _nan_hook(state: jax.Array, label: str) -> None:
     )
 
 
+MAX_LADDER_RUN = 8  # 2^K combo-table entries; also the DMA kernel's cap
+
+
 def fuse_oracle_ladders(circuit: Circuit, M: int, eligible=None) -> Circuit:
     """Rewrite maximal runs of >= 2 modular-multiply gates (same C, same
     work register) into single composed-ladder gates.
@@ -140,6 +143,8 @@ def fuse_oracle_ladders(circuit: Circuit, M: int, eligible=None) -> Circuit:
             m_reg = g.meta[2] if g.name == "camodc_high" else M
             j = i + 1
             while j < len(gates):
+                if j - i >= MAX_LADDER_RUN:
+                    break  # caps the 2^K table; longer runs split
                 h = gates[j]
                 if h.name != g.name or h.meta[0] != C:
                     break
@@ -363,15 +368,16 @@ class StateVectorEngine:
         return self._compiled_run(circuit, with_norms=False)(state)
 
     def _compiled_run_from_reset(self, circuit: Circuit) -> Callable:
-        key = (circuit, "reset")
+        key = (circuit, "reset", self.nan_checks)
         fn = self._run_cache.get(key)
         if fn is None:
             M, backend, fuse, oracle = self.m_eff, self.backend, self.fuse, self.oracle
             n, rdtype, r0 = self.register.n, self.real_dtype, self.reset_index
+            nan_checks = self.nan_checks
 
             def run():
                 state = sv.to_complex(sv.initial_planar(n, rdtype, r0))
-                state = apply_circuit(state, circuit, M, backend, fuse, oracle)
+                state = apply_circuit(state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks)
                 return sv.from_complex(state)
 
             fn = jax.jit(run)
@@ -382,15 +388,16 @@ class StateVectorEngine:
         """Reset -> circuit -> inverse-CDF measurement, as ONE compiled
         program (find_period's whole quantum step, qc_shor.c:922-928).
         Returns (measured index, collapsed planar state)."""
-        ck = (circuit, "measure")
+        ck = (circuit, "measure", self.nan_checks)
         fn = self._run_cache.get(ck)
         if fn is None:
             M, backend, fuse, oracle = self.m_eff, self.backend, self.fuse, self.oracle
             n, rdtype, r0 = self.register.n, self.real_dtype, self.reset_index
+            nan_checks = self.nan_checks
 
             def run(k):
                 state = sv.to_complex(sv.initial_planar(n, rdtype, r0))
-                state = apply_circuit(state, circuit, M, backend, fuse, oracle)
+                state = apply_circuit(state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks)
                 planar = sv.from_complex(state)
                 return _measure_planar_impl(planar, k)
 

@@ -43,5 +43,13 @@ def verbosity() -> tuple[bool, bool]:
     return _verbose, _very_verbose
 
 
+def ui_active() -> bool:
+    """True once configure() has run (i.e., we're serving a CLI user).
+    Messages the reference prints UNCONDITIONALLY (e.g. the trivial-factor
+    notices, qc_shor.c:1052/1107) are gated on this so library callers
+    don't get stdout pollution."""
+    return _configured
+
+
 def get_logger(name: str) -> logging.Logger:
     return logging.getLogger(f"{_ROOT}.{name}")

@@ -77,6 +77,24 @@ def test_fuse_oracle_ladders_rewrite():
     assert fuse_oracle_ladders(big, 17) == big
 
 
+def test_ladder_run_length_capped():
+    """Runs longer than MAX_LADDER_RUN split: the 2^K combo table (and the
+    DMA kernel's SMEM budget) cap at K=8; an unbounded run would fall back
+    to the catastrophically slow XLA gather ladder."""
+    from quantumcomputer_tpu.models.circuit import Gate
+    from quantumcomputer_tpu.sim.engine import MAX_LADDER_RUN
+
+    C, M = 251, 8
+    gates = tuple(
+        Gate("camodc_high", (c,), meta=(C, pow(3, 1 << c, C), M)) for c in range(11, 23)
+    )
+    fused = fuse_oracle_ladders(gates, 0)
+    ladders = [g for g in fused if g.name == "camodc_ladder_high"]
+    assert len(ladders) == 2  # 12 gates -> runs of 8 + 4
+    assert all(len(g.qubits) <= MAX_LADDER_RUN for g in ladders)
+    assert sum(len(g.qubits) for g in ladders) == 12
+
+
 def test_ladder_dma_kernel_interpret(rng):
     """The composed-run DMA kernel (interpret mode) vs sequential oracles."""
     from quantumcomputer_tpu.ops import pallas_oracle as po
