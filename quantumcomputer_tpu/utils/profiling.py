@@ -72,6 +72,33 @@ def time_circuit(engine, circuit: Circuit, iters: int = 3, state: Optional[jax.A
     return best
 
 
+@dataclass
+class PhaseTiming:
+    label: str
+    n_gates: int
+    seconds: float
+
+
+def phase_profile(engine, phases, iters: int = 3) -> List[PhaseTiming]:
+    """Wall-clock breakdown of a circuit by named phase — the quantitative
+    twin of the -V progress surface (e.g. H layer / oracle ladder / iQFT).
+
+    `phases` is a sequence of (label, gates).  Cumulative prefixes are
+    timed and differenced, so the fixed barrier/RTT overhead cancels and
+    each number is the MARGINAL cost of that phase on the engine's real
+    execution path (fusion across phase boundaries is preserved)."""
+    base = time_circuit(engine, (), iters=iters)
+    out: List[PhaseTiming] = []
+    prefix: list = []
+    prev = base
+    for label, gates in phases:
+        prefix.extend(gates)
+        t = time_circuit(engine, tuple(prefix), iters=iters)
+        out.append(PhaseTiming(label, len(tuple(gates)), max(t - prev, 0.0)))
+        prev = t
+    return out
+
+
 @contextlib.contextmanager
 def trace(path: str):
     """jax.profiler trace wrapper (view with TensorBoard / xprof)."""

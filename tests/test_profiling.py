@@ -29,6 +29,26 @@ def test_time_circuit_runs():
     assert t > 0
 
 
+def test_phase_profile():
+    from quantumcomputer_tpu.models.shor_circuit import (
+        hadamard_layer,
+        inverse_qft_fused,
+        modexp_ladder,
+    )
+
+    C, a, L, M = 15, 7, 3, 4
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    phases = [
+        ("H layer", hadamard_layer(L, M)),
+        ("oracle ladder", modexp_ladder(C, a, L, M)),
+        ("inverse QFT", inverse_qft_fused(L, M)),
+    ]
+    out = prof.phase_profile(eng, phases, iters=1)
+    assert [p.label for p in out] == ["H layer", "oracle ladder", "inverse QFT"]
+    assert [p.n_gates for p in out] == [3, 3, 3]
+    assert all(p.seconds >= 0.0 for p in out)
+
+
 def test_norm_trace_fig2_regression():
     """Report §IV.A / FIG. 2: norm deviation stays at double round-off
     through every gate of factoring 39 (L=6, M=6)."""
