@@ -49,31 +49,29 @@ def detect_bandwidth() -> tuple[str, float]:
 
 
 def pick_n() -> int:
-    """Largest n where a gate pass compiles on this runtime (measured).
-
-    planar f32 state = 2^(n+3) bytes.  The AOT tunnel does not honor buffer
-    donation at compile time, so a pass needs in+out live: n=29 = 4+4 GiB
-    (fits 16 GB v5e HBM, verified 640 GB/s); n=30 = 8+8 GiB RESOURCE_EXHAUSTs
-    at compile.  n=30 single-chip needs donation-aware compilation or 32 GB
-    HBM; the sharded engine reaches n>=30 by adding chips (2 x v5e -> n=30).
-    """
+    """Largest n that runs on this chip: n=30 (8 GiB f32 state on 16 GB
+    v5e), via reset-folded scalar-output programs (engine.run_norm) with
+    the in-place kernel suite — the program peak is ~ONE state, so neither
+    the tunnel's ignored donation nor a state-sized output gets in the way.
+    State-passing programs (engine.run with an input state) top out at n=29
+    (in+out live)."""
     dev = jax.devices()[0]
     if dev.platform != "tpu":
         return 24  # keep CPU runs quick
-    return 29
+    return 30
 
 
 def bench_gate_throughput(n: int, reps: int = 5, backend: str = "pallas"):
     """Per-gate wall-clock via a two-block-size slope.
 
-    On the tunneled TPU runtime, block_until_ready is not a true execution
-    barrier — only a host fetch of a dependent scalar is.  The fetch adds a
-    fixed overhead (one reduction pass + RTT), so we time a small and a
-    large gate block and take the slope: overhead cancels exactly.
+    Timing uses reset-folded scalar-output programs (one dispatch + one
+    scalar fetch per run; see profiling.time_circuit_folded) — the only
+    form that fits at n=30 — and the small/large block slope cancels the
+    fixed dispatch+RTT overhead exactly.
     Gate mix: RY rotations (not self-inverse, nothing foldable) across
     lane-local, mid, and high target strides.
     """
-    from quantumcomputer_tpu.utils.profiling import time_circuit
+    from quantumcomputer_tpu.utils.profiling import time_circuit_folded as time_circuit
 
     eng = StateVectorEngine(Register(L=n, M=0), dtype=jnp.complex64, backend=backend)
     # 17 DISTINCT qubits per block: the planner's per-qubit gate merging
@@ -110,13 +108,18 @@ def bench_full_shor_circuit(n: int = 28, layout: str = "m_high"):
     oracle becomes a major-axis row gather and all H/iQFT butterflies land
     on low physical qubits (maximal fusion)."""
     from quantumcomputer_tpu.models.shor_circuit import shor_circuit, shor_circuit_mhigh
-    from quantumcomputer_tpu.utils.profiling import time_circuit
+    from quantumcomputer_tpu.utils.profiling import time_circuit_folded as time_circuit
 
     C, a, M = 8191, 3, 13
     L = n - M
     eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas", layout=layout)
     circ = shor_circuit_mhigh(C, a, L, M) if layout == "m_high" else shor_circuit(C, a, L, M)
-    return time_circuit(eng, circ, iters=2), len(circ)
+    full = time_circuit(eng, circ, iters=3)
+    # The timed quantity is dispatch + circuit + one scalar fetch; the
+    # empty-circuit run measures that fixed overhead so the compute-only
+    # number can be reported alongside.
+    barrier = time_circuit(eng, (), iters=3)
+    return full, max(full - barrier, 0.0), len(circ)
 
 
 def bench_shor15(seed: int = 0):
@@ -135,9 +138,12 @@ def bench_shor15(seed: int = 0):
 
 def bench_stream_bandwidth(n: int, reps: int = 5):
     """Single-pass streaming bandwidth: per-gate slope with fusion OFF —
-    each gate is exactly one read+write of the planar state."""
-    from quantumcomputer_tpu.utils.profiling import time_circuit
+    each gate is exactly one read+write of the planar state.  Runs at
+    min(n, 29): the single-gate kernels are not in-place (no aliasing), so
+    this benchmark needs two state buffers live."""
+    from quantumcomputer_tpu.utils.profiling import time_circuit_folded as time_circuit
 
+    n = min(n, 29)
     eng = StateVectorEngine(Register(L=n, M=0), dtype=jnp.complex64, backend="pallas", fuse=False)
     qubits = [0, 7, n // 2, n - 1]
 
@@ -172,12 +178,11 @@ def main():
 
     stream_gbps = bench_stream_bandwidth(n) if on_tpu else 0.0
     shor_s, shor_ok = bench_shor15()
-    # Flagship circuit stays at n=28 for cross-round comparability (the
-    # VERDICT target is the n=28 wall-clock); the gate/stream metrics above
-    # run at the measured single-chip ceiling, and the flagship is ALSO
-    # reported at that ceiling.
-    full_s, full_gates = bench_full_shor_circuit(28) if on_tpu else (0.0, 0)
-    full29_s, _ = bench_full_shor_circuit(29) if on_tpu else (0.0, 0)
+    # Flagship circuit at n=28 for cross-round comparability (the VERDICT
+    # target is the n=28 wall-clock), and at the n=29/n=30 ceilings.
+    full_s, full_compute_s, full_gates = bench_full_shor_circuit(28) if on_tpu else (0.0, 0.0, 0)
+    full29_s, full29_compute_s, _ = bench_full_shor_circuit(29) if on_tpu else (0.0, 0.0, 0)
+    full30_s, full30_compute_s, _ = bench_full_shor_circuit(30) if on_tpu else (0.0, 0.0, 0)
 
     print(
         json.dumps(
@@ -192,13 +197,18 @@ def main():
                 "shor15_wallclock_s": round(shor_s, 4),
                 "shor15_ok": shor_ok,
                 "shor8191_circuit_n28_s": round(full_s, 4),
+                "shor8191_circuit_n28_compute_s": round(full_compute_s, 4),
                 "shor8191_circuit_n29_s": round(full29_s, 4),
+                "shor8191_circuit_n29_compute_s": round(full29_compute_s, 4),
+                "shor8191_circuit_n30_s": round(full30_s, 4),
+                "shor8191_circuit_n30_compute_s": round(full30_compute_s, 4),
                 "shor8191_circuit_gates": full_gates,
                 "n_qubits": n,
                 "n30_status": (
-                    "n=30 single-chip RESOURCE_EXHAUSTs at compile: the AOT "
-                    "tunnel keeps in+out live (8+8 GiB > v5e HBM); n=29 is the "
-                    "measured single-chip ceiling; n>=30 via the sharded engine"
+                    "n=30 RUNS single-chip (8 GiB state on 16 GB v5e): "
+                    "reset-folded scalar-output programs + in-place kernels "
+                    "keep the program peak at ~one state; state-passing "
+                    "programs still top out at n=29 (in+out live)"
                 ),
             }
         )

@@ -122,7 +122,9 @@ uint64_t qc_modinv(uint64_t a, uint64_t C) {
 // (quantumcomputer_tpu/ops/pallas_oracle.py): order output rows along the
 // permutation's cycles so each input row is read exactly once.  prev_kind:
 // 0 = chain from the previous step's source, 1 = fresh read (cycle head),
-// 2 = self (fixed point).  ginv[j] = source row for output row j.
+// 2 = self (fixed point), 3 = cycle-closing step (source = the saved head
+// original; no DMA — makes in-place execution safe).  ginv[j] = source
+// row for output row j.
 void qc_cycle_schedule(const int32_t* ginv, int64_t rows,
                        int32_t* out_row, int32_t* src_row, int32_t* prev_kind) {
     // visited bitmap on the stack-ish heap; rows <= 2^24 in practice.
@@ -149,6 +151,10 @@ void qc_cycle_schedule(const int32_t* ginv, int64_t rows,
             ++t;
             j = (int64_t)ginv[j];
         }
+        // Mark the cycle-closing step: its source is the head row's
+        // ORIGINAL value (overwritten under in-place execution), served
+        // from the kernel's saved head slot instead of a DMA read.
+        prev_kind[t - 1] = 3;
     }
     delete[] visited;
 }

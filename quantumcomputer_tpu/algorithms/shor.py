@@ -135,7 +135,13 @@ def find_period(
         idx, _ = engine.measure(state, key)
     else:
         # Reset -> circuit -> measure, one compiled program (qc_shor.c:922-928).
-        idx, _ = engine.run_and_measure(circuit, key)
+        # Only the measured index is fetched: the collapse is dead code (the
+        # reference discards the collapsed state too), which keeps the
+        # program at ONE state buffer — required at the n=30 memory ceiling.
+        if hasattr(engine, "run_and_measure_index"):
+            idx = engine.run_and_measure_index(circuit, key)
+        else:
+            idx, _ = engine.run_and_measure(circuit, key)
     if getattr(engine, "layout", "standard") == "m_high":
         idx = engine.logical_index(idx)
     omega = read_omega(idx, reg.L, reg.M)

@@ -25,7 +25,22 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 BLOCK_ROWS = 64
-BLOCK = BLOCK_ROWS * LANE  # elements per block
+BLOCK = BLOCK_ROWS * LANE  # elements per block (floor; grows with state size)
+MAX_BLOCKS = 1024  # cap on the number of block sums: the (nblocks, 1)
+                   # reduction output is SMEM-padded to 512 B per scalar on
+                   # TPU, so unbounded nblocks blows the 1 MB SMEM window at
+                   # n>=30; larger blocks keep the output tiny instead.
+TILE_ROWS = 2048   # VMEM tile height: blocks larger than this accumulate
+                   # over an inner grid dimension (bounds double-buffered
+                   # VMEM at 2 x 2 planes x 1 MB).
+
+
+def _block_geom(dim: int) -> tuple:
+    """(block_rows, block) for a state of `dim` amplitudes: BLOCK_ROWS for
+    small states, scaled up so nblocks <= MAX_BLOCKS for large ones."""
+    rows = dim // LANE
+    block_rows = max(BLOCK_ROWS, rows // MAX_BLOCKS)
+    return block_rows, block_rows * LANE
 
 
 def _interpret() -> bool:
@@ -34,67 +49,95 @@ def _interpret() -> bool:
 
 def _block_sums_kernel(re_ref, im_ref, out_ref):
     # out_ref maps the FULL (nblocks, 1) array every grid step (TPU block
-    # shapes must be (8,128)-divisible or whole-array); each program writes
-    # only its own element.
+    # shapes must be (8,128)-divisible or whole-array); each program
+    # accumulates into its own element across the inner tile dimension.
+    b = pl.program_id(0)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[b, 0] = 0.0
+
     xre = re_ref[...]
     xim = im_ref[...]
-    out_ref[pl.program_id(0), 0] = jnp.sum(xre * xre + xim * xim)
+    out_ref[b, 0] += jnp.sum(xre * xre + xim * xim)
 
 
-def block_prob_sums(planar: jax.Array) -> jax.Array:
-    """Per-block sums of |amp|^2: one fused pass, output (dim/BLOCK,)."""
-    dim = planar.shape[-1]
-    assert dim % BLOCK == 0, "state too small for the pallas measurement path"
+def block_prob_sums_planes(re: jax.Array, im: jax.Array) -> jax.Array:
+    """Per-block sums of |amp|^2 from separate planes: one fused pass,
+    output (dim/BLOCK,).  The plane-based entry point avoids ever stacking
+    a (2, dim) planar array — stacking is a full-state copy under the TPU
+    (2,128) tiling, which matters at the single-chip memory ceiling."""
+    dim = re.shape[-1]
+    block_rows, block = _block_geom(dim)
+    assert dim % block == 0, "state too small for the pallas measurement path"
     rows = dim // LANE
-    nblocks = rows // BLOCK_ROWS
+    nblocks = rows // block_rows
+    tile_rows = min(block_rows, TILE_ROWS)
+    inner = block_rows // tile_rows
     view = (rows, LANE)
-    spec = pl.BlockSpec((BLOCK_ROWS, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((nblocks, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    spec = pl.BlockSpec((tile_rows, LANE), lambda b, i: (b * inner + i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((nblocks, 1), lambda b, i: (0, 0), memory_space=pltpu.SMEM)
     sums = pl.pallas_call(
         _block_sums_kernel,
-        grid=(nblocks,),
+        grid=(nblocks, inner),
         in_specs=[spec, spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((nblocks, 1), planar.dtype),
+        out_shape=jax.ShapeDtypeStruct((nblocks, 1), re.dtype),
         interpret=_interpret(),
-    )(planar[0].reshape(view), planar[1].reshape(view))
+    )(re.reshape(view), im.reshape(view))
     return sums[:, 0]
 
 
-def sample_indices(planar: jax.Array, rs: jax.Array) -> jax.Array:
+def block_prob_sums(planar: jax.Array) -> jax.Array:
+    """Per-block sums of |amp|^2 from a planar state (wrapper)."""
+    return block_prob_sums_planes(planar[0], planar[1])
+
+
+def sample_indices_planes(re: jax.Array, im: jax.Array, rs: jax.Array) -> jax.Array:
     """Batched hierarchical inverse-CDF sampling: `rs` uniform draws in
     [0, 1) -> basis indices, WITHOUT materializing the full probability
     vector or its cumsum (one fused block-sum pass + per-shot work bounded
     by one block)."""
-    sums = block_prob_sums(planar)
+    sums = block_prob_sums_planes(re, im)
     cum = jnp.cumsum(sums)
     total = cum[-1]
     scaled = rs.astype(cum.dtype) * total
     b = jnp.minimum(jnp.searchsorted(cum, scaled, side="left"), sums.shape[0] - 1)
     offset = cum[b] - sums[b]
 
+    _, block = _block_geom(re.shape[-1])
+
     def local(bi, ri):
-        start = bi * BLOCK
-        re = jax.lax.dynamic_slice(planar[0], (start,), (BLOCK,))
-        im = jax.lax.dynamic_slice(planar[1], (start,), (BLOCK,))
-        cs = jnp.cumsum(re * re + im * im)
-        li = jnp.minimum(jnp.searchsorted(cs, ri, side="left"), BLOCK - 1)
+        start = bi * block
+        lre = jax.lax.dynamic_slice(re, (start,), (block,))
+        lim = jax.lax.dynamic_slice(im, (start,), (block,))
+        cs = jnp.cumsum(lre * lre + lim * lim)
+        li = jnp.minimum(jnp.searchsorted(cs, ri, side="left"), block - 1)
         return start + li
 
     return jax.vmap(local)(b, scaled - offset)
 
 
-def sample_index(planar: jax.Array, r: jax.Array) -> jax.Array:
-    """Hierarchical inverse-CDF sample from a planar state (traced)."""
-    dim = planar.shape[-1]
-    sums = block_prob_sums(planar)
+def sample_indices(planar: jax.Array, rs: jax.Array) -> jax.Array:
+    return sample_indices_planes(planar[0], planar[1], rs)
+
+
+def sample_index_planes(re: jax.Array, im: jax.Array, r: jax.Array) -> jax.Array:
+    """Hierarchical inverse-CDF sample from separate planes (traced)."""
+    sums = block_prob_sums_planes(re, im)
     cum = jnp.cumsum(sums)
     b = jnp.minimum(jnp.searchsorted(cum, r.astype(cum.dtype), side="left"), sums.shape[0] - 1)
     offset = cum[b] - sums[b]
     # local scan within the picked block
-    start = b * BLOCK
-    re = jax.lax.dynamic_slice(planar[0], (start,), (BLOCK,))
-    im = jax.lax.dynamic_slice(planar[1], (start,), (BLOCK,))
-    local = jnp.cumsum(re * re + im * im)
-    li = jnp.minimum(jnp.searchsorted(local, (r - offset).astype(local.dtype), side="left"), BLOCK - 1)
+    _, block = _block_geom(re.shape[-1])
+    start = b * block
+    lre = jax.lax.dynamic_slice(re, (start,), (block,))
+    lim = jax.lax.dynamic_slice(im, (start,), (block,))
+    local = jnp.cumsum(lre * lre + lim * lim)
+    li = jnp.minimum(jnp.searchsorted(local, (r - offset).astype(local.dtype), side="left"), block - 1)
     return start + li
+
+
+def sample_index(planar: jax.Array, r: jax.Array) -> jax.Array:
+    """Hierarchical inverse-CDF sample from a planar state (wrapper)."""
+    return sample_index_planes(planar[0], planar[1], r)

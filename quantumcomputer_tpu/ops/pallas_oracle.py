@@ -219,12 +219,18 @@ def cycle_schedule(ginv: np.ndarray):
     Output row j needs source row ginv[j] (control==1 columns) and itself
     (control==0 columns).  Walking each cycle j -> ginv[j] -> ... makes
     step t's IDENTITY row equal step t-1's freshly-read SOURCE row, so the
-    kernel reads each input row exactly once (plus one extra read per
-    cycle head): ~1R + 1W total instead of the blocked 2R + 1W.
+    kernel reads each input row exactly once: 1R + 1W total instead of the
+    blocked 2R + 1W.
 
     Returns (out_row, src_row, prev_kind) int32 arrays; prev_kind:
-    0 = chain (previous step's source), 1 = fresh read of out_row,
-    2 = self (fixed point: source IS the row).
+    0 = chain (previous step's source), 1 = fresh read of out_row (cycle
+    head; the kernel saves this original value), 2 = self (fixed point:
+    source IS the row), 3 = cycle-closing step: its source is the head's
+    ORIGINAL value (already overwritten under in-place execution), served
+    from the saved head slot — no DMA.
+
+    The kind-3 convention makes the schedule safe for IN-PLACE execution
+    (output aliasing input): every row's only read precedes its write.
 
     Computed by the native C++ layer when available (large M means a
     2^M-step walk; native/qc_classical.cpp:qc_cycle_schedule), with this
@@ -256,18 +262,29 @@ def cycle_schedule(ginv: np.ndarray):
             first = False
             t += 1
             j = int(ginv[j])
+        prev_kind[t - 1] = 3  # closes the cycle: source = saved head original
     assert t == rows
     return out_row, src_row, prev_kind
 
 
-def _cycle_kernel(sched_ref, x_any, ox_any, slots, stage, sems, fsems, osems, *, cb2: int, c_phys: int, n_strips: int):
-    """Cycle-ordered oracle pass over ONE plane.
+def _cycle_kernel(sched_ref, x_any, ox_any, slots, stage, head, sems, fsems, osems, *, cb2: int, c_phys: int, n_strips: int):
+    """Cycle-ordered IN-PLACE oracle pass over ONE plane (output aliases
+    the input).
 
     Grid = (col_groups, n_strips); strips iterate fastest.  Per strip: 8
     source-row DMAs into this strip's bank (+ predicated fresh reads for
     cycle heads), then 8 blends staged and DMA'd to their output rows.
     Three banks rotate so the chain row (the previous strip's last source)
-    survives the next strip's prefetch."""
+    survives the next strip's prefetch.
+
+    In-place safety: the schedule guarantees every row's single source
+    read (chain property: src_row[s] = out_row[s+1]) lands exactly one
+    step before that row's write, and fresh/self reads are waited before
+    the same step's write starts.  The one backward reference — a cycle's
+    closing step needs the HEAD row, overwritten at the cycle's first
+    step — is served from `head`, a VMEM slot capturing the head's
+    original value when it is fresh-read (kind==1).  Cycles are contiguous
+    in the schedule, so at most one head is live at a time."""
     cg = pl.program_id(0)
     t = pl.program_id(1)
     c0 = cg * cb2
@@ -292,8 +309,11 @@ def _cycle_kernel(sched_ref, x_any, ox_any, slots, stage, sems, fsems, osems, *,
 
     def start_strip(ts, bank):
         for k in range(STRIP):
-            src_dma(ts, bank, k).start()
             kind = sched_ref[2, ts * STRIP + k]
+
+            @pl.when(kind != 3)  # closing steps read the head slot, not HBM
+            def _():
+                src_dma(ts, bank, k).start()
 
             @pl.when(kind == 1)
             def _():
@@ -322,16 +342,21 @@ def _cycle_kernel(sched_ref, x_any, ox_any, slots, stage, sems, fsems, osems, *,
     ctrl = (((sub * LANE + lane) >> c_phys) & 1) == 1
 
     for k in range(STRIP):
-        src_dma(t, bank, k).wait()
         kind = sched_ref[2, t * STRIP + k]
+
+        @pl.when(kind != 3)
+        def _():
+            src_dma(t, bank, k).wait()
 
         @pl.when(kind == 1)
         def _():
             fresh_dma(t, bank, k).wait()
+            head[...] = slots[bank, 1, k]  # capture the head's original value
 
-        src_val = slots[bank, 0, k]
+        src_val = jnp.where(kind == 3, head[...], slots[bank, 0, k])
         chain_val = slots[pbank, 0, STRIP - 1] if k == 0 else slots[bank, 0, k - 1]
-        prev_val = jnp.where(kind == 0, chain_val, jnp.where(kind == 1, slots[bank, 1, k], src_val))
+        is_chain = jnp.logical_or(kind == 0, kind == 3)
+        prev_val = jnp.where(is_chain, chain_val, jnp.where(kind == 1, slots[bank, 1, k], src_val))
         stage[bank, k] = jnp.where(ctrl, src_val, prev_val)
         out_dma(t, bank, k).start()
 
@@ -343,8 +368,12 @@ def _cycle_kernel(sched_ref, x_any, ox_any, slots, stage, sems, fsems, osems, *,
 
 
 def apply_camodc_high_cycle_planar(re: jax.Array, im: jax.Array, C: int, atox: int, c_phys: int, M: int):
-    """Controlled modular multiply, m_high layout, cycle-ordered: ~1R + 1W
-    (vs 2R + 1W for the blocked mixed path) for ANY control position."""
+    """Controlled modular multiply, m_high layout, cycle-ordered and
+    IN-PLACE: 1R + 1W (vs 2R + 1W for the blocked mixed path) for ANY
+    control position, with the output aliasing the input — no second
+    state-sized buffer, which is what lets full-circuit programs run at
+    the single-chip HBM ceiling.  CONSUMES re/im (XLA inserts copies only
+    if they are still live elsewhere)."""
     dim = re.shape[0]
     rows = 1 << M
     rest = dim // rows
@@ -352,8 +381,9 @@ def apply_camodc_high_cycle_planar(re: jax.Array, im: jax.Array, C: int, atox: i
     ginv = np.asarray(modmul_inverse_permutation(C, atox, M))
     out_row, src_row, prev_kind = cycle_schedule(ginv)
     sched = jnp.asarray(np.stack([out_row, src_row, prev_kind]))
-    # (3 banks x [src|fresh] x 8 slots + 3 x 8 staging) x cb2 x 128 x 4 B
-    # must stay under the 16 MB scoped-VMEM budget: cb2 = 128 -> 14.2 MB.
+    # (3 banks x [src|fresh] x 8 slots + 3 x 8 staging + 1 head)
+    # x cb2 x 128 x 4 B must stay under the 16 MB scoped-VMEM budget:
+    # cb2 = 128 -> 4.6 MB.
     cb2 = min(128, r2)
     n_strips = rows // STRIP
     view = (rows, r2, LANE)
@@ -367,6 +397,7 @@ def apply_camodc_high_cycle_planar(re: jax.Array, im: jax.Array, C: int, atox: i
             scratch_shapes=[
                 pltpu.VMEM((3, 2, STRIP, cb2, LANE), x.dtype),  # [src | fresh] slots
                 pltpu.VMEM((3, STRIP, cb2, LANE), x.dtype),     # out staging
+                pltpu.VMEM((cb2, LANE), x.dtype),               # cycle-head original
                 pltpu.SemaphoreType.DMA((3, STRIP)),
                 pltpu.SemaphoreType.DMA((3, STRIP)),
                 pltpu.SemaphoreType.DMA((3, STRIP)),
@@ -377,6 +408,7 @@ def apply_camodc_high_cycle_planar(re: jax.Array, im: jax.Array, C: int, atox: i
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(view, x.dtype),
+            input_output_aliases={1: 0},
             interpret=_interpret(),
         )(sched, x.reshape(view))
 

@@ -118,6 +118,11 @@ def _nan_hook(state: jax.Array, label: str) -> None:
 
 MAX_LADDER_RUN = 8  # 2^K combo-table entries; also the DMA kernel's cap
 
+# Largest combined footprint (in + out state) the out-of-place ladder kernel
+# may claim before the planner falls back to in-place per-gate oracles.
+# 14.5 GiB ~ a 16 GB v5e's usable HBM minus runtime reservations.
+_LADDER_MEM_LIMIT = int(14.5 * (1 << 30))
+
 
 def fuse_oracle_ladders(circuit: Circuit, M: int, eligible=None) -> Circuit:
     """Rewrite maximal runs of >= 2 modular-multiply gates (same C, same
@@ -211,9 +216,17 @@ def apply_circuit(
             from quantumcomputer_tpu.ops.pallas_oracle import ladder_high_supported
 
             n_bits = int(state.shape[0]).bit_length() - 1
+            # The ladder kernel is out-of-place (its per-block combo rows
+            # forbid the cycle kernel's in-place ordering), so it needs TWO
+            # state-sized buffers live.  At the single-chip memory ceiling
+            # (n=30 f32 on 16 GB: 8 GiB/state) that alone OOMs the program;
+            # per-gate cycle oracles are in-place, so skip ladder fusion
+            # and take the L extra passes instead.
+            plane_bytes = 2 * (1 << n_bits) * (4 if state.dtype == jnp.complex64 else 8)
+            ladder_fits = plane_bytes * 2 <= _LADDER_MEM_LIMIT
 
             def _eligible(g: Gate) -> bool:
-                return g.name == "camodc_high" and ladder_high_supported(
+                return ladder_fits and g.name == "camodc_high" and ladder_high_supported(
                     (g.qubits[0],), g.meta[2], n_bits
                 )
 
@@ -376,7 +389,7 @@ class StateVectorEngine:
             nan_checks = self.nan_checks
 
             def run():
-                state = sv.to_complex(sv.initial_planar(n, rdtype, r0))
+                state = sv.initial_complex(n, rdtype, r0)
                 state = apply_circuit(state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks)
                 return sv.from_complex(state)
 
@@ -384,10 +397,40 @@ class StateVectorEngine:
             self._run_cache[key] = fn
         return fn
 
+    def run_norm(self, circuit: Circuit) -> float:
+        """Reset -> circuit -> norm, as ONE compiled program whose only
+        output is the scalar norm: no state-sized buffer ever crosses the
+        program boundary, and with the in-place kernel suite the program
+        peak is ~ONE state.  This is the path that executes n=30 (8 GiB
+        state) on a single 16 GB v5e — run()/measure-style programs need a
+        second state-sized buffer for their input or output.
+
+        Also the natural timing/validation entry point: one dispatch, one
+        scalar fetch, and the fetched norm doubles as a probability-
+        conservation check (Report §IV.A)."""
+        ck = (circuit, "norm", self.nan_checks)
+        fn = self._run_cache.get(ck)
+        if fn is None:
+            M, backend, fuse, oracle = self.m_eff, self.backend, self.fuse, self.oracle
+            n, rdtype, r0 = self.register.n, self.real_dtype, self.reset_index
+            nan_checks = self.nan_checks
+
+            def run():
+                state = sv.initial_complex(n, rdtype, r0)
+                state = apply_circuit(state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks)
+                re, im = jnp.real(state), jnp.imag(state)
+                return jnp.sum(re * re) + jnp.sum(im * im)
+
+            fn = jax.jit(run)
+            self._run_cache[ck] = fn
+        return float(fn())
+
     def run_and_measure(self, circuit: Circuit, key: jax.Array) -> Tuple[int, jax.Array]:
         """Reset -> circuit -> inverse-CDF measurement, as ONE compiled
         program (find_period's whole quantum step, qc_shor.c:922-928).
-        Returns (measured index, collapsed planar state)."""
+        Returns (measured index, collapsed planar state).  When the
+        collapsed state is not needed, use run_and_measure_index — the
+        collapse output is a full extra state buffer."""
         ck = (circuit, "measure", self.nan_checks)
         fn = self._run_cache.get(ck)
         if fn is None:
@@ -396,15 +439,41 @@ class StateVectorEngine:
             nan_checks = self.nan_checks
 
             def run(k):
-                state = sv.to_complex(sv.initial_planar(n, rdtype, r0))
+                state = sv.initial_complex(n, rdtype, r0)
                 state = apply_circuit(state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks)
-                planar = sv.from_complex(state)
-                return _measure_planar_impl(planar, k)
+                re, im = jnp.real(state), jnp.imag(state)
+                idx = _sample_index_planes(re, im, k)
+                dim = re.shape[-1]
+                onehot = (jnp.arange(dim) == idx).astype(re.dtype)
+                return idx, jnp.stack([onehot, jnp.zeros_like(onehot)])
 
             fn = jax.jit(run)
             self._run_cache[ck] = fn
         idx, collapsed = fn(key)
         return int(idx), collapsed
+
+    def run_and_measure_index(self, circuit: Circuit, key: jax.Array) -> int:
+        """Reset -> circuit -> measured index, as ONE compiled program with
+        a SCALAR output.  The collapse is dead code here, so the program
+        holds only one state buffer — the memory-ceiling-safe form of the
+        period-finding quantum step (the reference discards the collapsed
+        state too: find_period uses only the index, qc_shor.c:928-929)."""
+        ck = (circuit, "measure_idx", self.nan_checks)
+        fn = self._run_cache.get(ck)
+        if fn is None:
+            M, backend, fuse, oracle = self.m_eff, self.backend, self.fuse, self.oracle
+            n, rdtype, r0 = self.register.n, self.real_dtype, self.reset_index
+            nan_checks = self.nan_checks
+
+            def run(k):
+                state = sv.initial_complex(n, rdtype, r0)
+                state = apply_circuit(state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks)
+                re, im = jnp.real(state), jnp.imag(state)
+                return _sample_index_planes(re, im, k)
+
+            fn = jax.jit(run)
+            self._run_cache[ck] = fn
+        return int(fn(key))
 
     def run_with_norms(self, circuit: Circuit, state: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
         """Apply a circuit, also returning the post-step norm trace — the
@@ -471,22 +540,26 @@ class StateVectorEngine:
         return sv.to_numpy_complex(state)
 
 
-def _measure_planar_impl(planar: jax.Array, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Inverse-CDF sample + collapse on planar state (qc_shor.c:272-306).
+def _sample_index_planes(re: jax.Array, im: jax.Array, key: jax.Array) -> jax.Array:
+    """Inverse-CDF sample from separate re/im planes (qc_shor.c:272-306).
 
     Large f32 states use the hierarchical Pallas reduction (one fused pass,
     no materialized probability vector); small or f64 states use the flat
     cumsum, which matches the reference scan order exactly."""
-    dim = planar.shape[-1]
-    r = jax.random.uniform(key, dtype=planar.dtype)
-    if planar.dtype == jnp.float32 and dim >= (1 << 16):
+    dim = re.shape[-1]
+    r = jax.random.uniform(key, dtype=re.dtype)
+    if re.dtype == jnp.float32 and dim >= (1 << 16):
         from quantumcomputer_tpu.ops import pallas_measure
 
-        idx = pallas_measure.sample_index(planar, r)
-    else:
-        probs = sv.probabilities(planar)
-        cum = jnp.cumsum(probs)
-        idx = jnp.minimum(jnp.searchsorted(cum, r, side="left"), dim - 1)
+        return pallas_measure.sample_index_planes(re, im, r)
+    cum = jnp.cumsum(re * re + im * im)
+    return jnp.minimum(jnp.searchsorted(cum, r, side="left"), dim - 1)
+
+
+def _measure_planar_impl(planar: jax.Array, key: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Inverse-CDF sample + collapse on planar state (qc_shor.c:272-306)."""
+    dim = planar.shape[-1]
+    idx = _sample_index_planes(planar[0], planar[1], key)
     onehot = (jnp.arange(dim) == idx).astype(planar.dtype)
     collapsed = jnp.stack([onehot, jnp.zeros_like(onehot)])
     return idx, collapsed

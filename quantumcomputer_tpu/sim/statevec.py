@@ -59,6 +59,20 @@ def initial_planar(n: int, rdtype=jnp.float32, index: int = 1) -> jax.Array:
     return jnp.zeros((2, 1 << n), dtype=rdtype).at[0, index].set(1.0)
 
 
+def initial_complex(n: int, rdtype=jnp.float32, index: int = 1):
+    """|00...01> as a traced complex vector built from two SEPARATE
+    (dim,)-shaped planes — never a stacked (2, dim) array.
+
+    Use this inside reset-folded programs at large n: a (2, dim) buffer is
+    tiled T(2,128) on TPU, so extracting its rows for kernel inputs is a
+    physical full-state copy, which doubles the program's HBM peak and is
+    exactly what keeps n=30 off a 16 GB chip.  real(complex(re, im)) -> re
+    simplifies away, so this form adds zero traffic."""
+    re = jnp.zeros(1 << n, dtype=rdtype).at[index].set(1.0)
+    im = jnp.zeros(1 << n, dtype=rdtype)
+    return jax.lax.complex(re, im)
+
+
 def zero_planar(n: int, rdtype=jnp.float32) -> jax.Array:
     """|00...0> as planes."""
     return jnp.zeros((2, 1 << n), dtype=rdtype).at[0, 0].set(1.0)

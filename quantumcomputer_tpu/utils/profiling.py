@@ -48,10 +48,17 @@ def roofline_seconds(circuit: Circuit, n: int, hbm_gbps: float, real_dtype_bytes
     return total / (hbm_gbps * 1e9)
 
 
+_jitted_norm = jax.jit(sv.norm)
+
+
 def force_completion(state: jax.Array) -> float:
     """True execution barrier: fetch a dependent scalar to the host.
-    Returns the state norm as a side product (useful as a sanity check)."""
-    return float(sv.norm(state))
+    Returns the state norm as a side product (useful as a sanity check).
+
+    The norm is ONE jitted reduction: eager ops here would each pay the
+    tunnel round-trip (~27 ms on axon), tripling the barrier cost and
+    polluting every timed number with measurement overhead."""
+    return float(_jitted_norm(state))
 
 
 def time_circuit(engine, circuit: Circuit, iters: int = 3, state: Optional[jax.Array] = None) -> float:
@@ -68,6 +75,22 @@ def time_circuit(engine, circuit: Circuit, iters: int = 3, state: Optional[jax.A
         t0 = time.perf_counter()
         state = engine.run(circuit, state)
         force_completion(state)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def time_circuit_folded(engine, circuit: Circuit, iters: int = 3) -> float:
+    """Best-of-iters wall-clock of one reset-folded circuit program
+    (engine.run_norm): ONE dispatch whose only output is the norm scalar,
+    so the measurement overhead is a single host round-trip and no
+    state-sized buffer crosses the program boundary.  This is the only
+    timing path that works at the single-chip memory ceiling (n=30 on a
+    16 GB v5e), and the cheapest everywhere else."""
+    engine.run_norm(circuit)  # compile + warm
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        engine.run_norm(circuit)
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -93,6 +93,7 @@ def test_cycle_schedule_native_matches_python():
                 first = False
                 t += 1
                 j = int(ginv[j])
+            k2[t - 1] = 3  # cycle-closing step (in-place head-slot source)
         assert np.array_equal(o1, o2) and np.array_equal(s1, s2) and np.array_equal(k1, k2)
 
 

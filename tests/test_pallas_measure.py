@@ -98,3 +98,30 @@ def test_engine_measure_uses_hierarchical_path(rng):
     idx, collapsed = jax.jit(_measure_planar_impl)(planar, jax.random.PRNGKey(3))
     c = np.asarray(collapsed)
     assert c[0].sum() == 1.0 and c[0][int(idx)] == 1.0 and c[1].sum() == 0.0
+
+
+def test_block_sums_inner_accumulation(rng, monkeypatch):
+    """Large-state geometry (nblocks capped, inner accumulation grid) scaled
+    down: block_rows > TILE_ROWS forces the multi-tile accumulation path."""
+    monkeypatch.setattr(pm, "MAX_BLOCKS", 4)
+    monkeypatch.setattr(pm, "TILE_ROWS", 16)
+    psi = random_state(N, rng)
+    planar = planar_of(psi)
+    block_rows, block = pm._block_geom(1 << N)
+    assert block_rows == (1 << N) // pm.LANE // 4 and block_rows > 16
+    sums = np.asarray(pm.block_prob_sums(planar))
+    want = (np.abs(psi) ** 2).reshape(-1, block).sum(axis=1)
+    assert sums.shape == (4,)
+    np.testing.assert_allclose(sums, want, atol=1e-6)
+
+
+def test_block_geom_large_states():
+    """At the n=30 memory ceiling the reduction output must fit SMEM
+    (<= MAX_BLOCKS scalars) and tiles must stay VMEM-sized."""
+    for n in (16, 24, 29, 30):
+        block_rows, block = pm._block_geom(1 << n)
+        rows = (1 << n) // pm.LANE
+        assert rows % block_rows == 0
+        assert rows // block_rows <= max(pm.MAX_BLOCKS, rows // pm.BLOCK_ROWS)
+        if rows // pm.BLOCK_ROWS > pm.MAX_BLOCKS:
+            assert rows // block_rows == pm.MAX_BLOCKS

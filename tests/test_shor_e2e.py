@@ -131,3 +131,46 @@ def test_batched_sampling():
     assert idx.shape == (400,)
     omegas = {read_omega(int(i), 3, 4) for i in idx}
     assert omegas <= {0.0, 0.25, 0.5, 0.75}
+
+
+def test_run_norm_and_measure_index_match_full_programs():
+    """The memory-ceiling-safe folded programs (scalar outputs only) agree
+    with the full-output programs: run_norm == norm(run()), and
+    run_and_measure_index draws the same index as run_and_measure for the
+    same key (identical sampling logic, collapse DCE'd)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quantumcomputer_tpu.models.shor_circuit import shor_circuit
+    from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+
+    eng = StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex64)
+    circ = shor_circuit(15, 7, 3, 4)
+    norm = eng.run_norm(circ)
+    state = eng.run(circ)
+    assert abs(norm - float(eng.norm(state))) < 1e-6
+    for seed in (0, 1, 2):
+        key = jax.random.PRNGKey(seed)
+        idx1 = eng.run_and_measure_index(circ, key)
+        idx2, _ = eng.run_and_measure(circ, key)
+        assert idx1 == idx2
+
+
+def test_ladder_memory_gate_disables_fusion(monkeypatch):
+    """Above the ladder memory limit the planner must fall back to per-gate
+    (in-place) oracles and still produce the same state."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quantumcomputer_tpu.models.shor_circuit import shor_circuit_mhigh
+    from quantumcomputer_tpu.sim import engine as eng_mod
+    from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+
+    C, a, L, M = 8191, 3, 3, 13
+    circ = shor_circuit_mhigh(C, a, L, M)
+    e1 = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas", layout="m_high")
+    s_ladder = np.asarray(e1.run(circ))
+    monkeypatch.setattr(eng_mod, "_LADDER_MEM_LIMIT", 0)
+    e2 = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas", layout="m_high")
+    s_pergate = np.asarray(e2.run(circ))
+    np.testing.assert_allclose(s_ladder, s_pergate, atol=2e-6)
