@@ -407,7 +407,17 @@ def plan_circuit(circuit: Circuit, n: int, M: int, max_axes: int = MAX_AXES, fus
 # Benes oracle tables.
 
 
+import os
 from functools import lru_cache
+
+# Waksman/Benes routing is an O(M * 2^M) host-side recursion (~0.2 s at
+# M=13, ~2 s at M=16) paid once per distinct (C, A, M) at trace time; the
+# routed tables persist here across processes so recompiles and fresh CLI
+# invocations skip the walk.  Override/disable with QC_TPU_TABLE_CACHE
+# (set to a path, or empty to disable).
+_TABLE_CACHE_DIR = os.environ.get(
+    "QC_TPU_TABLE_CACHE", os.path.join(os.path.expanduser("~"), ".cache", "qc_tpu_tables")
+)
 
 
 @lru_cache(maxsize=64)
@@ -420,6 +430,15 @@ def _camodc_table(C: int, A: int, M: int, bi: int):
     multiples of bi), so each stage's (2^M,) element mask tiles exactly."""
     from quantumcomputer_tpu.ops.benes import benes_route
 
+    path = None
+    if _TABLE_CACHE_DIR:
+        path = os.path.join(_TABLE_CACHE_DIR, f"camodc_v1_{C}_{A}_{M}_{bi}.npz")
+        try:
+            z = np.load(path)
+            return tuple(int(b) for b in z["bits"]), z["tab"]
+        except Exception:
+            pass  # miss/corrupt -> recompute (and overwrite)
+
     size = 1 << M
     f = np.arange(size, dtype=np.int64)
     pi = np.where(f < C, (A * f) % C, f)  # scatter form: element f -> slot A*f mod C
@@ -431,6 +450,14 @@ def _camodc_table(C: int, A: int, M: int, bi: int):
     fidx = (r * LANE + c) % size
     for si, (_, mask) in enumerate(stages):
         tab[si] = mask[fidx].astype(np.float32)
+    if path:
+        try:
+            os.makedirs(_TABLE_CACHE_DIR, exist_ok=True)
+            tmp = path + f".{os.getpid()}.tmp.npz"  # .npz suffix: savez won't rename
+            np.savez(tmp, bits=np.asarray(bits, np.int32), tab=tab)
+            os.replace(tmp, path)
+        except Exception:
+            pass  # cache write failures never affect correctness
     return bits, tab
 
 

@@ -294,3 +294,21 @@ def test_random_circuit_pallas_vs_oracle(rng):
                 want, cir.gate_matrix_2q(cir.Gate("cz", (hi, lo))), hi, lo
             )
     np.testing.assert_allclose(out, want, atol=5e-5)
+
+
+def test_camodc_table_disk_cache(tmp_path, monkeypatch):
+    """Routed Benes tables persist to disk and reload identically (the
+    Waksman walk is seconds at M>=16; recompiles must skip it)."""
+    import numpy as np
+
+    from quantumcomputer_tpu.ops import pallas_fused as pf
+
+    monkeypatch.setattr(pf, "_TABLE_CACHE_DIR", str(tmp_path))
+    pf._camodc_table.cache_clear()
+    bits1, tab1 = pf._camodc_table(251, 13, 8, 2)
+    assert any(f.suffix == ".npz" for f in tmp_path.iterdir())
+    pf._camodc_table.cache_clear()
+    bits2, tab2 = pf._camodc_table(251, 13, 8, 2)  # served from disk
+    assert bits1 == bits2
+    np.testing.assert_array_equal(tab1, tab2)
+    pf._camodc_table.cache_clear()
