@@ -96,11 +96,18 @@ def try_apply_gate(state: jax.Array, g: Gate, M: int) -> Optional[jax.Array]:
         if rows >= 8 and rest >= 1024:
             from quantumcomputer_tpu.ops import pallas_oracle
 
-            # Cycle-ordered kernel: ~1R+1W for any control position
-            # (6.2-6.4 ms/apply at n=28 on v5e vs 9.8 blocked-mixed).
-            ore, oim = pallas_oracle.apply_camodc_high_cycle_planar(
-                re, im, C, atox, g.qubits[0], m_reg
-            )
+            if pallas_oracle.perm_supported(g.qubits[0], m_reg, n):
+                # High control (stride >= 64 sub-rows): pure in-place row
+                # permutation over the control==1 column half — 0.5R+0.5W.
+                ore, oim = pallas_oracle.apply_camodc_high_perm_planar(
+                    re, im, C, atox, g.qubits[0], m_reg
+                )
+            else:
+                # Cycle-ordered kernel: 1R+1W in place, any control position
+                # (6.3 ms/apply at n=28 on v5e vs 9.8 blocked-mixed).
+                ore, oim = pallas_oracle.apply_camodc_high_cycle_planar(
+                    re, im, C, atox, g.qubits[0], m_reg
+                )
             return jax.lax.complex(ore, oim)
         return None
     if g.name == "camodc_ladder_high":

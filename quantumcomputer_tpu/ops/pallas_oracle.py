@@ -415,6 +415,162 @@ def apply_camodc_high_cycle_planar(re: jax.Array, im: jax.Array, C: int, atox: i
     return one_plane(re).reshape(dim), one_plane(im).reshape(dim)
 
 
+# Measured on v5e at n=29 (ms/apply): cb2=16 -> 25.3, cb2=32 -> 12.9 (wash
+# vs the 12.6 full-traffic cycle kernel), cb2=64 -> 7.8, cb2=128 -> 6.6-6.8.
+# 32 KB slabs are where halved traffic beats the per-DMA overhead.
+MIN_PERM_CB2 = 64
+
+
+def perm_supported(c_phys: int, M: int, n: int) -> bool:
+    """True when the half-traffic pure-permutation kernel can run this gate:
+    the control stride must cover at least MIN_PERM_CB2 aligned sub-rows so
+    whole column blocks are control-pure, with at least two blocks."""
+    rest = 1 << (n - M)
+    if rest < max(MIN_REST, 2 * MIN_PERM_CB2 * LANE) or (1 << M) < ROWS_PER_BLOCK:
+        return False
+    return c_phys >= 7 + MIN_PERM_CB2.bit_length() - 1  # c >= 13
+
+
+def _cycle_perm_kernel(sched_ref, x_any, ox_any, slots, stage, head, sems, fsems, osems, *, cb2: int, cg_bit: int, n_strips: int):
+    """Half-traffic oracle for control-pure column blocks, IN PLACE.
+
+    The grid enumerates ONLY the control==1 column blocks (the mapped
+    index inserts a 1 at `cg_bit` of the block index); control==0 columns
+    are identity rows, which in-place aliasing provides for free.  On
+    these blocks the gate is a pure row permutation — no blend, no
+    control mask, no identity reads: out[j] = x[ginv[j]].  Cycle order
+    (see _cycle_kernel) keeps the in-place execution hazard-free; the one
+    backward reference (each cycle's closing step needs the overwritten
+    head row) reads `head`, captured by a fresh DMA at the cycle head.
+    Fixed points (kind==2) move no data at all."""
+    cg = pl.program_id(0)
+    t = pl.program_id(1)
+    cg_act = ((cg >> cg_bit) << (cg_bit + 1)) | (1 << cg_bit) | (cg & ((1 << cg_bit) - 1))
+    c0 = cg_act * cb2
+
+    def src_dma(ts, bank, k):
+        src = sched_ref[1, ts * STRIP + k]
+        return pltpu.make_async_copy(
+            x_any.at[src, pl.ds(c0, cb2), :], slots.at[bank, k], sems.at[bank, k]
+        )
+
+    def head_dma(ts, bank, k):
+        out = sched_ref[0, ts * STRIP + k]
+        return pltpu.make_async_copy(
+            x_any.at[out, pl.ds(c0, cb2), :], head, fsems.at[bank, k]
+        )
+
+    def out_dma(ts, bank, k):
+        out = sched_ref[0, ts * STRIP + k]
+        return pltpu.make_async_copy(
+            stage.at[bank, k], ox_any.at[out, pl.ds(c0, cb2), :], osems.at[bank, k]
+        )
+
+    def start_strip(ts, bank):
+        for k in range(STRIP):
+            kind = sched_ref[2, ts * STRIP + k]
+
+            @pl.when(jnp.logical_or(kind == 0, kind == 1))
+            def _():
+                src_dma(ts, bank, k).start()
+
+    bank = t % 3
+    nbank = (t + 1) % 3
+
+    @pl.when(t == 0)
+    def _():
+        start_strip(0, 0)
+
+    @pl.when(t + 1 < n_strips)
+    def _():
+        @pl.when(t >= 2)
+        def _():
+            for k in range(STRIP):
+                kind2 = sched_ref[2, (t - 2) * STRIP + k]
+
+                @pl.when(kind2 != 2)
+                def _():
+                    out_dma(t - 2, nbank, k).wait()
+        start_strip(t + 1, nbank)
+
+    for k in range(STRIP):
+        kind = sched_ref[2, t * STRIP + k]
+
+        @pl.when(jnp.logical_or(kind == 0, kind == 1))
+        def _():
+            src_dma(t, bank, k).wait()
+
+        @pl.when(kind == 1)
+        def _():
+            # Capture the head row's original value for the closing step.
+            # Serialized here (started + waited at the blend): at most one
+            # head buffer exists, and the closing step may be this strip.
+            head_dma(t, bank, k).start()
+            head_dma(t, bank, k).wait()
+
+        stage[bank, k] = jnp.where(kind == 3, head[...], slots[bank, k])
+
+        @pl.when(kind != 2)
+        def _():
+            out_dma(t, bank, k).start()
+
+    @pl.when(t >= n_strips - 3)
+    def _():
+        for k in range(STRIP):
+            kind = sched_ref[2, t * STRIP + k]
+
+            @pl.when(kind != 2)
+            def _():
+                out_dma(t, bank, k).wait()
+
+
+def apply_camodc_high_perm_planar(re: jax.Array, im: jax.Array, C: int, atox: int, c_phys: int, M: int):
+    """Controlled modular multiply with a HIGH control (stride >= 16
+    aligned sub-rows): touch only the control==1 column half — 0.5R + 0.5W
+    of the state, in place."""
+    dim = re.shape[0]
+    rows = 1 << M
+    rest = dim // rows
+    r2 = rest // LANE
+    n = dim.bit_length() - 1
+    assert perm_supported(c_phys, M, n)
+    ginv = np.asarray(modmul_inverse_permutation(C, atox, M))
+    out_row, src_row, prev_kind = cycle_schedule(ginv)
+    sched = jnp.asarray(np.stack([out_row, src_row, prev_kind]))
+    # Block width limited by the control stride (blocks must be pure) and
+    # by r2/2 (at least two blocks so the control bit is a block-index bit).
+    cb2 = min(128, r2 // 2, 1 << (c_phys - 7))
+    cg_bit = c_phys - 7 - (cb2.bit_length() - 1)
+    n_strips = rows // STRIP
+    view = (rows, r2, LANE)
+
+    def one_plane(x):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(r2 // cb2 // 2, n_strips),  # control==1 blocks only
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((3, STRIP, cb2, LANE), x.dtype),  # src slots
+                pltpu.VMEM((3, STRIP, cb2, LANE), x.dtype),  # out staging
+                pltpu.VMEM((cb2, LANE), x.dtype),            # cycle-head original
+                pltpu.SemaphoreType.DMA((3, STRIP)),
+                pltpu.SemaphoreType.DMA((3, STRIP)),
+                pltpu.SemaphoreType.DMA((3, STRIP)),
+            ],
+        )
+        kernel = partial(_cycle_perm_kernel, cb2=cb2, cg_bit=cg_bit, n_strips=n_strips)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(view, x.dtype),
+            input_output_aliases={1: 0},
+            interpret=_interpret(),
+        )(sched, x.reshape(view))
+
+    return one_plane(re).reshape(dim), one_plane(im).reshape(dim)
+
+
 def apply_camodc_high_planar(re: jax.Array, im: jax.Array, C: int, atox: int, c_phys: int, M: int):
     """Controlled modular multiply on planar planes, M-high layout."""
     dim = re.shape[0]

@@ -147,3 +147,32 @@ def test_mhigh_pallas_engine_uses_dma_oracle(rng):
     got = np.empty_like(got_phys)
     got[logical] = got_phys
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("c_phys,n_minus_m", [(13, 14), (13, 16), (14, 15), (15, 16)])
+def test_pallas_perm_oracle_matches_xla(c_phys, n_minus_m, rng):
+    """Half-traffic pure-permutation kernel (control==1 blocks only, in
+    place) vs apply_camodc_high, across block widths 64..128."""
+    import jax.numpy as jnp
+    from quantumcomputer_tpu.ops import pallas_oracle
+
+    C, A, M = 33, 29, 6
+    n = n_minus_m + M
+    assert pallas_oracle.perm_supported(c_phys, M, n)
+    psi = random_state(n, rng)
+    re = jnp.asarray(psi.real, jnp.float32)
+    im = jnp.asarray(psi.imag, jnp.float32)
+    ore, oim = pallas_oracle.apply_camodc_high_perm_planar(re, im, C, A, c_phys, M)
+    got = np.asarray(ore) + 1j * np.asarray(oim)
+    want = np.asarray(xops.apply_camodc_high(jnp.asarray(psi), C, A, c_phys, M))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_perm_oracle_dispatch_threshold():
+    """try_apply_gate routes c>=13 to the perm kernel, lower controls to the
+    full cycle kernel (both differential-tested above)."""
+    from quantumcomputer_tpu.ops import pallas_oracle
+
+    assert not pallas_oracle.perm_supported(12, 6, 20)
+    assert pallas_oracle.perm_supported(13, 6, 20)
+    assert not pallas_oracle.perm_supported(13, 6, 18)  # rest too small
