@@ -207,6 +207,10 @@ def shors_algorithm(
 
             engine = DDStateVectorEngine(Register(L=L, M=M))
         else:
+            if isinstance(dtype, str) and dtype in ("complex32", "c32"):
+                if mesh is not None:
+                    raise ValueError("complex32 throughput mode is single-chip (no mesh support)")
+                backend = "pallas"  # bf16 storage exists only on the planar-pair path
             if oracle == "benes" and (mesh is not None or backend == "xla"):
                 log.warning(
                     "oracle='benes' requires the single-chip pallas backend; "

@@ -38,12 +38,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=None, help="RNG seed (default: wall clock)")
     p.add_argument(
         "--dtype",
-        choices=["complex64", "complex128", "dd64"],
+        choices=["complex64", "complex128", "complex32", "dd64"],
         default="complex64",
         help=(
-            "amplitude precision: complex64 (TPU throughput), complex128 "
-            "(f64 parity, CPU-only), dd64 (double-float: f64-equivalent "
-            "1e-12 parity ON TPU via two-f32 arithmetic)"
+            "amplitude precision: complex64 (TPU default), complex32 "
+            "(bf16 HBM storage + f32 compute: ~2x throughput, ~1e-2 "
+            "amplitude error), complex128 (f64 parity, CPU-only), dd64 "
+            "(double-float: f64-equivalent 1e-12 parity ON TPU)"
         ),
     )
     p.add_argument(
@@ -80,6 +81,10 @@ def validate(args: argparse.Namespace) -> Optional[str]:
         return "Number to be factorised C is invalid (must be > 3)."
     if args.dtype == "dd64" and (args.devices > 1 or args.layout != "standard"):
         return "dd64 parity mode is single-chip, standard layout."
+    if args.dtype == "complex32" and args.devices > 1:
+        return "complex32 throughput mode is single-chip (shard with complex64)."
+    if args.dtype == "complex32" and args.backend == "xla":
+        return "complex32 requires the pallas backend (no 32-bit complex dtype exists)."
     if args.L <= 0:
         return "L is invalid (must be positive)."
     if args.M <= 0:
@@ -122,6 +127,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         import jax
 
         backend = "pallas" if any(d.platform == "tpu" for d in jax.devices()) else "xla"
+    if args.dtype == "complex32":
+        backend = "pallas"  # no 32-bit complex dtype; off-TPU runs interpret-mode kernels
 
     mesh = None
     if args.devices > 1:
@@ -141,7 +148,9 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         M=args.M,
         forced_trial_int=args.a,
         seed=args.seed,
-        dtype={"complex128": jnp.complex128, "dd64": "dd64"}.get(args.dtype, jnp.complex64),
+        dtype={"complex128": jnp.complex128, "dd64": "dd64", "complex32": "complex32"}.get(
+            args.dtype, jnp.complex64
+        ),
         backend=backend,
         mesh=mesh,
         num_fractions=args.fractions,

@@ -804,11 +804,15 @@ def _fused_kernel(*refs, ops, lay: _Layout, M: int, n_tables: int = 0):
     bi = lay.bi
     row_pid = pl.program_id(m)  # grid = (gaps..., row_block)
     shape_subs = (2,) * m + (bi, LANE)
-    xre = re_ref[...].reshape(shape_subs)
-    xim = im_ref[...].reshape(shape_subs)
+    store_dtype = re_ref.dtype
+    # bf16 ("complex32") is STORAGE-only: tiles upcast to f32 on load, all
+    # gate arithmetic runs at f32, and the result rounds to bf16 only at
+    # the HBM store — one rounding per pass, never per op.
+    dtype = jnp.float32 if store_dtype == jnp.bfloat16 else store_dtype
+    xre = re_ref[...].astype(dtype).reshape(shape_subs)
+    xim = im_ref[...].astype(dtype).reshape(shape_subs)
     subs_re = {bits: xre[bits] for bits in product((0, 1), repeat=m)}
     subs_im = {bits: xim[bits] for bits in product((0, 1), repeat=m)}
-    dtype = xre.dtype
 
     _apply_ops_to_subs(subs_re, subs_im, ops, lay, M, dtype, row_pid, tables)
 
@@ -818,7 +822,7 @@ def _fused_kernel(*refs, ops, lay: _Layout, M: int, n_tables: int = 0):
                 return subs[prefix]
             return jnp.stack([build(prefix + (0,)), build(prefix + (1,))])
 
-        return build(()).reshape(lay.block)
+        return build(()).reshape(lay.block).astype(store_dtype)
 
     ore_ref[...] = assemble(subs_re)
     oim_ref[...] = assemble(subs_im)
@@ -842,15 +846,17 @@ def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M
             # blocks — a bi-sized table at bi=2048 would be ~26 MB of VMEM.
             stage_bits, tab = _camodc_table(op[2], op[3], M, 64)
             kops.append(("camodc_k", op[1], stage_bits, len(tables)))
-            tables.append(jnp.asarray(tab, re.dtype))
+            # Mask tables stay f32 under bf16 storage (the kernel computes
+            # at f32; table dtype is independent of the plane dtype).
+            tables.append(jnp.asarray(tab, jnp.float32 if re.dtype == jnp.bfloat16 else re.dtype))
             table_specs.append(
                 pl.BlockSpec(tab.shape, lambda *p: (0, 0, 0), memory_space=pltpu.VMEM)
             )
         else:
             kops.append(op)
-    # Compose lane/row 1q chains into MXU matmuls (f32 planes only: the
-    # matrices are staged as f32 operands).
-    if re.dtype == jnp.float32:
+    # Compose lane/row 1q chains into MXU matmuls (f32/bf16 planes: the
+    # matrices are staged as f32 operands; bf16 tiles upcast in-kernel).
+    if re.dtype in (jnp.float32, jnp.bfloat16):
         grouped, mats = matmul_group_ops(tuple(kops), M)
         off = len(tables)
         kops = [

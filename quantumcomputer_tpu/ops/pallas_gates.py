@@ -68,27 +68,25 @@ def apply_iqft_stage_planar(re: jax.Array, im: jax.Array, l: int, M: int):
 # Engine dispatch hook.
 
 
-def try_apply_gate(state: jax.Array, g: Gate, M: int) -> Optional[jax.Array]:
-    """Apply gate g to a (traced) complex state via a Pallas kernel, or
-    return None to fall back to the XLA ops path."""
-    dim = state.shape[0]
+def try_apply_gate_planes(re: jax.Array, im: jax.Array, g: Gate, M: int):
+    """Apply gate g to planar planes via a Pallas kernel, or return None to
+    fall back to the XLA ops path.  This is the dtype-complete dispatch:
+    f32/f64 planes AND bf16 "complex32" storage (which has no complex
+    counterpart) all route here."""
+    dim = re.shape[0]
     n = dim.bit_length() - 1
     if n < _min_n_for_pallas():
         return None
-    re = jnp.real(state)
-    im = jnp.imag(state)
+    itemsize = jnp.dtype(re.dtype).itemsize
     if g.name in DENSE_1Q:
         u = gate_matrix_1q(g)
-        ore, oim = apply_1q_planar(re, im, u, g.qubits[0])
-        return jax.lax.complex(ore, oim)
+        return apply_1q_planar(re, im, u, g.qubits[0])
     if g.name == "iqft_stage":
         l = g.qubits[0]
         if l == M:  # no ladder; plain H — still one fused pass
             u = np.array([[_SQRT1_2, _SQRT1_2], [_SQRT1_2, -_SQRT1_2]], dtype=np.complex128)
-            ore, oim = apply_1q_planar(re, im, u, l)
-        else:
-            ore, oim = apply_iqft_stage_planar(re, im, l, M)
-        return jax.lax.complex(ore, oim)
+            return apply_1q_planar(re, im, u, l)
+        return apply_iqft_stage_planar(re, im, l, M)
     if g.name == "camodc_high":
         C, atox, m_reg = g.meta
         rows = 1 << m_reg
@@ -96,28 +94,35 @@ def try_apply_gate(state: jax.Array, g: Gate, M: int) -> Optional[jax.Array]:
         if rows >= 8 and rest >= 1024:
             from quantumcomputer_tpu.ops import pallas_oracle
 
-            if pallas_oracle.perm_supported(g.qubits[0], m_reg, n):
-                # High control (stride >= 64 sub-rows): pure in-place row
-                # permutation over the control==1 column half — 0.5R+0.5W.
-                ore, oim = pallas_oracle.apply_camodc_high_perm_planar(
+            if pallas_oracle.perm_supported(g.qubits[0], m_reg, n, itemsize):
+                # High control (stride >= 32 KB of sub-rows): pure in-place
+                # row permutation over the control==1 column half —
+                # 0.5R+0.5W.
+                return pallas_oracle.apply_camodc_high_perm_planar(
                     re, im, C, atox, g.qubits[0], m_reg
                 )
-            else:
-                # Cycle-ordered kernel: 1R+1W in place, any control position
-                # (6.3 ms/apply at n=28 on v5e vs 9.8 blocked-mixed).
-                ore, oim = pallas_oracle.apply_camodc_high_cycle_planar(
-                    re, im, C, atox, g.qubits[0], m_reg
-                )
-            return jax.lax.complex(ore, oim)
+            # Cycle-ordered kernel: 1R+1W in place, any control position
+            # (6.3 ms/apply at n=28 on v5e vs 9.8 blocked-mixed).
+            return pallas_oracle.apply_camodc_high_cycle_planar(
+                re, im, C, atox, g.qubits[0], m_reg
+            )
         return None
     if g.name == "camodc_ladder_high":
         from quantumcomputer_tpu.ops import pallas_oracle
 
         C, m_reg = g.meta[0], g.meta[1]
-        if pallas_oracle.ladder_high_supported(g.qubits, m_reg, n):
-            ore, oim = pallas_oracle.apply_camodc_ladder_high_planar(
+        if pallas_oracle.ladder_high_supported(g.qubits, m_reg, n, itemsize):
+            return pallas_oracle.apply_camodc_ladder_high_planar(
                 re, im, C, g.meta[2:], g.qubits, m_reg
             )
-            return jax.lax.complex(ore, oim)
         return None
     return None
+
+
+def try_apply_gate(state: jax.Array, g: Gate, M: int) -> Optional[jax.Array]:
+    """Complex-state wrapper over try_apply_gate_planes (f32/f64 planes:
+    real/imag and lax.complex are free — XLA stores complex as planes)."""
+    out = try_apply_gate_planes(jnp.real(state), jnp.imag(state), g, M)
+    if out is None:
+        return None
+    return jax.lax.complex(*out)

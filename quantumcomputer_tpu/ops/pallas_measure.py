@@ -47,6 +47,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _acc_dtype(rdtype):
+    """Accumulation dtype: probabilities from bf16 planes sum in f32 (a
+    bf16 accumulator loses the sum entirely); f32/f64 accumulate as-is."""
+    return jnp.float32 if jnp.dtype(rdtype) == jnp.bfloat16 else jnp.dtype(rdtype)
+
+
 def _block_sums_kernel(re_ref, im_ref, out_ref):
     # out_ref maps the FULL (nblocks, 1) array every grid step (TPU block
     # shapes must be (8,128)-divisible or whole-array); each program
@@ -57,8 +63,8 @@ def _block_sums_kernel(re_ref, im_ref, out_ref):
     def _():
         out_ref[b, 0] = 0.0
 
-    xre = re_ref[...]
-    xim = im_ref[...]
+    xre = re_ref[...].astype(out_ref.dtype)
+    xim = im_ref[...].astype(out_ref.dtype)
     out_ref[b, 0] += jnp.sum(xre * xre + xim * xim)
 
 
@@ -82,7 +88,7 @@ def block_prob_sums_planes(re: jax.Array, im: jax.Array) -> jax.Array:
         grid=(nblocks, inner),
         in_specs=[spec, spec],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((nblocks, 1), re.dtype),
+        out_shape=jax.ShapeDtypeStruct((nblocks, 1), _acc_dtype(re.dtype)),
         interpret=_interpret(),
     )(re.reshape(view), im.reshape(view))
     return sums[:, 0]
@@ -109,8 +115,9 @@ def sample_indices_planes(re: jax.Array, im: jax.Array, rs: jax.Array) -> jax.Ar
 
     def local(bi, ri):
         start = bi * block
-        lre = jax.lax.dynamic_slice(re, (start,), (block,))
-        lim = jax.lax.dynamic_slice(im, (start,), (block,))
+        acc = _acc_dtype(re.dtype)
+        lre = jax.lax.dynamic_slice(re, (start,), (block,)).astype(acc)
+        lim = jax.lax.dynamic_slice(im, (start,), (block,)).astype(acc)
         cs = jnp.cumsum(lre * lre + lim * lim)
         li = jnp.minimum(jnp.searchsorted(cs, ri, side="left"), block - 1)
         return start + li
@@ -131,8 +138,9 @@ def sample_index_planes(re: jax.Array, im: jax.Array, r: jax.Array) -> jax.Array
     # local scan within the picked block
     _, block = _block_geom(re.shape[-1])
     start = b * block
-    lre = jax.lax.dynamic_slice(re, (start,), (block,))
-    lim = jax.lax.dynamic_slice(im, (start,), (block,))
+    acc = _acc_dtype(re.dtype)
+    lre = jax.lax.dynamic_slice(re, (start,), (block,)).astype(acc)
+    lim = jax.lax.dynamic_slice(im, (start,), (block,)).astype(acc)
     local = jnp.cumsum(lre * lre + lim * lim)
     li = jnp.minimum(jnp.searchsorted(local, (r - offset).astype(local.dtype), side="left"), block - 1)
     return start + li

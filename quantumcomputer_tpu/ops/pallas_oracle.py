@@ -144,9 +144,9 @@ def _ladder_kernel(combos_ref, re_any, im_any, ore_ref, oim_ref, sre, sim, sems,
         oim_ref[:, pl.ds(loc, cb2), :] = sim[bank]
 
 
-def ladder_high_supported(controls, M: int, n: int) -> bool:
+def ladder_high_supported(controls, M: int, n: int, itemsize: int = 4) -> bool:
     """True when the fused-run DMA kernel can run this ladder: all control
-    strides cover at least an 8-sub-row slab, the state is large enough for
+    strides cover at least an 8 KB DMA slab, the state is large enough for
     aligned DMAs, and the mask table stays small."""
     rest = 1 << (n - M)
     if rest < MIN_REST or (1 << M) < ROWS_PER_BLOCK:
@@ -155,10 +155,12 @@ def ladder_high_supported(controls, M: int, n: int) -> bool:
         return False
     if (1 << M) * (1 << M) >= (1 << 31):  # in-kernel combo*j must fit int32
         return False
-    # stride 2^11 lanes = 16 aligned sub-rows: (16, 128) 8 KB DMA slabs.
-    # c=10 would give (8, 128) 4 KB slabs, measured 5x slower on v5e (the
-    # per-DMA overhead dominates) — leave c=10 on the per-gate mixed path.
-    return min(controls) >= 11
+    # stride 2^11 lanes = 16 aligned f32 sub-rows: (16, 128) 8 KB DMA
+    # slabs.  c=10 would give 4 KB slabs, measured 5x slower on v5e (the
+    # per-DMA overhead dominates) — leave those on the per-gate mixed path.
+    # The bound is in BYTES, so bf16 planes need one more stride bit.
+    c_min = min(controls)
+    return c_min >= 7 and (1 << (c_min - 7)) * LANE * itemsize >= 8192
 
 
 def apply_camodc_ladder_high_planar(re: jax.Array, im: jax.Array, C: int, A_list, controls, M: int):
@@ -172,9 +174,11 @@ def apply_camodc_ladder_high_planar(re: jax.Array, im: jax.Array, C: int, A_list
     rows = 1 << M
     rest = dim // rows
     r2 = rest // LANE
-    assert ladder_high_supported(controls, M, dim.bit_length() - 1)
-    # Block width limited by the SMALLEST control stride (purity for all).
-    cb2 = min(MAX_CB2, r2, 1 << (min(controls) - 7))
+    itemsize = jnp.dtype(re.dtype).itemsize
+    assert ladder_high_supported(controls, M, dim.bit_length() - 1, itemsize)
+    # Block width limited by the SMALLEST control stride (purity for all)
+    # and capped at 64 KB slabs (VMEM scratch scales with cb2*itemsize).
+    cb2 = min(65536 // (LANE * itemsize), r2, 1 << (min(controls) - 7))
     group = min(2, r2 // cb2)
     from quantumcomputer_tpu.ops.gates import modexp_combo_multipliers
 
@@ -382,9 +386,10 @@ def apply_camodc_high_cycle_planar(re: jax.Array, im: jax.Array, C: int, atox: i
     out_row, src_row, prev_kind = cycle_schedule(ginv)
     sched = jnp.asarray(np.stack([out_row, src_row, prev_kind]))
     # (3 banks x [src|fresh] x 8 slots + 3 x 8 staging + 1 head)
-    # x cb2 x 128 x 4 B must stay under the 16 MB scoped-VMEM budget:
-    # cb2 = 128 -> 4.6 MB.
-    cb2 = min(128, r2)
+    # x cb2 x 128 x itemsize must stay under the 16 MB scoped-VMEM budget:
+    # 64 KB slabs -> 4.6 MB (cb2 = 128 f32 / 256 bf16; bf16 slabs narrower
+    # than 64 KB measured ~30% below the f32 kernel's bandwidth).
+    cb2 = min(65536 // (LANE * jnp.dtype(re.dtype).itemsize), r2)
     n_strips = rows // STRIP
     view = (rows, r2, LANE)
 
@@ -415,20 +420,27 @@ def apply_camodc_high_cycle_planar(re: jax.Array, im: jax.Array, C: int, atox: i
     return one_plane(re).reshape(dim), one_plane(im).reshape(dim)
 
 
-# Measured on v5e at n=29 (ms/apply): cb2=16 -> 25.3, cb2=32 -> 12.9 (wash
-# vs the 12.6 full-traffic cycle kernel), cb2=64 -> 7.8, cb2=128 -> 6.6-6.8.
-# 32 KB slabs are where halved traffic beats the per-DMA overhead.
-MIN_PERM_CB2 = 64
+# Measured on v5e at n=29 f32 (ms/apply): 8 KB slabs -> 25.3, 16 KB -> 12.9
+# (wash vs the 12.6 full-traffic cycle kernel), 32 KB -> 7.8, 64 KB ->
+# 6.6-6.8.  32 KB slabs are where halved traffic beats per-DMA overhead, so
+# the threshold is in BYTES: cb2 >= 64 sub-rows for f32 (c >= 13), >= 128
+# for bf16 (c >= 14).
+MIN_PERM_SLAB_BYTES = 32768
 
 
-def perm_supported(c_phys: int, M: int, n: int) -> bool:
+def _min_perm_cb2(itemsize: int) -> int:
+    return MIN_PERM_SLAB_BYTES // (LANE * itemsize)
+
+
+def perm_supported(c_phys: int, M: int, n: int, itemsize: int = 4) -> bool:
     """True when the half-traffic pure-permutation kernel can run this gate:
-    the control stride must cover at least MIN_PERM_CB2 aligned sub-rows so
-    whole column blocks are control-pure, with at least two blocks."""
+    the control stride must cover enough aligned sub-rows that control-pure
+    column blocks reach MIN_PERM_SLAB_BYTES, with at least two blocks."""
+    min_cb2 = _min_perm_cb2(itemsize)
     rest = 1 << (n - M)
-    if rest < max(MIN_REST, 2 * MIN_PERM_CB2 * LANE) or (1 << M) < ROWS_PER_BLOCK:
+    if rest < max(MIN_REST, 2 * min_cb2 * LANE) or (1 << M) < ROWS_PER_BLOCK:
         return False
-    return c_phys >= 7 + MIN_PERM_CB2.bit_length() - 1  # c >= 13
+    return (1 << (c_phys - 7)) >= min_cb2 if c_phys >= 7 else False
 
 
 def _cycle_perm_kernel(sched_ref, x_any, ox_any, slots, stage, head, sems, fsems, osems, *, cb2: int, cg_bit: int, n_strips: int):
@@ -525,21 +537,23 @@ def _cycle_perm_kernel(sched_ref, x_any, ox_any, slots, stage, head, sems, fsems
 
 
 def apply_camodc_high_perm_planar(re: jax.Array, im: jax.Array, C: int, atox: int, c_phys: int, M: int):
-    """Controlled modular multiply with a HIGH control (stride >= 16
-    aligned sub-rows): touch only the control==1 column half — 0.5R + 0.5W
-    of the state, in place."""
+    """Controlled modular multiply with a HIGH control (stride wide enough
+    for MIN_PERM_SLAB_BYTES column blocks): touch only the control==1
+    column half — 0.5R + 0.5W of the state, in place."""
     dim = re.shape[0]
     rows = 1 << M
     rest = dim // rows
     r2 = rest // LANE
     n = dim.bit_length() - 1
-    assert perm_supported(c_phys, M, n)
+    itemsize = jnp.dtype(re.dtype).itemsize
+    assert perm_supported(c_phys, M, n, itemsize)
     ginv = np.asarray(modmul_inverse_permutation(C, atox, M))
     out_row, src_row, prev_kind = cycle_schedule(ginv)
     sched = jnp.asarray(np.stack([out_row, src_row, prev_kind]))
-    # Block width limited by the control stride (blocks must be pure) and
-    # by r2/2 (at least two blocks so the control bit is a block-index bit).
-    cb2 = min(128, r2 // 2, 1 << (c_phys - 7))
+    # Block width limited by the control stride (blocks must be pure), by
+    # r2/2 (at least two blocks so the control bit is a block-index bit),
+    # and capped at 64 KB slabs (VMEM: scratch scales with cb2*itemsize).
+    cb2 = min(65536 // (LANE * itemsize), r2 // 2, 1 << (c_phys - 7))
     cg_bit = c_phys - 7 - (cb2.bit_length() - 1)
     n_strips = rows // STRIP
     view = (rows, r2, LANE)

@@ -104,16 +104,38 @@ def apply_gate(state: jax.Array, g: Gate, M: int, backend: str = "xla") -> jax.A
     raise ValueError(f"unknown gate: {g}")
 
 
-def _nan_hook(state: jax.Array, label: str) -> None:
+def _nan_hook_planes(re: jax.Array, im: jax.Array, label: str) -> None:
     """jax.debug NaN/Inf check (SURVEY.md §5 race-detection analog): prints
     from inside the compiled program when the state goes non-finite."""
-    re, im = jnp.real(state), jnp.imag(state)
     bad = jnp.logical_not(jnp.isfinite(re).all() & jnp.isfinite(im).all())
     jax.lax.cond(
         bad,
         lambda: jax.debug.print("*** non-finite amplitudes after " + label),
         lambda: None,
     )
+
+
+def _nan_hook(state: jax.Array, label: str) -> None:
+    _nan_hook_planes(jnp.real(state), jnp.imag(state), label)
+
+
+def apply_gate_planes(re: jax.Array, im: jax.Array, g: Gate, M: int) -> Tuple[jax.Array, jax.Array]:
+    """Dispatch one Gate onto planar planes: Pallas kernels first, then the
+    XLA complex path via upcast (free for f32/f64, where real/imag/complex
+    are no-ops; for bf16 storage the fallback costs conversion passes, so
+    hot gates should all have planes-level kernels)."""
+    from quantumcomputer_tpu.ops import pallas_gates as pops
+
+    out = pops.try_apply_gate_planes(re, im, g, M)
+    if out is not None:
+        return out
+    rdtype = re.dtype
+    if rdtype == jnp.bfloat16:
+        z = jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
+    else:
+        z = jax.lax.complex(re, im)
+    z = apply_gate(z, g, M, backend="xla")
+    return jnp.real(z).astype(rdtype), jnp.imag(z).astype(rdtype)
 
 
 MAX_LADDER_RUN = 8  # 2^K combo-table entries; also the DMA kernel's cap
@@ -178,6 +200,76 @@ def fuse_oracle_ladders(circuit: Circuit, M: int, eligible=None) -> Circuit:
     return tuple(out)
 
 
+def apply_circuit_planes(
+    re: jax.Array,
+    im: jax.Array,
+    circuit: Circuit,
+    M: int,
+    fuse: bool = True,
+    oracle: str = "gather",
+    trace_norms: bool = False,
+    nan_checks: bool = False,
+):
+    """Apply a whole circuit to planar planes (the pallas backend's native
+    form).  This path carries every plane dtype — f32, f64, and bf16
+    "complex32" storage, which has no complex counterpart, so it can never
+    round-trip through a complex state.
+
+    With fuse=True the circuit is segmented into fused multi-gate runs (one
+    HBM pass each — see ops/pallas_fused.py); fuse=False dispatches per
+    gate.  trace_norms/nan_checks as in apply_circuit (norms accumulate in
+    f32 for bf16 planes)."""
+    norms: list = []
+    acc = jnp.float64 if re.dtype == jnp.float64 else jnp.float32
+
+    def step_done(r, i_, label):
+        if trace_norms:
+            norms.append(jnp.sum(r.astype(acc) ** 2) + jnp.sum(i_.astype(acc) ** 2))
+        if nan_checks:
+            _nan_hook_planes(r, i_, label)
+        return r, i_
+
+    n_bits = int(re.shape[0]).bit_length() - 1
+    itemsize = jnp.dtype(re.dtype).itemsize
+    if fuse:
+        # Fuse only runs the DMA ladder kernel accepts; everything else
+        # keeps its per-gate DMA path (the XLA ladder fallback would be
+        # far slower than unfused at scale).
+        from quantumcomputer_tpu.ops.pallas_oracle import ladder_high_supported
+
+        # The ladder kernel is out-of-place (its per-block combo rows
+        # forbid the cycle kernel's in-place ordering), so it needs TWO
+        # state-sized buffers live.  At the single-chip memory ceiling
+        # (n=30 f32 on 16 GB: 8 GiB/state) that alone OOMs the program;
+        # per-gate cycle oracles are in-place, so skip ladder fusion
+        # and take the L extra passes instead.
+        plane_bytes = 2 * (1 << n_bits) * itemsize
+        ladder_fits = plane_bytes * 2 <= _LADDER_MEM_LIMIT
+
+        def _eligible(g: Gate) -> bool:
+            return ladder_fits and g.name == "camodc_high" and ladder_high_supported(
+                (g.qubits[0],), g.meta[2], n_bits, itemsize
+            )
+
+        circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible)
+        from quantumcomputer_tpu.ops import pallas_fused
+
+        for i, seg in enumerate(pallas_fused.plan_circuit(circuit, n_bits, M, fuse_oracle=(oracle == "benes"))):
+            if seg[0] == "fused":
+                re, im = pallas_fused.apply_fused(re, im, seg[1], seg[2], n_bits, M)
+                re, im = step_done(re, im, f"fused segment {i} ({len(seg[1])} ops)")
+            else:
+                re, im = apply_gate_planes(re, im, seg[1], M)
+                re, im = step_done(re, im, f"gate {seg[1].name}{seg[1].qubits}")
+    else:
+        for i, g in enumerate(circuit):
+            re, im = apply_gate_planes(re, im, g, M)
+            re, im = step_done(re, im, f"gate {i} {g.name}{g.qubits}")
+    if trace_norms:
+        return (re, im), norms
+    return re, im
+
+
 def apply_circuit(
     state: jax.Array,
     circuit: Circuit,
@@ -189,16 +281,27 @@ def apply_circuit(
     nan_checks: bool = False,
 ):
     """Apply a whole circuit to a (traced) complex state.  The pallas
-    backend first segments the circuit into fused multi-gate runs (one HBM
-    pass each — see ops/pallas_fused.py); other backends dispatch per gate.
-    oracle="benes" routes modular-multiply gates through the fused Benes
-    kernel instead of the XLA gather (see pallas_fused.gate_to_op).
+    backend delegates to the planar-pair path (real/imag and lax.complex
+    are free on f32/f64 — XLA stores complex as planes); other backends
+    dispatch per gate.  oracle="benes" routes modular-multiply gates
+    through the fused Benes kernel instead of the XLA gather
+    (see pallas_fused.gate_to_op).
 
     trace_norms=True additionally returns the post-step norm list — the
     probability-conservation oracle of Report §IV.A / FIG. 2, evaluated on
     the PRODUCTION path: per fused segment under the pallas planner, per
     gate otherwise.  nan_checks=True inserts a jax.debug non-finite check
     after every step."""
+    if backend == "pallas":
+        out = apply_circuit_planes(
+            jnp.real(state), jnp.imag(state), circuit, M, fuse, oracle,
+            trace_norms=trace_norms, nan_checks=nan_checks,
+        )
+        if trace_norms:
+            (re, im), norms = out
+            return jax.lax.complex(re, im), norms
+        return jax.lax.complex(*out)
+
     norms: list = []
 
     def step_done(s, label):
@@ -209,49 +312,25 @@ def apply_circuit(
         return s
 
     if fuse:
-        if backend == "pallas":
-            # Fuse only runs the DMA ladder kernel accepts; everything else
-            # keeps its per-gate DMA path (the XLA ladder fallback would be
-            # far slower than unfused at scale).
-            from quantumcomputer_tpu.ops.pallas_oracle import ladder_high_supported
-
-            n_bits = int(state.shape[0]).bit_length() - 1
-            # The ladder kernel is out-of-place (its per-block combo rows
-            # forbid the cycle kernel's in-place ordering), so it needs TWO
-            # state-sized buffers live.  At the single-chip memory ceiling
-            # (n=30 f32 on 16 GB: 8 GiB/state) that alone OOMs the program;
-            # per-gate cycle oracles are in-place, so skip ladder fusion
-            # and take the L extra passes instead.
-            plane_bytes = 2 * (1 << n_bits) * (4 if state.dtype == jnp.complex64 else 8)
-            ladder_fits = plane_bytes * 2 <= _LADDER_MEM_LIMIT
-
-            def _eligible(g: Gate) -> bool:
-                return ladder_fits and g.name == "camodc_high" and ladder_high_supported(
-                    (g.qubits[0],), g.meta[2], n_bits
-                )
-
-            circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible)
-        else:
-            circuit = fuse_oracle_ladders(circuit, M)
-
-    if backend == "pallas" and fuse:
-        from quantumcomputer_tpu.ops import pallas_fused
-
-        n = int(state.shape[0]).bit_length() - 1
-        for i, seg in enumerate(pallas_fused.plan_circuit(circuit, n, M, fuse_oracle=(oracle == "benes"))):
-            if seg[0] == "fused":
-                state = pallas_fused.apply_segment(state, seg[1], seg[2], M)
-                state = step_done(state, f"fused segment {i} ({len(seg[1])} ops)")
-            else:
-                state = apply_gate(state, seg[1], M, backend)
-                state = step_done(state, f"gate {seg[1].name}{seg[1].qubits}")
-    else:
-        for i, g in enumerate(circuit):
-            state = apply_gate(state, g, M, backend)
-            state = step_done(state, f"gate {i} {g.name}{g.qubits}")
+        circuit = fuse_oracle_ladders(circuit, M)
+    for i, g in enumerate(circuit):
+        state = apply_gate(state, g, M, backend)
+        state = step_done(state, f"gate {i} {g.name}{g.qubits}")
     if trace_norms:
         return state, norms
     return state
+
+
+def _circuit_planes_from_reset(n, rdtype, r0, circuit, M, backend, fuse, oracle, nan_checks):
+    """Reset -> circuit, returning planes.  f32/f64 thread a complex state
+    (identical HLO: real/imag/complex are no-ops); bf16 "complex32" storage
+    has no complex dtype, so it runs the planar-pair path end to end."""
+    if rdtype == jnp.bfloat16:
+        re, im = sv.initial_planes(n, rdtype, r0)
+        return apply_circuit_planes(re, im, circuit, M, fuse, oracle, nan_checks=nan_checks)
+    state = sv.initial_complex(n, rdtype, r0)
+    state = apply_circuit(state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks)
+    return jnp.real(state), jnp.imag(state)
 
 
 class StateVectorEngine:
@@ -281,7 +360,16 @@ class StateVectorEngine:
         if layout not in ("standard", "m_high"):
             raise ValueError(f"unknown layout {layout!r}")
         self.register = register
-        self.dtype = jnp.dtype(dtype)
+        if isinstance(dtype, str) and dtype in (sv.COMPLEX32, "c32"):
+            # bf16-STORAGE throughput mode: every kernel computes at f32 in
+            # VMEM and rounds to bf16 only on the HBM store, halving all
+            # memory traffic.  No complex dtype exists at this width, so
+            # the mode requires the pallas planar-pair path.
+            if backend != "pallas":
+                raise ValueError("dtype='complex32' requires backend='pallas'")
+            self.dtype = sv.COMPLEX32
+        else:
+            self.dtype = jnp.dtype(dtype)
         self.real_dtype = sv.real_dtype_of(dtype)
         self.backend = backend
         self.fuse = fuse
@@ -324,6 +412,14 @@ class StateVectorEngine:
             if with_norms:
 
                 def run(planar):
+                    if planar.dtype == jnp.bfloat16:
+                        (re, im), norms = apply_circuit_planes(
+                            planar[0], planar[1], circuit, M, fuse, oracle,
+                            trace_norms=True, nan_checks=nan_checks,
+                        )
+                        return jnp.stack([re, im]), (
+                            jnp.stack(norms) if norms else jnp.zeros((0,), jnp.float32)
+                        )
                     state = sv.to_complex(planar)
                     state, norms = apply_circuit(
                         state, circuit, M, backend, fuse, oracle,
@@ -344,6 +440,12 @@ class StateVectorEngine:
                 adj = dagger_circuit(circuit, M)
 
                 def run_impl(planar):
+                    if planar.dtype == jnp.bfloat16:
+                        re, im = apply_circuit_planes(
+                            planar[0], planar[1], circuit, M, fuse, oracle,
+                            nan_checks=nan_checks,
+                        )
+                        return jnp.stack([re, im])
                     state = sv.to_complex(planar)
                     state = apply_circuit(
                         state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks
@@ -356,6 +458,9 @@ class StateVectorEngine:
                     return run_impl(planar), None
 
                 def _bwd(_, ct):
+                    if ct.dtype == jnp.bfloat16:
+                        re, im = apply_circuit_planes(ct[0], ct[1], adj, M, fuse, oracle)
+                        return (jnp.stack([re, im]),)
                     z = sv.to_complex(ct)
                     z = apply_circuit(z, adj, M, backend, fuse, oracle)
                     return (sv.from_complex(z),)
@@ -389,9 +494,10 @@ class StateVectorEngine:
             nan_checks = self.nan_checks
 
             def run():
-                state = sv.initial_complex(n, rdtype, r0)
-                state = apply_circuit(state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks)
-                return sv.from_complex(state)
+                re, im = _circuit_planes_from_reset(
+                    n, rdtype, r0, circuit, M, backend, fuse, oracle, nan_checks
+                )
+                return jnp.stack([re, im])
 
             fn = jax.jit(run)
             self._run_cache[key] = fn
@@ -416,9 +522,11 @@ class StateVectorEngine:
             nan_checks = self.nan_checks
 
             def run():
-                state = sv.initial_complex(n, rdtype, r0)
-                state = apply_circuit(state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks)
-                re, im = jnp.real(state), jnp.imag(state)
+                re, im = _circuit_planes_from_reset(
+                    n, rdtype, r0, circuit, M, backend, fuse, oracle, nan_checks
+                )
+                acc = jnp.float32 if rdtype == jnp.bfloat16 else rdtype
+                re, im = re.astype(acc), im.astype(acc)
                 return jnp.sum(re * re) + jnp.sum(im * im)
 
             fn = jax.jit(run)
@@ -439,9 +547,9 @@ class StateVectorEngine:
             nan_checks = self.nan_checks
 
             def run(k):
-                state = sv.initial_complex(n, rdtype, r0)
-                state = apply_circuit(state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks)
-                re, im = jnp.real(state), jnp.imag(state)
+                re, im = _circuit_planes_from_reset(
+                    n, rdtype, r0, circuit, M, backend, fuse, oracle, nan_checks
+                )
                 idx = _sample_index_planes(re, im, k)
                 dim = re.shape[-1]
                 onehot = (jnp.arange(dim) == idx).astype(re.dtype)
@@ -466,9 +574,9 @@ class StateVectorEngine:
             nan_checks = self.nan_checks
 
             def run(k):
-                state = sv.initial_complex(n, rdtype, r0)
-                state = apply_circuit(state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks)
-                re, im = jnp.real(state), jnp.imag(state)
+                re, im = _circuit_planes_from_reset(
+                    n, rdtype, r0, circuit, M, backend, fuse, oracle, nan_checks
+                )
                 return _sample_index_planes(re, im, k)
 
             fn = jax.jit(run)
@@ -517,12 +625,13 @@ class StateVectorEngine:
 
             @jax.jit
             def fn(planar, k):
-                rs = jax.random.uniform(k, (shots,), dtype=planar.dtype)
-                if planar.dtype == jnp.float32 and dim >= (1 << 16):
+                rdt = jnp.float32 if planar.dtype == jnp.bfloat16 else planar.dtype
+                rs = jax.random.uniform(k, (shots,), dtype=rdt)
+                if planar.dtype in (jnp.float32, jnp.bfloat16) and dim >= (1 << 16):
                     from quantumcomputer_tpu.ops import pallas_measure
 
                     return pallas_measure.sample_indices(planar, rs)
-                probs = sv.probabilities(planar)
+                probs = sv.probabilities(planar.astype(rdt))
                 cum = jnp.cumsum(probs)
                 return jnp.minimum(jnp.searchsorted(cum, rs, side="left"), dim - 1)
 
@@ -547,12 +656,15 @@ def _sample_index_planes(re: jax.Array, im: jax.Array, key: jax.Array) -> jax.Ar
     no materialized probability vector); small or f64 states use the flat
     cumsum, which matches the reference scan order exactly."""
     dim = re.shape[-1]
-    r = jax.random.uniform(key, dtype=re.dtype)
-    if re.dtype == jnp.float32 and dim >= (1 << 16):
+    # Draws are f32 even for bf16 planes (a bf16 uniform has ~8 bits of
+    # resolution); probabilities accumulate in f32 (pallas_measure).
+    r = jax.random.uniform(key, dtype=jnp.float32 if re.dtype == jnp.bfloat16 else re.dtype)
+    if re.dtype in (jnp.float32, jnp.bfloat16) and dim >= (1 << 16):
         from quantumcomputer_tpu.ops import pallas_measure
 
         return pallas_measure.sample_index_planes(re, im, r)
-    cum = jnp.cumsum(re * re + im * im)
+    acc = jnp.float32 if re.dtype == jnp.bfloat16 else re.dtype
+    cum = jnp.cumsum(re.astype(acc) ** 2 + im.astype(acc) ** 2)
     return jnp.minimum(jnp.searchsorted(cum, r, side="left"), dim - 1)
 
 

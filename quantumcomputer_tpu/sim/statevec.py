@@ -8,7 +8,11 @@ plane 1 = Im(psi) — and complex arithmetic exists only *inside* traced
 computations, where XLA lowers it to exactly these planes anyway.  This is
 also the natural layout for Pallas kernels (f32 lanes, no interleaving).
 
-float32 planes <-> complex64 semantics; float64 <-> complex128.
+float32 planes <-> complex64 semantics; float64 <-> complex128; bfloat16
+planes <-> the storage-only "complex32" throughput mode (no complex dtype
+exists at that width — kernels upcast tiles to f32 in VMEM, compute at full
+f32 precision, and round back to bf16 only when storing to HBM, halving
+every pass's memory traffic).
 """
 
 from __future__ import annotations
@@ -17,8 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+#: dtype token for the bf16-storage throughput mode.  Not a real JAX dtype
+#: (JAX has no 32-bit complex); accepted by the engine's `dtype=` argument.
+COMPLEX32 = "complex32"
+
 
 def real_dtype_of(cdtype) -> jnp.dtype:
+    if isinstance(cdtype, str) and cdtype in (COMPLEX32, "c32"):
+        return jnp.dtype(jnp.bfloat16)
     c = jnp.dtype(cdtype)
     if c == jnp.complex64:
         return jnp.dtype(jnp.float32)
@@ -33,6 +43,8 @@ def complex_dtype_of(rdtype) -> jnp.dtype:
         return jnp.dtype(jnp.complex64)
     if r == jnp.float64:
         return jnp.dtype(jnp.complex128)
+    if r == jnp.bfloat16:  # upcast semantics for fallbacks/interop
+        return jnp.dtype(jnp.complex64)
     raise ValueError(f"not a planar real dtype: {rdtype}")
 
 
@@ -73,12 +85,23 @@ def initial_complex(n: int, rdtype=jnp.float32, index: int = 1):
     return jax.lax.complex(re, im)
 
 
+def initial_planes(n: int, rdtype=jnp.float32, index: int = 1):
+    """|00...01> as two SEPARATE (dim,) planes — the reset form for the
+    planar-pair circuit path (no complex dtype, so it also serves the bf16
+    "complex32" mode, which has no complex counterpart)."""
+    re = jnp.zeros(1 << n, dtype=rdtype).at[index].set(1.0)
+    im = jnp.zeros(1 << n, dtype=rdtype)
+    return re, im
+
+
 def zero_planar(n: int, rdtype=jnp.float32) -> jax.Array:
     """|00...0> as planes."""
     return jnp.zeros((2, 1 << n), dtype=rdtype).at[0, 0].set(1.0)
 
 
 def probabilities(planar: jax.Array) -> jax.Array:
+    if planar.dtype == jnp.bfloat16:  # bf16 is storage-only: sum in f32
+        planar = planar.astype(jnp.float32)
     return planar[0] * planar[0] + planar[1] * planar[1]
 
 
@@ -90,6 +113,8 @@ def to_numpy_complex(planar) -> np.ndarray:
     """Host-side: planes -> numpy complex (fetches two real buffers)."""
     re = np.asarray(planar[0])
     im = np.asarray(planar[1])
+    if re.dtype != np.float64:  # f32 and bf16 both widen to complex64 math
+        re, im = re.astype(np.float32), im.astype(np.float32)
     return re.astype(np.result_type(re, np.complex64 if re.dtype == np.float32 else np.complex128)) + 1j * im
 
 
