@@ -99,7 +99,7 @@ def bench_gate_throughput(n: int, reps: int = 5, backend: str = "pallas"):
     return 1.0 / per_gate, n_gates, per_gate
 
 
-def bench_full_shor_circuit(n: int = 28, layout: str = "m_high"):
+def bench_full_shor_circuit(n: int = 28, layout: str = "m_high", dtype=jnp.complex64):
     """Wall-clock of ONE full period-finding circuit at scale: C=8191 (the
     largest prime below 2^13), M=13, L=n-13 — the flagship workload.  The
     reference's practical ceiling was ~N=39 on 12 qubits in minutes
@@ -112,7 +112,7 @@ def bench_full_shor_circuit(n: int = 28, layout: str = "m_high"):
 
     C, a, M = 8191, 3, 13
     L = n - M
-    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas", layout=layout)
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend="pallas", layout=layout)
     circ = shor_circuit_mhigh(C, a, L, M) if layout == "m_high" else shor_circuit(C, a, L, M)
     full = time_circuit(eng, circ, iters=3)
     # The timed quantity is dispatch + circuit + one scalar fetch; the
@@ -183,6 +183,14 @@ def main():
     full_s, full_compute_s, full_gates = bench_full_shor_circuit(28) if on_tpu else (0.0, 0.0, 0)
     full29_s, full29_compute_s, _ = bench_full_shor_circuit(29) if on_tpu else (0.0, 0.0, 0)
     full30_s, full30_compute_s, _ = bench_full_shor_circuit(30) if on_tpu else (0.0, 0.0, 0)
+    # complex32 (bf16-storage) throughput mode at the ceilings: half the
+    # HBM traffic per pass, ~2e-4 amplitude error envelope (test_complex32).
+    c32_30_s, c32_30_compute_s, _ = (
+        bench_full_shor_circuit(30, dtype="complex32") if on_tpu else (0.0, 0.0, 0)
+    )
+    c32_31_s, c32_31_compute_s, _ = (
+        bench_full_shor_circuit(31, dtype="complex32") if on_tpu else (0.0, 0.0, 0)
+    )
 
     print(
         json.dumps(
@@ -202,13 +210,19 @@ def main():
                 "shor8191_circuit_n29_compute_s": round(full29_compute_s, 4),
                 "shor8191_circuit_n30_s": round(full30_s, 4),
                 "shor8191_circuit_n30_compute_s": round(full30_compute_s, 4),
+                "shor8191_circuit_n30_c32_s": round(c32_30_s, 4),
+                "shor8191_circuit_n30_c32_compute_s": round(c32_30_compute_s, 4),
+                "shor8191_circuit_n31_c32_s": round(c32_31_s, 4),
+                "shor8191_circuit_n31_c32_compute_s": round(c32_31_compute_s, 4),
                 "shor8191_circuit_gates": full_gates,
                 "n_qubits": n,
                 "n30_status": (
                     "n=30 RUNS single-chip (8 GiB state on 16 GB v5e): "
                     "reset-folded scalar-output programs + in-place kernels "
                     "keep the program peak at ~one state; state-passing "
-                    "programs still top out at n=29 (in+out live)"
+                    "programs still top out at n=29 (in+out live). "
+                    "complex32 (bf16 storage, f32 compute) raises the "
+                    "ceiling to n=31 and halves per-pass traffic."
                 ),
             }
         )
