@@ -524,11 +524,35 @@ class _Layout:
         return pl.BlockSpec(self.block, self.index_map(), memory_space=pltpu.VMEM)
 
 
-def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, dtype, row_pid, tables=()):
+def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, dtype, row_pid, tables=(), store_bf16: bool = False):
     """Apply the op list to the dict of (bi, 128) sub-arrays in place-ish."""
     m = lay.m
     bi = lay.bi
     axes = lay.axes
+    # MXU precision for the composed lane/row matmuls: full f32 (6-pass
+    # emulation) when the stored amplitudes are f32/f64.  Under bf16
+    # storage the tables are staged as error-free hi+lo bf16 splits and
+    # each product runs as TWO native-MXU bf16 dots with f32 accumulation
+    # (~3x faster; residual error ~1e-7, far below the ~4e-3 per-pass
+    # storage rounding).  Mosaic lowers only DEFAULT and HIGHEST.
+    hp = jax.lax.Precision.HIGHEST
+
+    def mxu_dot(x, w_or_pair, transpose=False):
+        """x @ W (or W @ x when transpose) honoring the storage mode."""
+        if store_bf16:
+            hi, lo = w_or_pair
+            xb = x.astype(jnp.bfloat16)
+            if transpose:
+                return (
+                    jnp.dot(hi, xb, preferred_element_type=jnp.float32)
+                    + jnp.dot(lo, xb, preferred_element_type=jnp.float32)
+                )
+            return (
+                jnp.dot(xb, hi, preferred_element_type=jnp.float32)
+                + jnp.dot(xb, lo, preferred_element_type=jnp.float32)
+            )
+        w = w_or_pair
+        return jnp.dot(w, x, precision=hp) if transpose else jnp.dot(x, w, precision=hp)
     lane_i = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
     row_local = jax.lax.broadcasted_iota(jnp.int32, (bi, 1), 0)
     row_global = row_local + row_pid * bi  # bits [7, rows_end) of the index
@@ -713,25 +737,28 @@ def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, 
             # per sub-array: out = x @ W^T (see matmul_group_ops).
             ti, real_only = op[1], op[2]
             tab = tables[ti]
-            wrt = tab[0]
-            hp = jax.lax.Precision.HIGHEST
+            # bf16 storage stages tables as (2 hi/lo, 2 re/im, n, n) bf16.
+            wrt = (tab[0, 0], tab[1, 0]) if store_bf16 else tab[0]
             for bits in product((0, 1), repeat=m):
                 xr, xi = subs_re[bits], subs_im[bits]
                 if real_only:
-                    subs_re[bits] = jnp.dot(xr, wrt, precision=hp)
-                    subs_im[bits] = jnp.dot(xi, wrt, precision=hp)
+                    subs_re[bits] = mxu_dot(xr, wrt)
+                    subs_im[bits] = mxu_dot(xi, wrt)
                 else:
-                    wit = tab[1]
-                    subs_re[bits] = jnp.dot(xr, wrt, precision=hp) - jnp.dot(xi, wit, precision=hp)
-                    subs_im[bits] = jnp.dot(xr, wit, precision=hp) + jnp.dot(xi, wrt, precision=hp)
+                    wit = (tab[0, 1], tab[1, 1]) if store_bf16 else tab[1]
+                    subs_re[bits] = mxu_dot(xr, wrt) - mxu_dot(xi, wit)
+                    subs_im[bits] = mxu_dot(xr, wit) + mxu_dot(xi, wrt)
         elif kind == "rowmat":
             # Composed row-class (7..12) 1q ops as a 64x64 operator on each
             # 64-sublane group: out_g = V @ x_g (W^T operand => V = tab^T).
             ti, real_only = op[1], op[2]
             tab = tables[ti]
-            hp = jax.lax.Precision.HIGHEST
-            vr = tab[0].T
-            vi = None if real_only else tab[1].T
+            if store_bf16:
+                vr = (tab[0, 0].T, tab[1, 0].T)
+                vi = None if real_only else (tab[0, 1].T, tab[1, 1].T)
+            else:
+                vr = tab[0].T
+                vi = None if real_only else tab[1].T
             for bits in product((0, 1), repeat=m):
                 xr, xi = subs_re[bits], subs_im[bits]
                 nre, nim = [], []
@@ -739,11 +766,11 @@ def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, 
                     sl = slice(g2 * 64, (g2 + 1) * 64)
                     xrg, xig = xr[sl], xi[sl]
                     if real_only:
-                        nre.append(jnp.dot(vr, xrg, precision=hp))
-                        nim.append(jnp.dot(vr, xig, precision=hp))
+                        nre.append(mxu_dot(xrg, vr, transpose=True))
+                        nim.append(mxu_dot(xig, vr, transpose=True))
                     else:
-                        nre.append(jnp.dot(vr, xrg, precision=hp) - jnp.dot(vi, xig, precision=hp))
-                        nim.append(jnp.dot(vi, xrg, precision=hp) + jnp.dot(vr, xig, precision=hp))
+                        nre.append(mxu_dot(xrg, vr, transpose=True) - mxu_dot(xig, vi, transpose=True))
+                        nim.append(mxu_dot(xrg, vi, transpose=True) + mxu_dot(xig, vr, transpose=True))
                 subs_re[bits] = jnp.concatenate(nre, 0) if len(nre) > 1 else nre[0]
                 subs_im[bits] = jnp.concatenate(nim, 0) if len(nim) > 1 else nim[0]
         elif kind == "xtable":
@@ -814,7 +841,10 @@ def _fused_kernel(*refs, ops, lay: _Layout, M: int, n_tables: int = 0):
     subs_re = {bits: xre[bits] for bits in product((0, 1), repeat=m)}
     subs_im = {bits: xim[bits] for bits in product((0, 1), repeat=m)}
 
-    _apply_ops_to_subs(subs_re, subs_im, ops, lay, M, dtype, row_pid, tables)
+    _apply_ops_to_subs(
+        subs_re, subs_im, ops, lay, M, dtype, row_pid, tables,
+        store_bf16=(store_dtype == jnp.bfloat16),
+    )
 
     def assemble(subs):
         def build(prefix):
@@ -854,8 +884,11 @@ def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M
             )
         else:
             kops.append(op)
-    # Compose lane/row 1q chains into MXU matmuls (f32/bf16 planes: the
-    # matrices are staged as f32 operands; bf16 tiles upcast in-kernel).
+    # Compose lane/row 1q chains into MXU matmuls.  f32 planes stage the
+    # matrices as f32 operands (HIGHEST-precision dots); bf16 storage
+    # stages each matmul table as an error-free hi+lo bf16 split — shape
+    # (2 hi/lo, 2 re/im, n, n) — so the kernel runs two native-MXU bf16
+    # dots per product.  xtable phase tables stay f32 in both modes.
     if re.dtype in (jnp.float32, jnp.bfloat16):
         grouped, mats = matmul_group_ops(tuple(kops), M)
         off = len(tables)
@@ -863,10 +896,25 @@ def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M
             (op[0], op[1] + off) + op[2:] if op[0] in ("lanemat", "rowmat", "xtable") else op
             for op in grouped
         ]
-        for tab in mats:
-            tables.append(jnp.asarray(tab))
+        matmul_idx = {
+            op[1] - off for op in kops if op[0] in ("lanemat", "rowmat")
+        }
+        for i, tab in enumerate(mats):
+            if re.dtype == jnp.bfloat16 and i in matmul_idx:
+                import ml_dtypes
+
+                hi = tab.astype(ml_dtypes.bfloat16)
+                lo = (tab - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+                staged = jnp.asarray(np.stack([hi, lo]))
+            else:
+                staged = jnp.asarray(tab)
+            tables.append(staged)
             table_specs.append(
-                pl.BlockSpec(tab.shape, lambda *p: (0, 0, 0), memory_space=pltpu.VMEM)
+                pl.BlockSpec(
+                    staged.shape,
+                    (lambda nd: lambda *p: (0,) * nd)(staged.ndim),
+                    memory_space=pltpu.VMEM,
+                )
             )
     kernel = partial(_fused_kernel, ops=tuple(kops), lay=lay, M=M, n_tables=len(tables))
     ore, oim = pl.pallas_call(

@@ -131,8 +131,17 @@ def main(argv=None) -> int:
     ap.add_argument("--runs", type=int, default=400)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--min-p", type=float, default=0.001)
+    ap.add_argument(
+        "--dtype",
+        choices=["complex64", "complex32"],
+        default="complex64",
+        help="amplitude precision (complex32: bf16-storage throughput mode)",
+    )
     args = ap.parse_args(argv)
-    res = table1_experiment(runs=args.runs, seed=args.seed, min_p=args.min_p)
+    engine = None
+    if args.dtype == "complex32":
+        engine = StateVectorEngine(Register(L=3, M=4), dtype="complex32", backend="pallas")
+    res = table1_experiment(runs=args.runs, seed=args.seed, min_p=args.min_p, engine=engine)
     print(res)
     return 0 if res.passed else 1
 

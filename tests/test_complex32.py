@@ -50,7 +50,10 @@ def test_c32_generic_circuit_parity_vs_c64():
     e32 = StateVectorEngine(Register(L=n, M=0), dtype="complex32", backend="pallas")
     a64 = _amps(e64.run(circ, e64.zero_state()))
     a32 = _amps(e32.run(circ, e32.zero_state()))
-    assert np.abs(a64 - a32).max() < 2e-3
+    # This mix concentrates ~0.47 of amplitude on one state; the bound is a
+    # few bf16 ulps of that (storage rounding + one mid-segment MXU input
+    # cast), i.e. RELATIVE ~2^-8 — not the small-amplitude 2e-4 envelope.
+    assert np.abs(a64 - a32).max() < 5e-3
 
 
 def test_c32_norm_and_measure_programs():
