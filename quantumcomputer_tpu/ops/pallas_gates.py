@@ -111,6 +111,13 @@ def try_apply_gate_planes(re: jax.Array, im: jax.Array, g: Gate, M: int):
         from quantumcomputer_tpu.ops import pallas_oracle
 
         C, m_reg = g.meta[0], g.meta[1]
+        if len(g.qubits) == 2 and pallas_oracle.pair_inplace_supported(g.qubits, m_reg, n, itemsize):
+            # K=2 composed pass, IN PLACE and 0.75R+0.75W — beats the
+            # out-of-place ladder kernel (1R+1W + a second state buffer)
+            # whenever both control strides reach the perm threshold.
+            return pallas_oracle.apply_camodc_pair_inplace_planar(
+                re, im, C, g.meta[2:], g.qubits, m_reg
+            )
         if pallas_oracle.ladder_high_supported(g.qubits, m_reg, n, itemsize):
             return pallas_oracle.apply_camodc_ladder_high_planar(
                 re, im, C, g.meta[2:], g.qubits, m_reg

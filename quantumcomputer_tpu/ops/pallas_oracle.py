@@ -585,6 +585,182 @@ def apply_camodc_high_perm_planar(re: jax.Array, im: jax.Array, C: int, atox: in
     return one_plane(re).reshape(dim), one_plane(im).reshape(dim)
 
 
+def pair_member_supported(c_phys: int, M: int, n: int, itemsize: int = 4) -> bool:
+    """Per-gate test: any two gates with DISTINCT controls both passing
+    this form a pair_inplace_supported pair (the fusion planner's
+    eligibility predicate when the out-of-place ladder doesn't fit)."""
+    min_cb2 = _min_perm_cb2(itemsize)
+    rest = 1 << (n - M)
+    if rest < max(MIN_REST, 4 * min_cb2 * LANE) or (1 << M) < ROWS_PER_BLOCK:
+        return False
+    return c_phys >= 7 and (1 << (c_phys - 7)) >= min_cb2
+
+
+def pair_inplace_supported(controls, M: int, n: int, itemsize: int = 4) -> bool:
+    """True when TWO fused oracles can run as one in-place masked-permutation
+    pass: both control strides must cover a MIN_PERM_SLAB_BYTES column
+    block (blocks pure for BOTH controls), so each block's composed
+    permutation is selected by its 2-bit control mask and the mask==0
+    quarter is untouched — 0.75R + 0.75W for two gates."""
+    if len(controls) != 2 or controls[0] == controls[1]:
+        return False
+    return all(pair_member_supported(c, M, n, itemsize) for c in controls)
+
+
+def _cycle_pair_kernel(sched_ref, x_any, ox_any, slots, stage, head, sems, fsems, osems, *, cb2: int, ca_bit: int, cb_bit: int, n_strips: int):
+    """In-place composed-PAIR oracle: two fused controlled multiplies whose
+    column blocks are pure for both controls.
+
+    The grid covers ALL column blocks; each block's 2-bit control mask m
+    selects one of three cycle schedules (multiply by combo[m]; see
+    apply_camodc_pair_inplace_planar), and mask==0 blocks do nothing — the
+    in-place aliasing provides identity for free, so a K=2 run costs
+    0.75R+0.75W instead of two passes.  Cycle-order in-place hazard logic
+    is identical to _cycle_perm_kernel; the one backward reference (each
+    cycle's closing step needs the overwritten head row) reads `head`,
+    captured by a fresh DMA at the cycle head."""
+    cg = pl.program_id(0)
+    t = pl.program_id(1)
+    c0 = cg * cb2
+    m = ((cg >> ca_bit) & 1) + 2 * ((cg >> cb_bit) & 1)
+    active = m > 0
+    mi = jnp.maximum(m - 1, 0)  # schedule row (clamped; gated by `active`)
+
+    def src_dma(ts, bank, k):
+        src = sched_ref[mi, 1, ts * STRIP + k]
+        return pltpu.make_async_copy(
+            x_any.at[src, pl.ds(c0, cb2), :], slots.at[bank, k], sems.at[bank, k]
+        )
+
+    def head_dma(ts, bank, k):
+        out = sched_ref[mi, 0, ts * STRIP + k]
+        return pltpu.make_async_copy(
+            x_any.at[out, pl.ds(c0, cb2), :], head, fsems.at[bank, k]
+        )
+
+    def out_dma(ts, bank, k):
+        out = sched_ref[mi, 0, ts * STRIP + k]
+        return pltpu.make_async_copy(
+            stage.at[bank, k], ox_any.at[out, pl.ds(c0, cb2), :], osems.at[bank, k]
+        )
+
+    def start_strip(ts, bank):
+        for k in range(STRIP):
+            kind = sched_ref[mi, 2, ts * STRIP + k]
+
+            @pl.when(jnp.logical_and(active, jnp.logical_or(kind == 0, kind == 1)))
+            def _():
+                src_dma(ts, bank, k).start()
+
+    bank = t % 3
+    nbank = (t + 1) % 3
+
+    @pl.when(t == 0)
+    def _():
+        start_strip(0, 0)
+
+    @pl.when(t + 1 < n_strips)
+    def _():
+        @pl.when(t >= 2)
+        def _():
+            for k in range(STRIP):
+                kind2 = sched_ref[mi, 2, (t - 2) * STRIP + k]
+
+                @pl.when(jnp.logical_and(active, kind2 != 2))
+                def _():
+                    out_dma(t - 2, nbank, k).wait()
+        start_strip(t + 1, nbank)
+
+    for k in range(STRIP):
+        kind = sched_ref[mi, 2, t * STRIP + k]
+
+        @pl.when(jnp.logical_and(active, jnp.logical_or(kind == 0, kind == 1)))
+        def _():
+            src_dma(t, bank, k).wait()
+
+        @pl.when(jnp.logical_and(active, kind == 1))
+        def _():
+            head_dma(t, bank, k).start()
+            head_dma(t, bank, k).wait()
+
+        stage[bank, k] = jnp.where(kind == 3, head[...], slots[bank, k])
+
+        @pl.when(jnp.logical_and(active, kind != 2))
+        def _():
+            out_dma(t, bank, k).start()
+
+    @pl.when(t >= n_strips - 3)
+    def _():
+        for k in range(STRIP):
+            kind = sched_ref[mi, 2, t * STRIP + k]
+
+            @pl.when(jnp.logical_and(active, kind != 2))
+            def _():
+                out_dma(t, bank, k).wait()
+
+
+def apply_camodc_pair_inplace_planar(re: jax.Array, im: jax.Array, C: int, A_pair, controls, M: int):
+    """TWO fused controlled modular multiplies in one in-place masked pass
+    (0.75R + 0.75W): per column block the 2-bit control mask selects the
+    composed permutation (multiply by A_a^{bit_a} * A_b^{bit_b} mod C), and
+    mask==0 blocks never move.  The replacement for the out-of-place
+    ladder kernel when TWO state buffers don't fit (the single-chip memory
+    ceiling: n=30 complex64 / n=31 complex32)."""
+    dim = re.shape[0]
+    rows = 1 << M
+    rest = dim // rows
+    r2 = rest // LANE
+    n = dim.bit_length() - 1
+    itemsize = jnp.dtype(re.dtype).itemsize
+    assert pair_inplace_supported(tuple(controls), M, n, itemsize)
+    c_a, c_b = controls
+    from quantumcomputer_tpu.ops.gates import modexp_combo_multipliers
+
+    # combo[mask] is the composed INVERSE multiplier (bit k of mask = gate
+    # k in ladder order), so mask m = bit_a + 2*bit_b matches the kernel's
+    # m = ctrl(c_a) + 2*ctrl(c_b), and the gather is ginv_m[j] = combo[m]*j
+    # mod C directly (identity for j >= C).
+    combos = modexp_combo_multipliers(C, list(A_pair))
+    f = np.arange(rows, dtype=np.int32)
+    scheds = []
+    for m in (1, 2, 3):
+        ginv = np.where(f < C, (int(combos[m]) * f) % C, f).astype(np.int32)
+        scheds.append(np.stack(cycle_schedule(ginv)))
+    sched = jnp.asarray(np.stack(scheds))  # (3, 3, rows)
+    cb2 = min(65536 // (LANE * itemsize), r2 // 4, 1 << (min(c_a, c_b) - 7))
+    lb = cb2.bit_length() - 1
+    ca_bit = c_a - 7 - lb
+    cb_bit = c_b - 7 - lb
+    n_strips = rows // STRIP
+    view = (rows, r2, LANE)
+
+    def one_plane(x):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(r2 // cb2, n_strips),  # ALL blocks; mask==0 skips in-kernel
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((3, STRIP, cb2, LANE), x.dtype),  # src slots
+                pltpu.VMEM((3, STRIP, cb2, LANE), x.dtype),  # out staging
+                pltpu.VMEM((cb2, LANE), x.dtype),            # cycle-head original
+                pltpu.SemaphoreType.DMA((3, STRIP)),
+                pltpu.SemaphoreType.DMA((3, STRIP)),
+                pltpu.SemaphoreType.DMA((3, STRIP)),
+            ],
+        )
+        kernel = partial(_cycle_pair_kernel, cb2=cb2, ca_bit=ca_bit, cb_bit=cb_bit, n_strips=n_strips)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(view, x.dtype),
+            input_output_aliases={1: 0},
+            interpret=_interpret(),
+        )(sched, x.reshape(view))
+
+    return one_plane(re).reshape(dim), one_plane(im).reshape(dim)
+
+
 def apply_camodc_high_planar(re: jax.Array, im: jax.Array, C: int, atox: int, c_phys: int, M: int):
     """Controlled modular multiply on planar planes, M-high layout."""
     dim = re.shape[0]

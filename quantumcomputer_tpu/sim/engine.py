@@ -146,7 +146,7 @@ MAX_LADDER_RUN = 8  # 2^K combo-table entries; also the DMA kernel's cap
 _LADDER_MEM_LIMIT = int(14.5 * (1 << 30))
 
 
-def fuse_oracle_ladders(circuit: Circuit, M: int, eligible=None) -> Circuit:
+def fuse_oracle_ladders(circuit: Circuit, M: int, eligible=None, max_run: int = MAX_LADDER_RUN) -> Circuit:
     """Rewrite maximal runs of >= 2 modular-multiply gates (same C, same
     work register) into single composed-ladder gates.
 
@@ -170,7 +170,7 @@ def fuse_oracle_ladders(circuit: Circuit, M: int, eligible=None) -> Circuit:
             m_reg = g.meta[2] if g.name == "camodc_high" else M
             j = i + 1
             while j < len(gates):
-                if j - i >= MAX_LADDER_RUN:
+                if j - i >= max_run:
                     break  # caps the 2^K table; longer runs split
                 h = gates[j]
                 if h.name != g.name or h.meta[0] != C:
@@ -241,17 +241,29 @@ def apply_circuit_planes(
         # forbid the cycle kernel's in-place ordering), so it needs TWO
         # state-sized buffers live.  At the single-chip memory ceiling
         # (n=30 f32 on 16 GB: 8 GiB/state) that alone OOMs the program;
-        # per-gate cycle oracles are in-place, so skip ladder fusion
-        # and take the L extra passes instead.
+        # there, fuse runs into K=2 PAIRS instead — the in-place masked
+        # pair kernel composes two gates into one 0.75R+0.75W pass
+        # (pallas_oracle.apply_camodc_pair_inplace_planar).
         plane_bytes = 2 * (1 << n_bits) * itemsize
         ladder_fits = plane_bytes * 2 <= _LADDER_MEM_LIMIT
 
-        def _eligible(g: Gate) -> bool:
-            return ladder_fits and g.name == "camodc_high" and ladder_high_supported(
-                (g.qubits[0],), g.meta[2], n_bits, itemsize
-            )
+        if ladder_fits:
 
-        circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible)
+            def _eligible(g: Gate) -> bool:
+                return g.name == "camodc_high" and ladder_high_supported(
+                    (g.qubits[0],), g.meta[2], n_bits, itemsize
+                )
+
+            circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible)
+        else:
+            from quantumcomputer_tpu.ops.pallas_oracle import pair_member_supported
+
+            def _pair_eligible(g: Gate) -> bool:
+                return g.name == "camodc_high" and pair_member_supported(
+                    g.qubits[0], g.meta[2], n_bits, itemsize
+                )
+
+            circuit = fuse_oracle_ladders(circuit, M, eligible=_pair_eligible, max_run=2)
         from quantumcomputer_tpu.ops import pallas_fused
 
         for i, seg in enumerate(pallas_fused.plan_circuit(circuit, n_bits, M, fuse_oracle=(oracle == "benes"))):

@@ -176,3 +176,62 @@ def test_perm_oracle_dispatch_threshold():
     assert not pallas_oracle.perm_supported(12, 6, 20)
     assert pallas_oracle.perm_supported(13, 6, 20)
     assert not pallas_oracle.perm_supported(13, 6, 18)  # rest too small
+
+
+@pytest.mark.parametrize("ca,cb,n_minus_m", [(13, 14, 15), (13, 16, 17), (14, 15, 16)])
+def test_pallas_pair_oracle_matches_sequential(ca, cb, n_minus_m, rng):
+    """In-place masked K=2 pair kernel (0.75R+0.75W: mask==0 blocks never
+    move) vs two sequential XLA oracle applies."""
+    from quantumcomputer_tpu.ops import pallas_oracle
+
+    C, M = 33, 6
+    A1, A2 = 29, 7
+    n = n_minus_m + M
+    assert pallas_oracle.pair_inplace_supported((ca, cb), M, n)
+    psi = random_state(n, rng)
+    re = jnp.asarray(psi.real, jnp.float32)
+    im = jnp.asarray(psi.imag, jnp.float32)
+    ore, oim = pallas_oracle.apply_camodc_pair_inplace_planar(re, im, C, (A1, A2), (ca, cb), M)
+    got = np.asarray(ore) + 1j * np.asarray(oim)
+    want = xops.apply_camodc_high(jnp.asarray(psi), C, A1, ca, M)
+    want = np.asarray(xops.apply_camodc_high(want, C, A2, cb, M))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_engine_pairs_oracles_at_memory_ceiling(rng, monkeypatch):
+    """When the out-of-place ladder kernel does not fit (two state buffers),
+    the planner fuses eligible high-control oracle runs into K=2 in-place
+    pairs instead; full-circuit parity vs the XLA backend."""
+    import quantumcomputer_tpu.sim.engine as eng_mod
+    from quantumcomputer_tpu.models.circuit import Gate
+
+    C, M = 33, 6
+    L = 15
+    n = L + M
+    # Force the "ladder does not fit" branch at this small n.
+    monkeypatch.setattr(eng_mod, "_LADDER_MEM_LIMIT", 1)
+    circ = tuple(
+        Gate("camodc_high", (c,), meta=(C, pow(29, 1 + (c % 3), C), M)) for c in (13, 14, 12, 11)
+    )
+    fused = eng_mod.fuse_oracle_ladders(
+        circ, 0,
+        eligible=lambda g: g.qubits[0] >= 13, max_run=2,
+    )
+    assert [g.name for g in fused] == ["camodc_ladder_high", "camodc_high", "camodc_high"]
+    e_pal = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas", layout="m_high")
+    e_xla = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="xla", layout="m_high")
+    psi = random_state(n, rng)
+    s0 = jnp.stack([jnp.asarray(psi.real, jnp.float32), jnp.asarray(psi.imag, jnp.float32)])
+    got = e_pal.run(circ, s0 + 0)
+    want = e_xla.run(circ, s0 + 0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_pair_member_threshold_bytes():
+    from quantumcomputer_tpu.ops import pallas_oracle
+
+    assert pallas_oracle.pair_member_supported(13, 6, 21, itemsize=4)
+    assert not pallas_oracle.pair_member_supported(12, 6, 21, itemsize=4)
+    assert not pallas_oracle.pair_member_supported(13, 6, 21, itemsize=2)
+    assert pallas_oracle.pair_member_supported(14, 6, 22, itemsize=2)
+    assert not pallas_oracle.pair_inplace_supported((13, 13), 6, 21)  # distinct controls
