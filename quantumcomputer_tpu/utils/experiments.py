@@ -121,6 +121,42 @@ def table1_experiment(
     )
 
 
+def fig3_scaling(
+    C: int = 21,
+    a: int = 2,
+    L_range=(3, 4, 5, 6, 7, 8),
+    M_range=(5, 6, 7, 8, 9, 10),
+    L_fixed: int = 3,
+    M_fixed: int = 5,
+    dtype=jnp.complex64,
+    backend: str = "pallas",
+    iters: int = 3,
+):
+    """FIG. 3 experiment (Report §IV.C): execution time factoring C=21 with
+    forced a=2, varying L at fixed M and varying M at fixed L.
+
+    The reference measured wall-clock of its O(4^N) matrix-build + SpMV
+    engine and found time grows much faster with L than with M (its gate
+    count is O(L^2) with full matrix rebuilds).  Here the measured quantity
+    is the compiled circuit's EXECUTE time (dispatch overhead cancelled by
+    the folded two-block slope, utils/profiling.time_circuit_folded) — on
+    TPU both axes are bandwidth-bound passes over 2^(L+M) amplitudes, so
+    time ~ gates(L) * 2^n, a hygienic contrast to the reference's scaling.
+
+    Returns (rows_L, rows_M): lists of (L, M, n, seconds)."""
+    from quantumcomputer_tpu.sim.engine import StateVectorEngine as Eng
+    from quantumcomputer_tpu.utils.profiling import time_circuit_folded
+
+    def one(L, M):
+        eng = Eng(Register(L=L, M=M), dtype=dtype, backend=backend)
+        circ = shor_circuit(C, a, L, M)
+        return time_circuit_folded(eng, circ, iters=iters)
+
+    rows_L = [(L, M_fixed, L + M_fixed, one(L, M_fixed)) for L in L_range]
+    rows_M = [(L_fixed, M, L_fixed + M, one(L_fixed, M)) for M in M_range]
+    return rows_L, rows_M
+
+
 def main(argv=None) -> int:
     """CLI: `python -m quantumcomputer_tpu.utils.experiments [--runs N]`
     runs the scripted TABLE I check on the default backend (TPU when
@@ -137,12 +173,20 @@ def main(argv=None) -> int:
         default="complex64",
         help="amplitude precision (complex32: bf16-storage throughput mode)",
     )
+    ap.add_argument(
+        "--fig3", action="store_true",
+        help="also run the FIG. 3 scaling experiment (time vs L and vs M, C=21 a=2)",
+    )
     args = ap.parse_args(argv)
     engine = None
     if args.dtype == "complex32":
         engine = StateVectorEngine(Register(L=3, M=4), dtype="complex32", backend="pallas")
     res = table1_experiment(runs=args.runs, seed=args.seed, min_p=args.min_p, engine=engine)
     print(res)
+    if args.fig3:
+        rows_L, rows_M = fig3_scaling()
+        print("FIG.3 time vs L (M=5):", ", ".join(f"L={L}: {s*1e3:.1f} ms" for L, _, _, s in rows_L))
+        print("FIG.3 time vs M (L=3):", ", ".join(f"M={M}: {s*1e3:.1f} ms" for _, M, _, s in rows_M))
     return 0 if res.passed else 1
 
 

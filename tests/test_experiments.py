@@ -64,3 +64,17 @@ def test_table1_detects_broken_distribution():
 
     res = ex.table1_experiment(runs=100, seed=0, engine=Rigged())
     assert not res.passed
+
+
+def test_fig3_scaling_harness_runs():
+    """FIG. 3 harness (Report §IV.C): returns timing rows over both axes;
+    tiny ranges on CPU (xla backend) just to exercise the machinery."""
+    from quantumcomputer_tpu.utils.experiments import fig3_scaling
+
+    rows_L, rows_M = fig3_scaling(
+        L_range=(3, 4), M_range=(5, 6), L_fixed=3, M_fixed=5,
+        backend="xla", iters=1,
+    )
+    assert [(r[0], r[1]) for r in rows_L] == [(3, 5), (4, 5)]
+    assert [(r[0], r[1]) for r in rows_M] == [(3, 5), (3, 6)]
+    assert all(r[3] > 0 for r in rows_L + rows_M)
