@@ -565,6 +565,65 @@ class ShardedStateVectorEngine:
         )
         return jax.jit(smapped, donate_argnums=(0,))
 
+    def run_norm(self, circuit: Circuit) -> float:
+        """Reset -> circuit -> psum'd norm, as ONE compiled shard_map
+        program whose only output is the scalar norm — no state-sized
+        buffer crosses the program boundary (the memory-ceiling-safe form;
+        mirrors StateVectorEngine.run_norm across the mesh)."""
+        ck = (circuit, "__run_norm__")
+        fn = self._run_cache.get(ck)
+        if fn is None:
+            n, M, d, backend = self.register.n, self.m_eff, self.d, self.backend
+            rdtype = self.real_dtype
+            D = 1 << d
+            ls = (1 << n) // D
+            r0 = self.reset_index
+
+            def body():
+                me = lax.axis_index(AXIS)
+                idt = _index_dtype(n)
+                onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == r0).astype(rdtype)
+                z = lax.complex(onehot, jnp.zeros_like(onehot))
+                z = apply_circuit_sharded(z, circuit, n=n, M=M, d=d, me=me, backend=backend)
+                return lax.psum(jnp.sum(jnp.real(z) ** 2 + jnp.imag(z) ** 2), AXIS)
+
+            smapped = jax.shard_map(
+                body, mesh=self.mesh, in_specs=(), out_specs=P(), check_vma=False
+            )
+            fn = jax.jit(smapped)
+            self._run_cache[ck] = fn
+        return float(fn())
+
+    def run_and_measure_index(self, circuit: Circuit, key: jax.Array) -> int:
+        """Reset -> circuit -> measured global index, as ONE compiled
+        shard_map program with a SCALAR output: the collapsed state is dead
+        code, so the program holds one sharded state only (the form that
+        scales to the per-chip memory ceiling)."""
+        ck = (circuit, "__run_measure_idx__")
+        fn = self._run_cache.get(ck)
+        if fn is None:
+            n, M, d, backend = self.register.n, self.m_eff, self.d, self.backend
+            rdtype = self.real_dtype
+            D = 1 << d
+            ls = (1 << n) // D
+            r0 = self.reset_index
+
+            def body(k):
+                me = lax.axis_index(AXIS)
+                idt = _index_dtype(n)
+                onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == r0).astype(rdtype)
+                z = lax.complex(onehot, jnp.zeros_like(onehot))
+                z = apply_circuit_sharded(z, circuit, n=n, M=M, d=d, me=me, backend=backend)
+                gidx, _ = _measure_local(sv.from_complex(z), k, n, rdtype)
+                return gidx
+
+            smapped = jax.shard_map(
+                body, mesh=self.mesh, in_specs=(P(),), out_specs=P(), check_vma=False
+            )
+            fn = jax.jit(smapped)
+            self._run_cache[ck] = fn
+        return int(fn(key))
+
     def run_and_measure(self, circuit: Circuit, key: jax.Array) -> Tuple[int, jax.Array]:
         """Reset -> circuit -> sharded measurement, as ONE compiled shard_map
         program.  Returns (measured global index, collapsed planar state)."""

@@ -335,6 +335,53 @@ class DDStateVectorEngine:
         idx, collapsed = _measure_dd(state, key)
         return int(idx), collapsed
 
+    def _folded_reset_circuit(self, circuit: Circuit):
+        """Traced reset -> circuit as dd planes (the fold used by the
+        scalar-output programs below; mirrors StateVectorEngine)."""
+        dim = self.register.num_states
+        M = self.register.M
+        p = jnp.zeros((4, dim), jnp.float32).at[0, 1].set(1.0)
+        re, im = _unpack(p)
+        for g in circuit:
+            re, im = apply_gate_dd(re, im, g, M)
+        return re, im
+
+    def run_norm(self, circuit: Circuit) -> float:
+        """Reset -> circuit -> norm as ONE compiled program whose only
+        output is the (hi, lo) norm pair — the API-uniform counterpart of
+        StateVectorEngine.run_norm, recombined in f64 on the host."""
+        ck = (circuit, "norm")
+        fn = self._run_cache.get(ck)
+        if fn is None:
+
+            @jax.jit
+            def fn():
+                re, im = self._folded_reset_circuit(circuit)
+                return jnp.stack(_norm_dd(re, im))
+
+            self._run_cache[ck] = fn
+        hi_lo = np.asarray(fn(), np.float64)
+        return float(hi_lo[0] + hi_lo[1])
+
+    def run_and_measure_index(self, circuit: Circuit, key: jax.Array) -> int:
+        """Reset -> circuit -> measured index as ONE compiled program with a
+        SCALAR output (no collapsed-state buffer; same draw convention as
+        _measure_dd_impl)."""
+        ck = (circuit, "measure_idx")
+        fn = self._run_cache.get(ck)
+        if fn is None:
+
+            @jax.jit
+            def fn(k):
+                re, im = self._folded_reset_circuit(circuit)
+                probs = (re[0] + re[1]) ** 2 + (im[0] + im[1]) ** 2
+                r = jax.random.uniform(k, dtype=probs.dtype) * jnp.sum(probs)
+                cum = jnp.cumsum(probs)
+                return jnp.minimum(jnp.searchsorted(cum, r, side="left"), probs.shape[-1] - 1)
+
+            self._run_cache[ck] = fn
+        return int(fn(key))
+
     # -- measurement -----------------------------------------------------------
 
     def measure(self, state: jax.Array, key: jax.Array) -> Tuple[int, jax.Array]:

@@ -142,3 +142,21 @@ def test_dd_cli():
 
     assert main(["-C", "15", "-L", "3", "-M", "4", "-a", "7", "--seed", "0", "--dtype", "dd64"]) == 0
     assert main(["-C", "15", "-L", "3", "-M", "4", "--dtype", "dd64", "--devices", "2"]) == 2
+
+
+def test_dd_folded_scalar_programs():
+    """run_norm / run_and_measure_index on the dd engine: API-uniform with
+    StateVectorEngine; norm at dd accuracy, same-key draw parity with
+    run_and_measure."""
+    import jax
+
+    from quantumcomputer_tpu.models.shor_circuit import shor_circuit
+
+    C, a, L, M = 15, 7, 3, 4
+    circ = shor_circuit(C, a, L, M)
+    eng = DDStateVectorEngine(Register(L=L, M=M))
+    assert abs(eng.run_norm(circ) - 1.0) < 1e-12
+    key = jax.random.PRNGKey(5)
+    idx_only = eng.run_and_measure_index(circ, key)
+    idx_full, _ = eng.run_and_measure(circ, key)
+    assert idx_only == idx_full

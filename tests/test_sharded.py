@@ -292,3 +292,19 @@ def test_sharded_norm_trace():
     devs = np.abs(np.asarray(norms) - 1.0)
     assert norms.shape[0] == 3 * 3 + 3 * 2 // 2
     assert devs.max() < 1e-13
+
+
+def test_sharded_folded_scalar_programs():
+    """run_norm / run_and_measure_index: the memory-ceiling-safe forms on
+    the mesh (ONE shard_map program, scalar output).  The norm matches the
+    single-chip engine exactly, and the index-only program draws the same
+    sample as run_and_measure under the same key."""
+    C, a, L, M = 15, 7, 3, 4
+    circ = shor_circuit(C, a, L, M)
+    multi = sharded_engine(L, M)
+    single = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    assert abs(multi.run_norm(circ) - single.run_norm(circ)) < ATOL
+    key = jax.random.PRNGKey(7)
+    idx_only = multi.run_and_measure_index(circ, key)
+    idx_full, _ = multi.run_and_measure(circ, key)
+    assert idx_only == idx_full
