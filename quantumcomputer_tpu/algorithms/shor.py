@@ -210,6 +210,12 @@ def shors_algorithm(
             if isinstance(dtype, str) and dtype in ("complex32", "c32"):
                 if mesh is not None:
                     raise ValueError("complex32 throughput mode is single-chip (no mesh support)")
+                if backend == "xla":
+                    log.warning(
+                        "complex32 requires the pallas planar-pair path (no 32-bit "
+                        "complex dtype exists); overriding backend='xla' -> 'pallas' "
+                        "(interpret-mode kernels off-TPU)"
+                    )
                 backend = "pallas"  # bf16 storage exists only on the planar-pair path
             if oracle == "benes" and (mesh is not None or backend == "xla"):
                 log.warning(

@@ -42,8 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
         default="complex64",
         help=(
             "amplitude precision: complex64 (TPU default), complex32 "
-            "(bf16 HBM storage + f32 compute: ~2x throughput, ~1e-2 "
-            "amplitude error), complex128 (f64 parity, CPU-only), dd64 "
+            "(bf16 HBM storage + f32 compute: ~2x throughput; amplitude "
+            "error a few bf16 ulps relative — ~2e-4 absolute measured at "
+            "n=22), complex128 (f64 parity, CPU-only), dd64 "
             "(double-float: f64-equivalent 1e-12 parity ON TPU)"
         ),
     )

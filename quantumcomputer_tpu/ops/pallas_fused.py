@@ -531,10 +531,13 @@ def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, 
     axes = lay.axes
     # MXU precision for the composed lane/row matmuls: full f32 (6-pass
     # emulation) when the stored amplitudes are f32/f64.  Under bf16
-    # storage the tables are staged as error-free hi+lo bf16 splits and
-    # each product runs as TWO native-MXU bf16 dots with f32 accumulation
-    # (~3x faster; residual error ~1e-7, far below the ~4e-3 per-pass
-    # storage rounding).  Mosaic lowers only DEFAULT and HIGHEST.
+    # storage each product runs as TWO native-MXU bf16 dots with f32
+    # accumulation against a hi+lo table split (~3x faster; Mosaic lowers
+    # only DEFAULT and HIGHEST).  Accuracy: the table split leaves ~2^-17
+    # residual, but the ACTIVATIONS are also cast to bf16 per matmul group
+    # — one extra ~2^-8-relative rounding per lanemat/rowmat beyond the
+    # per-pass storage rounding (both within the mode's few-ulp envelope;
+    # see tests/test_complex32.py bounds).
     hp = jax.lax.Precision.HIGHEST
 
     def mxu_dot(x, w_or_pair, transpose=False):
@@ -832,9 +835,12 @@ def _fused_kernel(*refs, ops, lay: _Layout, M: int, n_tables: int = 0):
     row_pid = pl.program_id(m)  # grid = (gaps..., row_block)
     shape_subs = (2,) * m + (bi, LANE)
     store_dtype = re_ref.dtype
-    # bf16 ("complex32") is STORAGE-only: tiles upcast to f32 on load, all
-    # gate arithmetic runs at f32, and the result rounds to bf16 only at
-    # the HBM store — one rounding per pass, never per op.
+    # bf16 ("complex32") is STORAGE-only: tiles upcast to f32 on load, gate
+    # arithmetic runs at f32, and the result rounds to bf16 at the HBM
+    # store.  Exception: lanemat/rowmat groups re-cast their activations to
+    # bf16 for the native-MXU dots (see mxu_dot), so a segment with k
+    # matmul groups incurs k extra ~2^-8-relative roundings on top of the
+    # per-pass storage rounding.
     dtype = jnp.float32 if store_dtype == jnp.bfloat16 else store_dtype
     xre = re_ref[...].astype(dtype).reshape(shape_subs)
     xim = im_ref[...].astype(dtype).reshape(shape_subs)
@@ -886,9 +892,10 @@ def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M
             kops.append(op)
     # Compose lane/row 1q chains into MXU matmuls.  f32 planes stage the
     # matrices as f32 operands (HIGHEST-precision dots); bf16 storage
-    # stages each matmul table as an error-free hi+lo bf16 split — shape
-    # (2 hi/lo, 2 re/im, n, n) — so the kernel runs two native-MXU bf16
-    # dots per product.  xtable phase tables stay f32 in both modes.
+    # stages each matmul table as a hi+lo bf16 split (~2^-17 residual on
+    # the table) — shape (2 hi/lo, 2 re/im, n, n) — so the kernel runs two
+    # native-MXU bf16 dots per product.  xtable phase tables stay f32 in
+    # both modes.
     if re.dtype in (jnp.float32, jnp.bfloat16):
         grouped, mats = matmul_group_ops(tuple(kops), M)
         off = len(tables)

@@ -178,7 +178,7 @@ def apply_camodc_ladder_high_planar(re: jax.Array, im: jax.Array, C: int, A_list
     assert ladder_high_supported(controls, M, dim.bit_length() - 1, itemsize)
     # Block width limited by the SMALLEST control stride (purity for all)
     # and capped at 64 KB slabs (VMEM scratch scales with cb2*itemsize).
-    cb2 = min(65536 // (LANE * itemsize), r2, 1 << (min(controls) - 7))
+    cb2 = min(_max_slab_cb2(itemsize), r2, 1 << (min(controls) - 7))
     group = min(2, r2 // cb2)
     from quantumcomputer_tpu.ops.gates import modexp_combo_multipliers
 
@@ -389,7 +389,7 @@ def apply_camodc_high_cycle_planar(re: jax.Array, im: jax.Array, C: int, atox: i
     # x cb2 x 128 x itemsize must stay under the 16 MB scoped-VMEM budget:
     # 64 KB slabs -> 4.6 MB (cb2 = 128 f32 / 256 bf16; bf16 slabs narrower
     # than 64 KB measured ~30% below the f32 kernel's bandwidth).
-    cb2 = min(65536 // (LANE * jnp.dtype(re.dtype).itemsize), r2)
+    cb2 = min(_max_slab_cb2(jnp.dtype(re.dtype).itemsize), r2)
     n_strips = rows // STRIP
     view = (rows, r2, LANE)
 
@@ -432,6 +432,16 @@ def _min_perm_cb2(itemsize: int) -> int:
     return MIN_PERM_SLAB_BYTES // (LANE * itemsize)
 
 
+# Column-block slab cap: 64 KB per DMA keeps every kernel's scratch inside
+# the scoped-VMEM budget while staying on the flat part of the per-DMA
+# overhead curve (see the measurements above MIN_PERM_SLAB_BYTES).
+MAX_SLAB_BYTES = 65536
+
+
+def _max_slab_cb2(itemsize: int) -> int:
+    return MAX_SLAB_BYTES // (LANE * itemsize)
+
+
 def perm_supported(c_phys: int, M: int, n: int, itemsize: int = 4) -> bool:
     """True when the half-traffic pure-permutation kernel can run this gate:
     the control stride must cover enough aligned sub-rows that control-pure
@@ -443,103 +453,14 @@ def perm_supported(c_phys: int, M: int, n: int, itemsize: int = 4) -> bool:
     return (1 << (c_phys - 7)) >= min_cb2 if c_phys >= 7 else False
 
 
-def _cycle_perm_kernel(sched_ref, x_any, ox_any, slots, stage, head, sems, fsems, osems, *, cb2: int, cg_bit: int, n_strips: int):
-    """Half-traffic oracle for control-pure column blocks, IN PLACE.
-
-    The grid enumerates ONLY the control==1 column blocks (the mapped
-    index inserts a 1 at `cg_bit` of the block index); control==0 columns
-    are identity rows, which in-place aliasing provides for free.  On
-    these blocks the gate is a pure row permutation — no blend, no
-    control mask, no identity reads: out[j] = x[ginv[j]].  Cycle order
-    (see _cycle_kernel) keeps the in-place execution hazard-free; the one
-    backward reference (each cycle's closing step needs the overwritten
-    head row) reads `head`, captured by a fresh DMA at the cycle head.
-    Fixed points (kind==2) move no data at all."""
-    cg = pl.program_id(0)
-    t = pl.program_id(1)
-    cg_act = ((cg >> cg_bit) << (cg_bit + 1)) | (1 << cg_bit) | (cg & ((1 << cg_bit) - 1))
-    c0 = cg_act * cb2
-
-    def src_dma(ts, bank, k):
-        src = sched_ref[1, ts * STRIP + k]
-        return pltpu.make_async_copy(
-            x_any.at[src, pl.ds(c0, cb2), :], slots.at[bank, k], sems.at[bank, k]
-        )
-
-    def head_dma(ts, bank, k):
-        out = sched_ref[0, ts * STRIP + k]
-        return pltpu.make_async_copy(
-            x_any.at[out, pl.ds(c0, cb2), :], head, fsems.at[bank, k]
-        )
-
-    def out_dma(ts, bank, k):
-        out = sched_ref[0, ts * STRIP + k]
-        return pltpu.make_async_copy(
-            stage.at[bank, k], ox_any.at[out, pl.ds(c0, cb2), :], osems.at[bank, k]
-        )
-
-    def start_strip(ts, bank):
-        for k in range(STRIP):
-            kind = sched_ref[2, ts * STRIP + k]
-
-            @pl.when(jnp.logical_or(kind == 0, kind == 1))
-            def _():
-                src_dma(ts, bank, k).start()
-
-    bank = t % 3
-    nbank = (t + 1) % 3
-
-    @pl.when(t == 0)
-    def _():
-        start_strip(0, 0)
-
-    @pl.when(t + 1 < n_strips)
-    def _():
-        @pl.when(t >= 2)
-        def _():
-            for k in range(STRIP):
-                kind2 = sched_ref[2, (t - 2) * STRIP + k]
-
-                @pl.when(kind2 != 2)
-                def _():
-                    out_dma(t - 2, nbank, k).wait()
-        start_strip(t + 1, nbank)
-
-    for k in range(STRIP):
-        kind = sched_ref[2, t * STRIP + k]
-
-        @pl.when(jnp.logical_or(kind == 0, kind == 1))
-        def _():
-            src_dma(t, bank, k).wait()
-
-        @pl.when(kind == 1)
-        def _():
-            # Capture the head row's original value for the closing step.
-            # Serialized here (started + waited at the blend): at most one
-            # head buffer exists, and the closing step may be this strip.
-            head_dma(t, bank, k).start()
-            head_dma(t, bank, k).wait()
-
-        stage[bank, k] = jnp.where(kind == 3, head[...], slots[bank, k])
-
-        @pl.when(kind != 2)
-        def _():
-            out_dma(t, bank, k).start()
-
-    @pl.when(t >= n_strips - 3)
-    def _():
-        for k in range(STRIP):
-            kind = sched_ref[2, t * STRIP + k]
-
-            @pl.when(kind != 2)
-            def _():
-                out_dma(t, bank, k).wait()
-
-
 def apply_camodc_high_perm_planar(re: jax.Array, im: jax.Array, C: int, atox: int, c_phys: int, M: int):
     """Controlled modular multiply with a HIGH control (stride wide enough
     for MIN_PERM_SLAB_BYTES column blocks): touch only the control==1
-    column half — 0.5R + 0.5W of the state, in place."""
+    column half — 0.5R + 0.5W of the state, in place.
+
+    Runs through the generalized _cycle_masked_kernel with a SINGLE
+    schedule and one inserted mask bit: the grid enumerates only the
+    control==1 column blocks, so control==0 blocks are never touched."""
     dim = re.shape[0]
     rows = 1 << M
     rest = dim // rows
@@ -548,20 +469,20 @@ def apply_camodc_high_perm_planar(re: jax.Array, im: jax.Array, C: int, atox: in
     itemsize = jnp.dtype(re.dtype).itemsize
     assert perm_supported(c_phys, M, n, itemsize)
     ginv = np.asarray(modmul_inverse_permutation(C, atox, M))
-    out_row, src_row, prev_kind = cycle_schedule(ginv)
-    sched = jnp.asarray(np.stack([out_row, src_row, prev_kind]))
+    sched = jnp.asarray(np.stack(cycle_schedule(ginv))[None])  # (1, 3, rows)
     # Block width limited by the control stride (blocks must be pure), by
     # r2/2 (at least two blocks so the control bit is a block-index bit),
     # and capped at 64 KB slabs (VMEM: scratch scales with cb2*itemsize).
-    cb2 = min(65536 // (LANE * itemsize), r2 // 2, 1 << (c_phys - 7))
-    cg_bit = c_phys - 7 - (cb2.bit_length() - 1)
+    cb2 = min(_max_slab_cb2(itemsize), r2 // 2, 1 << (c_phys - 7))
+    ca_bit = c_phys - 7 - (cb2.bit_length() - 1)
     n_strips = rows // STRIP
     view = (rows, r2, LANE)
 
     def one_plane(x):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(r2 // cb2 // 2, n_strips),  # control==1 blocks only
+            # (masks, control==1 blocks, strips): mask==0 blocks never run.
+            grid=(1, r2 // cb2 // 2, n_strips),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
@@ -573,7 +494,7 @@ def apply_camodc_high_perm_planar(re: jax.Array, im: jax.Array, C: int, atox: in
                 pltpu.SemaphoreType.DMA((3, STRIP)),
             ],
         )
-        kernel = partial(_cycle_perm_kernel, cb2=cb2, cg_bit=cg_bit, n_strips=n_strips)
+        kernel = partial(_cycle_masked_kernel, cb2=cb2, insert_bits=((ca_bit, 0),), n_strips=n_strips)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
@@ -607,24 +528,30 @@ def pair_inplace_supported(controls, M: int, n: int, itemsize: int = 4) -> bool:
     return all(pair_member_supported(c, M, n, itemsize) for c in controls)
 
 
-def _cycle_pair_kernel(sched_ref, x_any, ox_any, slots, stage, head, sems, fsems, osems, *, cb2: int, ca_bit: int, cb_bit: int, n_strips: int):
-    """In-place composed-PAIR oracle: two fused controlled multiplies whose
-    column blocks are pure for both controls.
+def _cycle_masked_kernel(sched_ref, x_any, ox_any, slots, stage, head, sems, fsems, osems, *, cb2: int, insert_bits, n_strips: int):
+    """In-place masked-permutation oracle: one or two fused controlled
+    multiplies whose column blocks are pure for every control.
 
-    The grid covers ALL column blocks; each block's 2-bit control mask m
-    selects one of three cycle schedules (multiply by combo[m]; see
-    apply_camodc_pair_inplace_planar), and mask==0 blocks do nothing — the
-    in-place aliasing provides identity for free, so a K=2 run costs
-    0.75R+0.75W instead of two passes.  Cycle-order in-place hazard logic
-    is identical to _cycle_perm_kernel; the one backward reference (each
-    cycle's closing step needs the overwritten head row) reads `head`,
-    captured by a fresh DMA at the cycle head."""
-    cg = pl.program_id(0)
-    t = pl.program_id(1)
+    The grid enumerates ONLY the active (mask != 0) column blocks:
+    program_id(0) selects the nonzero control mask m = sel + 1, and the
+    kernel re-inserts m's bits at the controls' block-index positions
+    (`insert_bits`, ascending (position, mask_bit) pairs) to recover the
+    actual block index — mask==0 blocks are never visited, and in-place
+    aliasing provides their identity for free.  One schedule per nonzero
+    mask (multiply by combo[m]); a single-control gate is the one-mask
+    case (0.5R+0.5W), a fused pair the three-mask case (0.75R+0.75W).
+
+    Cycle-order in-place hazard logic is identical to _cycle_kernel; the
+    one backward reference (each cycle's closing step needs the
+    overwritten head row) reads `head`, captured by a fresh DMA at the
+    cycle head."""
+    mi = pl.program_id(0)  # schedule row; control mask m = mi + 1
+    t = pl.program_id(2)
+    m = mi + 1
+    cg = pl.program_id(1)
+    for pos, mask_bit in insert_bits:  # ascending positions: see docstring
+        cg = ((cg >> pos) << (pos + 1)) | (((m >> mask_bit) & 1) << pos) | (cg & ((1 << pos) - 1))
     c0 = cg * cb2
-    m = ((cg >> ca_bit) & 1) + 2 * ((cg >> cb_bit) & 1)
-    active = m > 0
-    mi = jnp.maximum(m - 1, 0)  # schedule row (clamped; gated by `active`)
 
     def src_dma(ts, bank, k):
         src = sched_ref[mi, 1, ts * STRIP + k]
@@ -648,7 +575,7 @@ def _cycle_pair_kernel(sched_ref, x_any, ox_any, slots, stage, head, sems, fsems
         for k in range(STRIP):
             kind = sched_ref[mi, 2, ts * STRIP + k]
 
-            @pl.when(jnp.logical_and(active, jnp.logical_or(kind == 0, kind == 1)))
+            @pl.when(jnp.logical_or(kind == 0, kind == 1))
             def _():
                 src_dma(ts, bank, k).start()
 
@@ -666,7 +593,7 @@ def _cycle_pair_kernel(sched_ref, x_any, ox_any, slots, stage, head, sems, fsems
             for k in range(STRIP):
                 kind2 = sched_ref[mi, 2, (t - 2) * STRIP + k]
 
-                @pl.when(jnp.logical_and(active, kind2 != 2))
+                @pl.when(kind2 != 2)
                 def _():
                     out_dma(t - 2, nbank, k).wait()
         start_strip(t + 1, nbank)
@@ -674,18 +601,18 @@ def _cycle_pair_kernel(sched_ref, x_any, ox_any, slots, stage, head, sems, fsems
     for k in range(STRIP):
         kind = sched_ref[mi, 2, t * STRIP + k]
 
-        @pl.when(jnp.logical_and(active, jnp.logical_or(kind == 0, kind == 1)))
+        @pl.when(jnp.logical_or(kind == 0, kind == 1))
         def _():
             src_dma(t, bank, k).wait()
 
-        @pl.when(jnp.logical_and(active, kind == 1))
+        @pl.when(kind == 1)
         def _():
             head_dma(t, bank, k).start()
             head_dma(t, bank, k).wait()
 
         stage[bank, k] = jnp.where(kind == 3, head[...], slots[bank, k])
 
-        @pl.when(jnp.logical_and(active, kind != 2))
+        @pl.when(kind != 2)
         def _():
             out_dma(t, bank, k).start()
 
@@ -694,7 +621,7 @@ def _cycle_pair_kernel(sched_ref, x_any, ox_any, slots, stage, head, sems, fsems
         for k in range(STRIP):
             kind = sched_ref[mi, 2, t * STRIP + k]
 
-            @pl.when(jnp.logical_and(active, kind != 2))
+            @pl.when(kind != 2)
             def _():
                 out_dma(t, bank, k).wait()
 
@@ -727,17 +654,20 @@ def apply_camodc_pair_inplace_planar(re: jax.Array, im: jax.Array, C: int, A_pai
         ginv = np.where(f < C, (int(combos[m]) * f) % C, f).astype(np.int32)
         scheds.append(np.stack(cycle_schedule(ginv)))
     sched = jnp.asarray(np.stack(scheds))  # (3, 3, rows)
-    cb2 = min(65536 // (LANE * itemsize), r2 // 4, 1 << (min(c_a, c_b) - 7))
+    cb2 = min(_max_slab_cb2(itemsize), r2 // 4, 1 << (min(c_a, c_b) - 7))
     lb = cb2.bit_length() - 1
     ca_bit = c_a - 7 - lb
     cb_bit = c_b - 7 - lb
+    # Ascending insert positions, each tagged with its control-mask bit.
+    insert_bits = tuple(sorted(((ca_bit, 0), (cb_bit, 1))))
     n_strips = rows // STRIP
     view = (rows, r2, LANE)
 
     def one_plane(x):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(r2 // cb2, n_strips),  # ALL blocks; mask==0 skips in-kernel
+            # (masks, blocks per mask, strips): mask==0 blocks never run.
+            grid=(3, r2 // cb2 // 4, n_strips),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
@@ -749,7 +679,7 @@ def apply_camodc_pair_inplace_planar(re: jax.Array, im: jax.Array, C: int, A_pai
                 pltpu.SemaphoreType.DMA((3, STRIP)),
             ],
         )
-        kernel = partial(_cycle_pair_kernel, cb2=cb2, ca_bit=ca_bit, cb_bit=cb_bit, n_strips=n_strips)
+        kernel = partial(_cycle_masked_kernel, cb2=cb2, insert_bits=insert_bits, n_strips=n_strips)
         return pl.pallas_call(
             kernel,
             grid_spec=grid_spec,

@@ -129,7 +129,7 @@ def fig3_scaling(
     L_fixed: int = 3,
     M_fixed: int = 5,
     dtype=jnp.complex64,
-    backend: str = "pallas",
+    backend: Optional[str] = None,
     iters: int = 3,
 ):
     """FIG. 3 experiment (Report §IV.C): execution time factoring C=21 with
@@ -143,9 +143,14 @@ def fig3_scaling(
     TPU both axes are bandwidth-bound passes over 2^(L+M) amplitudes, so
     time ~ gates(L) * 2^n, a hygienic contrast to the reference's scaling.
 
-    Returns (rows_L, rows_M): lists of (L, M, n, seconds)."""
+    Returns (rows_L, rows_M): lists of (L, M, n, seconds).  backend=None
+    auto-selects like the CLI: pallas on TPU, xla elsewhere (interpret-mode
+    Pallas kernels off-TPU would be orders of magnitude slower)."""
     from quantumcomputer_tpu.sim.engine import StateVectorEngine as Eng
     from quantumcomputer_tpu.utils.profiling import time_circuit_folded
+
+    if backend is None:
+        backend = "pallas" if any(d.platform == "tpu" for d in jax.devices()) else "xla"
 
     def one(L, M):
         eng = Eng(Register(L=L, M=M), dtype=dtype, backend=backend)
