@@ -102,6 +102,7 @@ def find_period(
     key: jax.Array,
     num_fractions: int = nt.NUM_CONTINUED_FRACTIONS,
     trials_per_denominator: int = nt.TRIALS_PER_DENOMINATOR,
+    allow_template: bool = False,
 ) -> AttemptRecord:
     """One quantum period-finding attempt (find_period, qc_shor.c:912-964):
     reset -> circuit -> measure -> omega -> continued fractions -> period test."""
@@ -138,7 +139,33 @@ def find_period(
         # Only the measured index is fetched: the collapse is dead code (the
         # reference discards the collapsed state too), which keeps the
         # program at ONE state buffer — required at the n=30 memory ceiling.
-        if hasattr(engine, "run_and_measure_index"):
+        # Template form (multi-`a` trial loops only): the oracle permutation
+        # tables are program OPERANDS, so the loop compiles ONE program per
+        # (L, M) instead of one per trial integer — each extra `a` would
+        # otherwise cost a fresh XLA compile for a milliseconds-long
+        # execution.  The slot oracle runs as an out-of-place XLA gather,
+        # so it needs TWO state buffers (skip at the single-chip memory
+        # ceiling, where only the in-place static-kernel path fits) and is
+        # slower per-execute than the static DMA oracle — which is why
+        # forced single-`a` runs keep the static form.
+        from quantumcomputer_tpu.sim.engine import _LADDER_MEM_LIMIT
+
+        state_bytes = 2 * (1 << reg.n) * jnp.dtype(engine.real_dtype).itemsize
+        if (
+            allow_template
+            and hasattr(engine, "run_and_measure_index_with_tables")
+            and state_bytes * 2 <= _LADDER_MEM_LIMIT
+        ):
+            from quantumcomputer_tpu.models.shor_circuit import (
+                shor_circuit_template,
+                shor_oracle_tables,
+            )
+
+            layout = getattr(engine, "layout", "standard")
+            template = shor_circuit_template(reg.L, reg.M, layout)
+            tables = shor_oracle_tables(C, a, reg.L, reg.M)
+            idx = engine.run_and_measure_index_with_tables(template, tables, key)
+        elif hasattr(engine, "run_and_measure_index"):
             idx = engine.run_and_measure_index(circuit, key)
         else:
             idx, _ = engine.run_and_measure(circuit, key)
@@ -262,7 +289,10 @@ def shors_algorithm(
         found = False
         for _ in range(max_attempts_per_a):
             key, sub = jax.random.split(key)
-            attempt = find_period(engine, C, a, sub, num_fractions, trials_per_denominator)
+            attempt = find_period(
+                engine, C, a, sub, num_fractions, trials_per_denominator,
+                allow_template=not forced,
+            )
             result.attempts.append(attempt)
             if attempt.period is None:
                 if verbose and not forced:

@@ -81,3 +81,32 @@ def shor_circuit_mhigh(C: int, a: int, L: int, M: int) -> Circuit:
 def shor_circuit_reference(C: int, a: int, L: int, M: int) -> Circuit:
     """Full period-finding circuit, reference gate-for-gate form."""
     return tuple(hadamard_layer(L, M) + modexp_ladder(C, a, L, M) + inverse_qft_reference(L, M))
+
+
+def shor_circuit_template(L: int, M: int, layout: str = "standard") -> Circuit:
+    """Period-finding circuit with SLOT oracle gates: oracle j carries only
+    its table slot, not (C, a^(2^j)) constants, so the compiled program is
+    independent of the trial integer — the engine binds per-`a` permutation
+    tables as runtime operands (run_and_measure_index_with_tables) and the
+    unforced trial loop (qc_shor.c:1072-1120) compiles ONCE per (L, M).
+
+    Only the H layer and iQFT depend on (L, M); the oracle's permutation is
+    entirely in the tables (shor_oracle_tables)."""
+    if layout == "m_high":
+        gates = [H(j) for j in range(L)]
+        gates += [Gate("camodc_high_slot", (j,), meta=(j, M)) for j in range(L)]
+        gates += [IQFT_STAGE(l) for l in range(L - 1, -1, -1)]
+        return tuple(gates)
+    gates = hadamard_layer(L, M)
+    gates += [Gate("camodc_slot", (M + j,), meta=(j,)) for j in range(L)]
+    gates += inverse_qft_fused(L, M)
+    return tuple(gates)
+
+
+def shor_oracle_tables(C: int, a: int, L: int, M: int):
+    """Per-(C, a) permutation tables for shor_circuit_template: table j is
+    the inverse permutation of multiply-by-a^(2^j) mod C on the M register
+    (both layouts use the same M-register tables)."""
+    from quantumcomputer_tpu.ops.gates import modmul_inverse_permutation
+
+    return tuple(modmul_inverse_permutation(C, pow(a, 1 << j, C), M) for j in range(L))

@@ -268,6 +268,20 @@ def modmul_inverse_permutation(C: int, A: int, M: int) -> np.ndarray:
     return np.where(f < C, (a_inv * f) % C, f).astype(np.int32)
 
 
+def apply_c_amodc_dyn(state: jax.Array, ginv: jax.Array, c_q: int, M: int) -> jax.Array:
+    """apply_c_amodc with the permutation table as a TRACED operand: one
+    compiled program serves every (C, a) — the trial loop's compile-once
+    form (see models/shor_circuit.shor_circuit_template)."""
+    assert c_q >= M, "control qubit must be outside the M register"
+    dim = state.shape[0]
+    m_dim = 1 << M
+    mid = 1 << (c_q - M)
+    outer = dim // (2 * mid * m_dim)
+    x = state.reshape(outer, 2, mid, m_dim)
+    x1 = jnp.take(x[:, 1], ginv, axis=-1)
+    return jnp.stack([x[:, 0], x1], axis=1).reshape(dim)
+
+
 def apply_c_amodc(state: jax.Array, C: int, atox: int, c_q: int, M: int) -> jax.Array:
     """Controlled a^x mod C gate (qc_shor.c:595-660) as a blockwise gather.
 
@@ -276,15 +290,8 @@ def apply_c_amodc(state: jax.Array, C: int, atox: int, c_q: int, M: int) -> jax.
     the last (M-register) axis, batched over everything else.  The control
     qubit must lie in the L register (c_q >= M), as in the Shor circuit.
     """
-    assert c_q >= M, "control qubit must be outside the M register"
-    dim = state.shape[0]
     ginv = jnp.asarray(modmul_inverse_permutation(C, atox, M))
-    m_dim = 1 << M
-    mid = 1 << (c_q - M)
-    outer = dim // (2 * mid * m_dim)
-    x = state.reshape(outer, 2, mid, m_dim)
-    x1 = jnp.take(x[:, 1], ginv, axis=-1)
-    return jnp.stack([x[:, 0], x1], axis=1).reshape(dim)
+    return apply_c_amodc_dyn(state, ginv, c_q, M)
 
 
 def apply_permutation(state: jax.Array, perm_inv: jax.Array) -> jax.Array:
@@ -302,10 +309,16 @@ def apply_camodc_high(state: jax.Array, C: int, atox: int, c_phys: int, M: int) 
     qubit c_phys lives in the low bits: a per-column mask selects between
     the permuted and original rows.
     """
+    ginv = jnp.asarray(modmul_inverse_permutation(C, atox, M))
+    return apply_camodc_high_dyn(state, ginv, c_phys, M)
+
+
+def apply_camodc_high_dyn(state: jax.Array, ginv: jax.Array, c_phys: int, M: int) -> jax.Array:
+    """apply_camodc_high with the permutation table as a TRACED operand
+    (the trial loop's compile-once form)."""
     dim = state.shape[0]
     rest = dim >> M
     assert (1 << c_phys) < rest, "control must be a low (non-M) bit"
-    ginv = jnp.asarray(modmul_inverse_permutation(C, atox, M))
     # Full-row gather + control mask.  (A column-split variant that gathers
     # only the control==1 half measured SLOWER on v5e — 0.52 s vs 0.41 s for
     # the n=28 flagship circuit — the mid-axis stack costs more than the

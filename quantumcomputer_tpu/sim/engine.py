@@ -59,9 +59,11 @@ class Register:
         return 1 << self.n
 
 
-def apply_gate(state: jax.Array, g: Gate, M: int, backend: str = "xla") -> jax.Array:
+def apply_gate(state: jax.Array, g: Gate, M: int, backend: str = "xla", tables=()) -> jax.Array:
     """Dispatch one Gate onto the state.  Static metadata (qubits, angles,
-    moduli) is Python-level, so everything specializes under jit."""
+    moduli) is Python-level, so everything specializes under jit.  `tables`
+    carries the runtime permutation operands for SLOT oracle gates (the
+    compile-once trial-loop form; models/shor_circuit.shor_circuit_template)."""
     if backend == "pallas":
         from quantumcomputer_tpu.ops import pallas_gates as pops
 
@@ -69,6 +71,11 @@ def apply_gate(state: jax.Array, g: Gate, M: int, backend: str = "xla") -> jax.A
         if out is not None:
             return out
     name = g.name
+    if name == "camodc_slot":
+        return xops.apply_c_amodc_dyn(state, tables[g.meta[0]], g.qubits[0], M)
+    if name == "camodc_high_slot":
+        slot, m_reg = g.meta
+        return xops.apply_camodc_high_dyn(state, tables[slot], g.qubits[0], m_reg)
     if name in DENSE_1Q:
         return xops.apply_1q(state, jnp.asarray(gate_matrix_1q(g)), g.qubits[0])
     if name in DIAGONAL_1Q:
@@ -119,7 +126,7 @@ def _nan_hook(state: jax.Array, label: str) -> None:
     _nan_hook_planes(jnp.real(state), jnp.imag(state), label)
 
 
-def apply_gate_planes(re: jax.Array, im: jax.Array, g: Gate, M: int) -> Tuple[jax.Array, jax.Array]:
+def apply_gate_planes(re: jax.Array, im: jax.Array, g: Gate, M: int, tables=()) -> Tuple[jax.Array, jax.Array]:
     """Dispatch one Gate onto planar planes: Pallas kernels first, then the
     XLA complex path via upcast (free for f32/f64, where real/imag/complex
     are no-ops; for bf16 storage the fallback costs conversion passes, so
@@ -134,7 +141,7 @@ def apply_gate_planes(re: jax.Array, im: jax.Array, g: Gate, M: int) -> Tuple[ja
         z = jax.lax.complex(re.astype(jnp.float32), im.astype(jnp.float32))
     else:
         z = jax.lax.complex(re, im)
-    z = apply_gate(z, g, M, backend="xla")
+    z = apply_gate(z, g, M, backend="xla", tables=tables)
     return jnp.real(z).astype(rdtype), jnp.imag(z).astype(rdtype)
 
 
@@ -209,6 +216,7 @@ def apply_circuit_planes(
     oracle: str = "gather",
     trace_norms: bool = False,
     nan_checks: bool = False,
+    tables=(),
 ):
     """Apply a whole circuit to planar planes (the pallas backend's native
     form).  This path carries every plane dtype — f32, f64, and bf16
@@ -271,11 +279,11 @@ def apply_circuit_planes(
                 re, im = pallas_fused.apply_fused(re, im, seg[1], seg[2], n_bits, M)
                 re, im = step_done(re, im, f"fused segment {i} ({len(seg[1])} ops)")
             else:
-                re, im = apply_gate_planes(re, im, seg[1], M)
+                re, im = apply_gate_planes(re, im, seg[1], M, tables=tables)
                 re, im = step_done(re, im, f"gate {seg[1].name}{seg[1].qubits}")
     else:
         for i, g in enumerate(circuit):
-            re, im = apply_gate_planes(re, im, g, M)
+            re, im = apply_gate_planes(re, im, g, M, tables=tables)
             re, im = step_done(re, im, f"gate {i} {g.name}{g.qubits}")
     if trace_norms:
         return (re, im), norms
@@ -291,6 +299,7 @@ def apply_circuit(
     oracle: str = "gather",
     trace_norms: bool = False,
     nan_checks: bool = False,
+    tables=(),
 ):
     """Apply a whole circuit to a (traced) complex state.  The pallas
     backend delegates to the planar-pair path (real/imag and lax.complex
@@ -307,7 +316,7 @@ def apply_circuit(
     if backend == "pallas":
         out = apply_circuit_planes(
             jnp.real(state), jnp.imag(state), circuit, M, fuse, oracle,
-            trace_norms=trace_norms, nan_checks=nan_checks,
+            trace_norms=trace_norms, nan_checks=nan_checks, tables=tables,
         )
         if trace_norms:
             (re, im), norms = out
@@ -326,7 +335,7 @@ def apply_circuit(
     if fuse:
         circuit = fuse_oracle_ladders(circuit, M)
     for i, g in enumerate(circuit):
-        state = apply_gate(state, g, M, backend)
+        state = apply_gate(state, g, M, backend, tables=tables)
         state = step_done(state, f"gate {i} {g.name}{g.qubits}")
     if trace_norms:
         return state, norms
@@ -594,6 +603,43 @@ class StateVectorEngine:
             fn = jax.jit(run)
             self._run_cache[ck] = fn
         return int(fn(key))
+
+    def run_and_measure_index_with_tables(self, circuit: Circuit, tables, key: jax.Array) -> int:
+        """run_and_measure_index for TEMPLATE circuits whose oracle gates
+        are SLOT gates (camodc_slot / camodc_high_slot): the permutation
+        tables are program OPERANDS, so ONE compiled program serves every
+        trial integer — the unforced trial loop (qc_shor.c:1072-1120)
+        stops paying a fresh XLA compile per `a`.
+
+        `tables` is a sequence of int32 (2^m,) inverse-permutation arrays,
+        indexed by each slot gate's meta[0]
+        (models/shor_circuit.shor_oracle_tables builds them)."""
+        ck = (circuit, "measure_idx_dyn", self.nan_checks, len(tables))
+        fn = self._run_cache.get(ck)
+        if fn is None:
+            M, backend, fuse, oracle = self.m_eff, self.backend, self.fuse, self.oracle
+            n, rdtype, r0 = self.register.n, self.real_dtype, self.reset_index
+            nan_checks = self.nan_checks
+
+            def run(tabs, k):
+                if rdtype == jnp.bfloat16:
+                    re, im = sv.initial_planes(n, rdtype, r0)
+                    re, im = apply_circuit_planes(
+                        re, im, circuit, M, fuse, oracle, nan_checks=nan_checks, tables=tabs
+                    )
+                else:
+                    state = sv.initial_complex(n, rdtype, r0)
+                    state = apply_circuit(
+                        state, circuit, M, backend, fuse, oracle,
+                        nan_checks=nan_checks, tables=tabs,
+                    )
+                    re, im = jnp.real(state), jnp.imag(state)
+                return _sample_index_planes(re, im, k)
+
+            fn = jax.jit(run)
+            self._run_cache[ck] = fn
+        tabs = tuple(jnp.asarray(np.asarray(t), jnp.int32) for t in tables)
+        return int(fn(tabs, key))
 
     def run_with_norms(self, circuit: Circuit, state: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
         """Apply a circuit, also returning the post-step norm trace — the
