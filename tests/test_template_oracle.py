@@ -89,3 +89,16 @@ def test_template_skipped_at_memory_ceiling(monkeypatch):
     monkeypatch.setattr(eng_mod, "_LADDER_MEM_LIMIT", int(14.5 * (1 << 30)))
     rec = find_period(eng, 15, 7, jax.random.PRNGKey(0), allow_template=True)
     assert calls["dyn"] == 1 and rec.period == 4
+
+
+def test_template_works_at_complex32():
+    """The bf16 planar-pair path also binds slot-oracle tables."""
+    C, L, M = 33, 5, 6
+    e32 = StateVectorEngine(Register(L=L, M=M), dtype="complex32", backend="pallas")
+    e64 = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas")
+    template = shor_circuit_template(L, M)
+    key = jax.random.PRNGKey(1)
+    tables = shor_oracle_tables(C, 5, L, M)
+    idx32 = e32.run_and_measure_index_with_tables(template, tables, key)
+    idx64 = e64.run_and_measure_index_with_tables(template, tables, key)
+    assert idx32 == idx64  # sharp distribution: bf16 noise cannot move the draw
