@@ -107,14 +107,17 @@ def find_period(
     """One quantum period-finding attempt (find_period, qc_shor.c:912-964):
     reset -> circuit -> measure -> omega -> continued fractions -> period test."""
     reg = engine.register
-    if getattr(engine, "layout", "standard") == "m_high":
-        from quantumcomputer_tpu.models.shor_circuit import shor_circuit_mhigh
 
-        circuit = shor_circuit_mhigh(C, a, reg.L, reg.M)
-    else:
-        circuit = shor_circuit(C, a, reg.L, reg.M)
+    def static_circuit():
+        if getattr(engine, "layout", "standard") == "m_high":
+            from quantumcomputer_tpu.models.shor_circuit import shor_circuit_mhigh
+
+            return shor_circuit_mhigh(C, a, reg.L, reg.M)
+        return shor_circuit(C, a, reg.L, reg.M)
+
     _, very_verbose = verbosity()
     if very_verbose:
+        circuit = static_circuit()
         # Reference -V progress surface (qc_shor.c:918-932, 716-735): run
         # the three circuit phases as separate programs with a blocking norm
         # fetch after each, so the progress lines reflect real execution
@@ -147,15 +150,17 @@ def find_period(
         # so it needs TWO state buffers (skip at the single-chip memory
         # ceiling, where only the in-place static-kernel path fits) and is
         # slower per-execute than the static DMA oracle — which is why
-        # forced single-`a` runs keep the static form.
-        from quantumcomputer_tpu.sim.engine import _LADDER_MEM_LIMIT
+        # forced single-`a` runs keep the static form.  Also skipped when
+        # the engine selected a non-default oracle kernel (oracle='benes'):
+        # slot gates would silently run the gather instead.
+        use_template = allow_template and hasattr(engine, "run_and_measure_index_with_tables")
+        if use_template and getattr(engine, "oracle", "gather") != "gather":
+            use_template = False
+        if use_template:
+            from quantumcomputer_tpu.sim.engine import two_state_programs_fit
 
-        state_bytes = 2 * (1 << reg.n) * jnp.dtype(engine.real_dtype).itemsize
-        if (
-            allow_template
-            and hasattr(engine, "run_and_measure_index_with_tables")
-            and state_bytes * 2 <= _LADDER_MEM_LIMIT
-        ):
+            use_template = two_state_programs_fit(reg.n, engine.real_dtype)
+        if use_template:
             from quantumcomputer_tpu.models.shor_circuit import (
                 shor_circuit_template,
                 shor_oracle_tables,
@@ -166,9 +171,9 @@ def find_period(
             tables = shor_oracle_tables(C, a, reg.L, reg.M)
             idx = engine.run_and_measure_index_with_tables(template, tables, key)
         elif hasattr(engine, "run_and_measure_index"):
-            idx = engine.run_and_measure_index(circuit, key)
+            idx = engine.run_and_measure_index(static_circuit(), key)
         else:
-            idx, _ = engine.run_and_measure(circuit, key)
+            idx, _ = engine.run_and_measure(static_circuit(), key)
     if getattr(engine, "layout", "standard") == "m_high":
         idx = engine.logical_index(idx)
     omega = read_omega(idx, reg.L, reg.M)

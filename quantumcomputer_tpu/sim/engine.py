@@ -252,8 +252,7 @@ def apply_circuit_planes(
         # there, fuse runs into K=2 PAIRS instead — the in-place masked
         # pair kernel composes two gates into one 0.75R+0.75W pass
         # (pallas_oracle.apply_camodc_pair_inplace_planar).
-        plane_bytes = 2 * (1 << n_bits) * itemsize
-        ladder_fits = plane_bytes * 2 <= _LADDER_MEM_LIMIT
+        ladder_fits = two_state_programs_fit(n_bits, re.dtype)
 
         if ladder_fits:
 
@@ -342,16 +341,28 @@ def apply_circuit(
     return state
 
 
-def _circuit_planes_from_reset(n, rdtype, r0, circuit, M, backend, fuse, oracle, nan_checks):
+def _circuit_planes_from_reset(n, rdtype, r0, circuit, M, backend, fuse, oracle, nan_checks, tables=()):
     """Reset -> circuit, returning planes.  f32/f64 thread a complex state
     (identical HLO: real/imag/complex are no-ops); bf16 "complex32" storage
     has no complex dtype, so it runs the planar-pair path end to end."""
     if rdtype == jnp.bfloat16:
         re, im = sv.initial_planes(n, rdtype, r0)
-        return apply_circuit_planes(re, im, circuit, M, fuse, oracle, nan_checks=nan_checks)
+        return apply_circuit_planes(
+            re, im, circuit, M, fuse, oracle, nan_checks=nan_checks, tables=tables
+        )
     state = sv.initial_complex(n, rdtype, r0)
-    state = apply_circuit(state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks)
+    state = apply_circuit(
+        state, circuit, M, backend, fuse, oracle, nan_checks=nan_checks, tables=tables
+    )
     return jnp.real(state), jnp.imag(state)
+
+
+def two_state_programs_fit(n: int, rdtype) -> bool:
+    """True when a program holding TWO full states (e.g. an out-of-place
+    oracle gather, or the out-of-place ladder kernel) fits the single-chip
+    HBM budget.  The ONE memory-model predicate shared by the fuse planner
+    and the driver's template gate — keep them agreeing."""
+    return 2 * (1 << n) * jnp.dtype(rdtype).itemsize * 2 <= _LADDER_MEM_LIMIT
 
 
 class StateVectorEngine:
@@ -622,18 +633,10 @@ class StateVectorEngine:
             nan_checks = self.nan_checks
 
             def run(tabs, k):
-                if rdtype == jnp.bfloat16:
-                    re, im = sv.initial_planes(n, rdtype, r0)
-                    re, im = apply_circuit_planes(
-                        re, im, circuit, M, fuse, oracle, nan_checks=nan_checks, tables=tabs
-                    )
-                else:
-                    state = sv.initial_complex(n, rdtype, r0)
-                    state = apply_circuit(
-                        state, circuit, M, backend, fuse, oracle,
-                        nan_checks=nan_checks, tables=tabs,
-                    )
-                    re, im = jnp.real(state), jnp.imag(state)
+                re, im = _circuit_planes_from_reset(
+                    n, rdtype, r0, circuit, M, backend, fuse, oracle, nan_checks,
+                    tables=tabs,
+                )
                 return _sample_index_planes(re, im, k)
 
             fn = jax.jit(run)

@@ -54,14 +54,35 @@ def test_template_compiles_once_across_trial_integers():
 
 
 def test_unforced_driver_uses_template_and_factors():
-    """End-to-end unforced factoring goes through the template path and
-    still produces correct factors."""
+    """End-to-end unforced factoring goes through the template path
+    (asserted via the engine's program cache) and produces correct
+    factors."""
     from quantumcomputer_tpu.algorithms.shor import shors_algorithm
 
-    res = shors_algorithm(C=15, L=3, M=4, seed=11)
+    eng = StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex64)
+    res = shors_algorithm(C=15, L=3, M=4, seed=11, engine=eng)
     assert res.ok and res.factors is not None
     f0, f1 = res.factors
     assert f0 * f1 == 15 and {f0, f1} == {5, 3}
+    assert any(
+        isinstance(k, tuple) and "measure_idx_dyn" in k for k in eng._run_cache
+    ), "unforced run did not take the template path"
+
+
+def test_unforced_driver_skips_template_for_benes_oracle():
+    """oracle='benes' is an explicit kernel choice; the template's slot
+    gates would silently run the gather, so the driver keeps the static
+    path there."""
+    from quantumcomputer_tpu.algorithms.shor import shors_algorithm
+
+    eng = StateVectorEngine(
+        Register(L=3, M=4), dtype=jnp.complex64, backend="pallas", oracle="benes"
+    )
+    res = shors_algorithm(C=15, L=3, M=4, seed=11, engine=eng)
+    assert res.ok
+    assert not any(
+        isinstance(k, tuple) and "measure_idx_dyn" in k for k in eng._run_cache
+    )
 
 
 def test_template_skipped_at_memory_ceiling(monkeypatch):
@@ -92,13 +113,17 @@ def test_template_skipped_at_memory_ceiling(monkeypatch):
 
 
 def test_template_works_at_complex32():
-    """The bf16 planar-pair path also binds slot-oracle tables."""
-    C, L, M = 33, 5, 6
+    """The bf16 planar-pair path also binds slot-oracle tables.  Uses
+    (C=15, a=7): period 4 divides 2^L, so the omega distribution is four
+    EXACT point masses and bf16 storage noise cannot move any inverse-CDF
+    draw across an index boundary."""
+    C, a, L, M = 15, 7, 3, 4
     e32 = StateVectorEngine(Register(L=L, M=M), dtype="complex32", backend="pallas")
     e64 = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas")
     template = shor_circuit_template(L, M)
-    key = jax.random.PRNGKey(1)
-    tables = shor_oracle_tables(C, 5, L, M)
-    idx32 = e32.run_and_measure_index_with_tables(template, tables, key)
-    idx64 = e64.run_and_measure_index_with_tables(template, tables, key)
-    assert idx32 == idx64  # sharp distribution: bf16 noise cannot move the draw
+    tables = shor_oracle_tables(C, a, L, M)
+    for seed in (0, 1, 2):
+        key = jax.random.PRNGKey(seed)
+        idx32 = e32.run_and_measure_index_with_tables(template, tables, key)
+        idx64 = e64.run_and_measure_index_with_tables(template, tables, key)
+        assert idx32 == idx64
