@@ -154,7 +154,7 @@ def _measure_local(planar, key, n: int, rdtype):
 
 def apply_circuit_sharded(
     z, circuit: Circuit, *, n: int, M: int, d: int, me, backend: str,
-    fuse: bool = True, trace_norms: bool = False,
+    fuse: bool = True, trace_norms: bool = False, tables=(),
 ):
     """Apply a circuit to the local shard.  With the pallas backend, maximal
     runs of gates whose qubits are ALL shard-local go through the fused
@@ -187,7 +187,7 @@ def apply_circuit_sharded(
     n_local = n - d
     if backend != "pallas" or not fuse or n_local < 14:
         for g in circuit:
-            z = step_done(apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend))
+            z = step_done(apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables))
         return (z, norms) if trace_norms else z
 
     from quantumcomputer_tpu.ops import pallas_fused as pf
@@ -204,7 +204,7 @@ def apply_circuit_sharded(
                 if seg[0] == "fused":
                     zz = step_done(pf.apply_segment(zz, seg[1], seg[2], M))
                 else:
-                    zz = step_done(apply_gate_sharded(zz, seg[1], n=n, M=M, d=d, me=me, backend=backend))
+                    zz = step_done(apply_gate_sharded(zz, seg[1], n=n, M=M, d=d, me=me, backend=backend, tables=tables))
             run = []
         return zz
 
@@ -213,13 +213,15 @@ def apply_circuit_sharded(
             run.append(g)
         else:
             z = flush(z)
-            z = step_done(apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend))
+            z = step_done(apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables))
     z = flush(z)
     return (z, norms) if trace_norms else z
 
 
-def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str = "xla"):
-    """Dispatch one gate on the local shard (complex, flat 2^(n-d))."""
+def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str = "xla", tables=()):
+    """Dispatch one gate on the local shard (complex, flat 2^(n-d)).
+    `tables` carries runtime permutation operands for SLOT oracle gates
+    (the compile-once trial-loop form; models/shor_circuit)."""
     n_local = n - d
     D = 1 << d
 
@@ -291,19 +293,57 @@ def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str =
         # q1 global, q0 local: relabel so global qubit indexes the high bit.
         return _apply_2q_one_global(z, relabel(m4), q1 - n_local, q0, me, D)
 
-    if name == "camodc":
-        C, atox = g.meta
+    if name in ("camodc", "camodc_slot"):
+        if name == "camodc":
+            C, atox = g.meta
+            ginv = None
+        else:  # slot form: traced table operand (compile-once trial loop)
+            ginv = tables[g.meta[0]]
         c_q = g.qubits[0]
         assert M <= n_local, "M register must be shard-local"
         if not is_global(c_q):
-            return xops.apply_c_amodc(z, C, atox, c_q, M)
+            if ginv is None:
+                return xops.apply_c_amodc(z, C, atox, c_q, M)
+            return xops.apply_c_amodc_dyn(z, ginv, c_q, M)
         # Control bit is a device coordinate: permute-or-identity, no comms.
-        ginv = jnp.asarray(xops.modmul_inverse_permutation(C, atox, M))
+        if ginv is None:
+            ginv = jnp.asarray(xops.modmul_inverse_permutation(C, atox, M))
         m_dim = 1 << M
         x = z.reshape(-1, m_dim)
         permuted = jnp.take(x, ginv, axis=-1).reshape(z.shape)
         ctrl = _device_bit(me, c_q - n_local)
         return jnp.where(ctrl == 1, permuted, z)
+
+    if name == "camodc_high_slot":
+        # m_high slot oracle on the mesh: like camodc_high below, but the
+        # permutation table is a TRACED operand, so the (src, dst) device
+        # schedule cannot be pruned at trace time — all D-1 rotation rounds
+        # run (the compile-once tradeoff; the static form keeps its pruned
+        # schedule for forced single-`a` runs).
+        slot, m_reg = g.meta
+        c_phys = g.qubits[0]
+        assert d <= m_reg, "m_high sharding needs the global bits inside the M register"
+        rest = 1 << (n - m_reg)
+        R = (1 << m_reg) >> d
+        ginv = tables[slot]
+        sdev_tab = ginv // R
+        srow_tab = ginv % R
+        x = z.reshape(R, rest)
+        sdev_loc = lax.dynamic_slice_in_dim(sdev_tab, me * R, R)
+        srow_loc = lax.dynamic_slice_in_dim(srow_tab, me * R, R)
+        acc = x
+        for delta in range(D):
+            if delta == 0:
+                incoming, src = x, me
+            else:
+                incoming = lax.ppermute(x, AXIS, [(p, (p + delta) % D) for p in range(D)])
+                src = (me - delta) % D
+            gathered = jnp.take(incoming, srow_loc, axis=0)
+            mask = (sdev_loc == src)[:, None]
+            acc = jnp.where(mask, gathered, acc)
+        col = lax.iota(jnp.int32, rest)
+        ctrl = ((col >> c_phys) & 1) == 1
+        return jnp.where(ctrl[None, :], acc, x).reshape(z.shape)
 
     if name == "camodc_high":
         # M-HIGH layout oracle ON THE MESH: the work register occupies the
@@ -623,6 +663,39 @@ class ShardedStateVectorEngine:
             fn = jax.jit(smapped)
             self._run_cache[ck] = fn
         return int(fn(key))
+
+    def run_and_measure_index_with_tables(self, circuit: Circuit, tables, key: jax.Array) -> int:
+        """run_and_measure_index for TEMPLATE circuits with SLOT oracle
+        gates: the permutation tables are replicated program OPERANDS, so
+        ONE shard_map program serves every trial integer (the mesh form of
+        the compile-once trial loop; see StateVectorEngine)."""
+        ck = (circuit, "__run_measure_idx_dyn__", len(tables))
+        fn = self._run_cache.get(ck)
+        if fn is None:
+            n, M, d, backend = self.register.n, self.m_eff, self.d, self.backend
+            rdtype = self.real_dtype
+            D = 1 << d
+            ls = (1 << n) // D
+            r0 = self.reset_index
+
+            def body(tabs, k):
+                me = lax.axis_index(AXIS)
+                idt = _index_dtype(n)
+                onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == r0).astype(rdtype)
+                z = lax.complex(onehot, jnp.zeros_like(onehot))
+                z = apply_circuit_sharded(
+                    z, circuit, n=n, M=M, d=d, me=me, backend=backend, tables=tabs
+                )
+                gidx, _ = _measure_local(sv.from_complex(z), k, n, rdtype)
+                return gidx
+
+            smapped = jax.shard_map(
+                body, mesh=self.mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False
+            )
+            fn = jax.jit(smapped)
+            self._run_cache[ck] = fn
+        tabs = tuple(jnp.asarray(np.asarray(t), jnp.int32) for t in tables)
+        return int(fn(tabs, key))
 
     def run_and_measure(self, circuit: Circuit, key: jax.Array) -> Tuple[int, jax.Array]:
         """Reset -> circuit -> sharded measurement, as ONE compiled shard_map

@@ -308,3 +308,33 @@ def test_sharded_folded_scalar_programs():
     idx_only = multi.run_and_measure_index(circ, key)
     idx_full, _ = multi.run_and_measure(circ, key)
     assert idx_only == idx_full
+
+
+def test_sharded_template_oracle_matches_static():
+    """Compile-once trial loop ON THE MESH: slot-oracle templates with
+    replicated table operands draw the same sample as the constant-baked
+    circuit for several trial integers, through ONE cached program."""
+    from quantumcomputer_tpu.models.shor_circuit import (
+        shor_circuit_mhigh,
+        shor_circuit_template,
+        shor_oracle_tables,
+    )
+
+    C, L, M = 33, 4, 6
+    for layout, build in (("standard", shor_circuit), ("m_high", shor_circuit_mhigh)):
+        mesh = build_mesh(num_devices=4)
+        eng = ShardedStateVectorEngine(
+            Register(L=L, M=M), dtype=jnp.complex128, mesh=mesh, layout=layout
+        )
+        template = shor_circuit_template(L, M, layout)
+        for a in (2, 5, 7):
+            key = jax.random.PRNGKey(a)
+            tables = shor_oracle_tables(C, a, L, M)
+            idx_dyn = eng.run_and_measure_index_with_tables(template, tables, key)
+            idx_static = eng.run_and_measure_index(build(C, a, L, M), key)
+            assert idx_dyn == idx_static, f"{layout} a={a}"
+        dyn_keys = [
+            k for k in eng._run_cache
+            if isinstance(k, tuple) and "__run_measure_idx_dyn__" in k
+        ]
+        assert len(dyn_keys) == 1
