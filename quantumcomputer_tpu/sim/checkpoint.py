@@ -33,20 +33,34 @@ def circuit_fingerprint(circuit: Circuit) -> str:
 
 
 def save_state(path: str, state: jax.Array, meta: dict) -> None:
-    """Snapshot a planar state (host copy) + metadata."""
+    """Snapshot a planar state (host copy) + metadata.
+
+    bf16 ("complex32") planes are stored as their uint16 bit patterns with
+    a dtype tag — np.savez round-trips ml_dtypes.bfloat16 as an opaque
+    void dtype otherwise."""
     re = np.asarray(state[0])
     im = np.asarray(state[1])
+    plane_dtype = str(re.dtype)
+    if plane_dtype == "bfloat16":
+        re = re.view(np.uint16)
+        im = im.view(np.uint16)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp.npz"
-    np.savez(tmp, re=re, im=im, meta=json.dumps(meta))
+    np.savez(tmp, re=re, im=im, meta=json.dumps(meta), plane_dtype=plane_dtype)
     os.replace(tmp, path)
 
 
 def load_state(path: str, sharding=None) -> Tuple[jax.Array, dict]:
     """Load a snapshot; optionally place it with a NamedSharding."""
     with np.load(path, allow_pickle=False) as z:
-        planar = np.stack([z["re"], z["im"]])
+        re, im = z["re"], z["im"]
         meta = json.loads(str(z["meta"]))
+        if "plane_dtype" in z and str(z["plane_dtype"]) == "bfloat16":
+            import ml_dtypes
+
+            re = re.view(ml_dtypes.bfloat16)
+            im = im.view(ml_dtypes.bfloat16)
+        planar = np.stack([re, im])
     arr = jax.device_put(planar, sharding) if sharding is not None else jax.device_put(planar)
     return arr, meta
 

@@ -102,3 +102,27 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
     out = eng.to_numpy(ckpt.run_with_checkpoints(eng, circ, str(tmp_path), segment_gates=4))
     want = ref.shor_circuit(C, a, L, M)
     np.testing.assert_allclose(out, want, atol=1e-12)
+
+
+def test_checkpoint_roundtrip_complex32(tmp_path):
+    """bf16 planar snapshots save/load exactly (np.savez handles ml_dtypes
+    bfloat16) and resume through run_with_checkpoints at complex32."""
+    C, a, L, M = 33, 29, 8, 6
+    from quantumcomputer_tpu.models.shor_circuit import shor_circuit_mhigh
+
+    circ = shor_circuit_mhigh(C, a, L, M)
+    eng = StateVectorEngine(Register(L=L, M=M), dtype="complex32", backend="pallas", layout="m_high")
+    direct = eng.run(circ)
+    p = str(tmp_path / "c32.npz")
+    ckpt.save_state(p, direct, {"dtype": "complex32"})
+    loaded, meta = ckpt.load_state(p)
+    assert loaded.dtype == jnp.bfloat16 and meta["dtype"] == "complex32"
+    np.testing.assert_array_equal(
+        np.asarray(loaded.astype(jnp.float32)), np.asarray(direct.astype(jnp.float32))
+    )
+    out = ckpt.run_with_checkpoints(eng, circ, str(tmp_path / "segs"), segment_gates=7)
+    np.testing.assert_allclose(
+        np.asarray(out.astype(jnp.float32)),
+        np.asarray(direct.astype(jnp.float32)),
+        atol=2e-3,
+    )

@@ -102,3 +102,17 @@ def test_layout_mesh_combination():
     assert validate(args) is None
     args = p.parse_args(["-C", "15", "-L", "3", "-M", "2", "--layout", "m_high", "--devices", "8"])
     assert validate(args) is not None
+
+
+def test_main_complex32_end_to_end(capsys):
+    """--dtype complex32 factors end-to-end (off-TPU via interpret-mode
+    kernels; the backend override is automatic)."""
+    rc = main(["-C", "15", "-L", "3", "-M", "4", "-a", "7", "--seed", "0", "--dtype", "complex32", "-v"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Factors of 15 found: (5, 3)." in out
+
+
+def test_complex32_rejections():
+    assert main(["-C", "15", "-L", "3", "-M", "4", "--dtype", "complex32", "--devices", "2"]) == 2
+    assert main(["-C", "15", "-L", "3", "-M", "4", "--dtype", "complex32", "--backend", "xla"]) == 2
