@@ -121,3 +121,18 @@ def test_c32_backprop_adjoint():
     g = jax.grad(loss)(e32.zero_state())
     assert g.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(g.astype(jnp.float32)).all())
+
+
+def test_c32_norm_trace_and_nan_hooks():
+    """run_with_norms on bf16 planes: f32-accumulated per-segment norms on
+    the production path stay within the storage envelope; nan_checks
+    traces without error."""
+    C, a, L, M = 33, 29, 8, 6
+    circ = shor_circuit_mhigh(C, a, L, M)
+    e32 = StateVectorEngine(
+        Register(L=L, M=M), dtype="complex32", backend="pallas", layout="m_high", nan_checks=True
+    )
+    _, norms = e32.run_with_norms(circ, e32.initial_state())
+    norms = np.asarray(norms, np.float64)
+    assert norms.shape[0] >= 3
+    assert np.abs(norms - 1.0).max() < 5e-3

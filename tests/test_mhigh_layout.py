@@ -235,3 +235,33 @@ def test_pair_member_threshold_bytes():
     assert not pallas_oracle.pair_member_supported(13, 6, 21, itemsize=2)
     assert pallas_oracle.pair_member_supported(14, 6, 22, itemsize=2)
     assert not pallas_oracle.pair_inplace_supported((13, 13), 6, 21)  # distinct controls
+
+
+def test_pallas_perm_and_pair_oracle_bf16(rng):
+    """bf16 planes through the in-place masked kernels (perm single +
+    K=2 pair): pure data movement, so bf16 must be EXACT vs the f32
+    result rounded to bf16."""
+    from quantumcomputer_tpu.ops import pallas_oracle
+
+    C, M = 33, 6
+    n = 17 + M  # rest = 2^17: bf16 perm threshold needs c >= 14
+    psi = random_state(n, rng)
+    re32 = jnp.asarray(psi.real, jnp.float32)
+    im32 = jnp.asarray(psi.imag, jnp.float32)
+    re16 = re32.astype(jnp.bfloat16)
+    im16 = im32.astype(jnp.bfloat16)
+
+    assert pallas_oracle.perm_supported(14, M, n, itemsize=2)
+    o16 = pallas_oracle.apply_camodc_high_perm_planar(re16, im16, C, 29, 14, M)
+    want = xops.apply_camodc_high(
+        jnp.asarray(np.asarray(re16.astype(jnp.float32)) + 1j * np.asarray(im16.astype(jnp.float32))),
+        C, 29, 14, M,
+    )
+    got = np.asarray(o16[0].astype(jnp.float32)) + 1j * np.asarray(o16[1].astype(jnp.float32))
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+    assert pallas_oracle.pair_inplace_supported((14, 15), M, n, itemsize=2)
+    p16 = pallas_oracle.apply_camodc_pair_inplace_planar(re16, im16, C, (29, 7), (14, 15), M)
+    want2 = xops.apply_camodc_high(jnp.asarray(np.asarray(want)), C, 7, 15, M)
+    got2 = np.asarray(p16[0].astype(jnp.float32)) + 1j * np.asarray(p16[1].astype(jnp.float32))
+    np.testing.assert_array_equal(got2, np.asarray(want2))
