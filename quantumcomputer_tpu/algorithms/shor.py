@@ -159,7 +159,10 @@ def find_period(
         if use_template:
             from quantumcomputer_tpu.sim.engine import two_state_programs_fit
 
-            use_template = two_state_programs_fit(reg.n, engine.real_dtype)
+            # Memory gate is PER CHIP: a sharded engine holds 2^(n-d)
+            # amplitudes per device, so large-n mesh runs still template.
+            n_local = reg.n - getattr(engine, "d", 0)
+            use_template = two_state_programs_fit(n_local, engine.real_dtype)
         if use_template:
             from quantumcomputer_tpu.models.shor_circuit import (
                 shor_circuit_template,

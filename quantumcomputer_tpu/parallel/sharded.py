@@ -218,6 +218,23 @@ def apply_circuit_sharded(
     return (z, norms) if trace_norms else z
 
 
+def _rotate_gather_rows(x, srow_loc, sdev_loc, deltas, me, D: int):
+    """Shared device-exchange rotation for the m_high oracle forms: for
+    each offset in `deltas`, ship every device's block to device+delta and
+    let receivers take the rows whose source lives in that block."""
+    acc = x
+    for delta in deltas:
+        if delta == 0:
+            incoming, src = x, me
+        else:
+            incoming = lax.ppermute(x, AXIS, [(p, (p + delta) % D) for p in range(D)])
+            src = (me - delta) % D
+        gathered = jnp.take(incoming, srow_loc, axis=0)
+        mask = (sdev_loc == src)[:, None]
+        acc = jnp.where(mask, gathered, acc)
+    return acc
+
+
 def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str = "xla", tables=()):
     """Dispatch one gate on the local shard (complex, flat 2^(n-d)).
     `tables` carries runtime permutation operands for SLOT oracle gates
@@ -331,16 +348,7 @@ def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str =
         x = z.reshape(R, rest)
         sdev_loc = lax.dynamic_slice_in_dim(sdev_tab, me * R, R)
         srow_loc = lax.dynamic_slice_in_dim(srow_tab, me * R, R)
-        acc = x
-        for delta in range(D):
-            if delta == 0:
-                incoming, src = x, me
-            else:
-                incoming = lax.ppermute(x, AXIS, [(p, (p + delta) % D) for p in range(D)])
-                src = (me - delta) % D
-            gathered = jnp.take(incoming, srow_loc, axis=0)
-            mask = (sdev_loc == src)[:, None]
-            acc = jnp.where(mask, gathered, acc)
+        acc = _rotate_gather_rows(x, srow_loc, sdev_loc, range(D), me, D)
         col = lax.iota(jnp.int32, rest)
         ctrl = ((col >> c_phys) & 1) == 1
         return jnp.where(ctrl[None, :], acc, x).reshape(z.shape)
@@ -371,16 +379,7 @@ def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str =
         x = z.reshape(R, rest)
         sdev_loc = lax.dynamic_slice_in_dim(sdev_tab, me * R, R)
         srow_loc = lax.dynamic_slice_in_dim(srow_tab, me * R, R)
-        acc = x
-        for delta in used_deltas:
-            if delta == 0:
-                incoming, src = x, me
-            else:
-                incoming = lax.ppermute(x, AXIS, [(p, (p + delta) % D) for p in range(D)])
-                src = (me - delta) % D
-            gathered = jnp.take(incoming, srow_loc, axis=0)
-            mask = (sdev_loc == src)[:, None]
-            acc = jnp.where(mask, gathered, acc)
+        acc = _rotate_gather_rows(x, srow_loc, sdev_loc, used_deltas, me, D)
         col = lax.iota(jnp.int32, rest)
         ctrl = ((col >> c_phys) & 1) == 1
         return jnp.where(ctrl[None, :], acc, x).reshape(z.shape)
@@ -639,30 +638,9 @@ class ShardedStateVectorEngine:
         shard_map program with a SCALAR output: the collapsed state is dead
         code, so the program holds one sharded state only (the form that
         scales to the per-chip memory ceiling)."""
-        ck = (circuit, "__run_measure_idx__")
-        fn = self._run_cache.get(ck)
-        if fn is None:
-            n, M, d, backend = self.register.n, self.m_eff, self.d, self.backend
-            rdtype = self.real_dtype
-            D = 1 << d
-            ls = (1 << n) // D
-            r0 = self.reset_index
-
-            def body(k):
-                me = lax.axis_index(AXIS)
-                idt = _index_dtype(n)
-                onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == r0).astype(rdtype)
-                z = lax.complex(onehot, jnp.zeros_like(onehot))
-                z = apply_circuit_sharded(z, circuit, n=n, M=M, d=d, me=me, backend=backend)
-                gidx, _ = _measure_local(sv.from_complex(z), k, n, rdtype)
-                return gidx
-
-            smapped = jax.shard_map(
-                body, mesh=self.mesh, in_specs=(P(),), out_specs=P(), check_vma=False
-            )
-            fn = jax.jit(smapped)
-            self._run_cache[ck] = fn
-        return int(fn(key))
+        # Shares the tables-form builder with an empty operand tuple (no
+        # leaves reach the jaxpr -> identical compiled program).
+        return self.run_and_measure_index_with_tables(circuit, (), key)
 
     def run_and_measure_index_with_tables(self, circuit: Circuit, tables, key: jax.Array) -> int:
         """run_and_measure_index for TEMPLATE circuits with SLOT oracle

@@ -112,6 +112,11 @@ def run_with_checkpoints(
                     meta.get("fingerprint") == fp
                     and meta.get("segment") == last
                     and meta.get("segment_gates") == segment_gates
+                    # Plane dtype must match the engine: resuming an f32
+                    # run's snapshot into a complex32 engine (or vice
+                    # versa) would silently continue at the wrong storage
+                    # precision.
+                    and st.dtype == getattr(engine, "real_dtype", st.dtype)
                 ):
                     state = st
                     start_seg = last

@@ -598,22 +598,10 @@ class StateVectorEngine:
         holds only one state buffer — the memory-ceiling-safe form of the
         period-finding quantum step (the reference discards the collapsed
         state too: find_period uses only the index, qc_shor.c:928-929)."""
-        ck = (circuit, "measure_idx", self.nan_checks)
-        fn = self._run_cache.get(ck)
-        if fn is None:
-            M, backend, fuse, oracle = self.m_eff, self.backend, self.fuse, self.oracle
-            n, rdtype, r0 = self.register.n, self.real_dtype, self.reset_index
-            nan_checks = self.nan_checks
-
-            def run(k):
-                re, im = _circuit_planes_from_reset(
-                    n, rdtype, r0, circuit, M, backend, fuse, oracle, nan_checks
-                )
-                return _sample_index_planes(re, im, k)
-
-            fn = jax.jit(run)
-            self._run_cache[ck] = fn
-        return int(fn(key))
+        # The tables form with an EMPTY operand tuple is the same program
+        # (no leaves reach the jaxpr), so both entry points share one
+        # builder and one compiled executable per circuit.
+        return self.run_and_measure_index_with_tables(circuit, (), key)
 
     def run_and_measure_index_with_tables(self, circuit: Circuit, tables, key: jax.Array) -> int:
         """run_and_measure_index for TEMPLATE circuits whose oracle gates

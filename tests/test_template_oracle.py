@@ -49,7 +49,10 @@ def test_template_compiles_once_across_trial_integers():
         eng.run_and_measure_index_with_tables(
             template, shor_oracle_tables(C, a, L, M), jax.random.PRNGKey(a)
         )
-    dyn_keys = [k for k in eng._run_cache if isinstance(k, tuple) and "measure_idx_dyn" in k]
+    dyn_keys = [
+        k for k in eng._run_cache
+        if isinstance(k, tuple) and "measure_idx_dyn" in k and k[-1] > 0
+    ]
     assert len(dyn_keys) == 1
 
 
@@ -65,7 +68,8 @@ def test_unforced_driver_uses_template_and_factors():
     f0, f1 = res.factors
     assert f0 * f1 == 15 and {f0, f1} == {5, 3}
     assert any(
-        isinstance(k, tuple) and "measure_idx_dyn" in k for k in eng._run_cache
+        isinstance(k, tuple) and "measure_idx_dyn" in k and k[-1] > 0
+        for k in eng._run_cache
     ), "unforced run did not take the template path"
 
 
@@ -81,7 +85,8 @@ def test_unforced_driver_skips_template_for_benes_oracle():
     res = shors_algorithm(C=15, L=3, M=4, seed=11, engine=eng)
     assert res.ok
     assert not any(
-        isinstance(k, tuple) and "measure_idx_dyn" in k for k in eng._run_cache
+        isinstance(k, tuple) and "measure_idx_dyn" in k and k[-1] > 0
+        for k in eng._run_cache
     )
 
 
@@ -96,9 +101,10 @@ def test_template_skipped_at_memory_ceiling(monkeypatch):
     eng = StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex64)
     orig = eng.run_and_measure_index_with_tables
 
-    def spy(*a, **k):
-        calls["dyn"] += 1
-        return orig(*a, **k)
+    def spy(circuit, tables, key):
+        if len(tables) > 0:  # the static path delegates here with tables=()
+            calls["dyn"] += 1
+        return orig(circuit, tables, key)
 
     eng.run_and_measure_index_with_tables = spy
     import quantumcomputer_tpu.sim.engine as eng_mod
