@@ -116,3 +116,13 @@ def test_main_complex32_end_to_end(capsys):
 def test_complex32_rejections():
     assert main(["-C", "15", "-L", "3", "-M", "4", "--dtype", "complex32", "--devices", "2"]) == 2
     assert main(["-C", "15", "-L", "3", "-M", "4", "--dtype", "complex32", "--backend", "xla"]) == 2
+
+
+def test_main_complex32_very_verbose(capsys):
+    """-V at complex32: the per-phase progress path runs state-passing
+    programs (run + norm + measure) on bf16 planar states."""
+    rc = main(["-C", "15", "-L", "3", "-M", "4", "-a", "7", "--seed", "0", "--dtype", "complex32", "-V"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Applying Hadamard matrices." in out
+    assert "Factors of 15 found: (5, 3)." in out
