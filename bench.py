@@ -49,16 +49,32 @@ def detect_bandwidth() -> tuple[str, float]:
 
 
 def pick_n() -> int:
-    """Largest n that runs on this chip: n=30 (8 GiB f32 state on 16 GB
-    v5e), via reset-folded scalar-output programs (engine.run_norm) with
-    the in-place kernel suite — the program peak is ~ONE state, so neither
-    the tunnel's ignored donation nor a state-sized output gets in the way.
-    State-passing programs (engine.run with an input state) top out at n=29
-    (in+out live)."""
+    """Largest n that runs on this chip, derived from the device's reported
+    HBM (utils/memory.device_hbm_budget): reset-folded scalar-output
+    programs (engine.run_norm) with the in-place kernel suite peak at ~ONE
+    f32 state plus working headroom, so n satisfies
+    1.8 * (2 * 2^n * 4 B) <= budget — n=30 on a 16 GB v5e (8 GiB state),
+    n=31 on >=32 GB parts (capped there: basis indices must fit int32
+    without x64; see tests/test_index_width.py)."""
     dev = jax.devices()[0]
     if dev.platform != "tpu":
         return 24  # keep CPU runs quick
-    return 30
+    from quantumcomputer_tpu.utils.memory import device_hbm_budget
+
+    budget = device_hbm_budget()
+    n = 20
+    while n < 31 and int(1.8 * 2 * (1 << (n + 1)) * 4) <= budget:
+        n += 1
+    return n
+
+
+# Headline gate-mix definition, FROZEN for cross-round comparability (any
+# change bumps the version and the metric name).  v2 (since round 2): blocks
+# of 17 distinct-qubit RY rotations (13 lane/row + 4 axis-class targets)
+# separated by a camodc_high(C=8191, a=3, M=13) oracle pass; the headline is
+# the slope between 1-block and 3-block circuits, i.e. 18 gates' wall-clock
+# with dispatch overhead cancelled.
+GATE_MIX_VERSION = 2
 
 
 def bench_gate_throughput(n: int, reps: int = 5, backend: str = "pallas"):
@@ -196,6 +212,7 @@ def main():
         json.dumps(
             {
                 "metric": f"gate_apps_per_sec_n{n}",
+                "gate_mix_version": GATE_MIX_VERSION,
                 "value": round(gate_apps_per_sec, 3),
                 "unit": "effective gate applications/s (dense 1q mix, complex64, multi-gate fusion)",
                 "vs_baseline": round(frac, 4),

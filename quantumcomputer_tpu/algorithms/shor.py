@@ -117,6 +117,25 @@ def find_period(
 
     _, very_verbose = verbosity()
     if very_verbose:
+        # The per-phase progress path threads state-PASSING programs (input
+        # + output state live) and a donating measure — two state buffers.
+        # At the single-chip memory ceiling (n=30 c64 on 16 GB) only the
+        # reset-folded scalar-output form fits, so -V falls back to it with
+        # an explanation instead of dying in the allocator.
+        from quantumcomputer_tpu.sim.engine import (
+            compute_plane_dtype,
+            two_state_programs_fit,
+        )
+
+        n_local = reg.n - getattr(engine, "d", 0)
+        if not two_state_programs_fit(n_local, compute_plane_dtype(engine.real_dtype)):
+            print(
+                "      - (state too large for per-phase progress: two state "
+                "buffers exceed this chip's HBM; running the fused "
+                "single-program path)"
+            )
+            very_verbose = False
+    if very_verbose:
         circuit = static_circuit()
         # Reference -V progress surface (qc_shor.c:918-932, 716-735): run
         # the three circuit phases as separate programs with a blocking norm
@@ -157,12 +176,20 @@ def find_period(
         if use_template and getattr(engine, "oracle", "gather") != "gather":
             use_template = False
         if use_template:
-            from quantumcomputer_tpu.sim.engine import two_state_programs_fit
+            from quantumcomputer_tpu.sim.engine import (
+                compute_plane_dtype,
+                two_state_programs_fit,
+            )
 
             # Memory gate is PER CHIP: a sharded engine holds 2^(n-d)
             # amplitudes per device, so large-n mesh runs still template.
+            # Gate on the COMPUTE dtype: slot-oracle gates have no bf16
+            # kernel — they fall back to an upcast f32 XLA gather, so a
+            # 'complex32' template program really peaks at two f32 states.
             n_local = reg.n - getattr(engine, "d", 0)
-            use_template = two_state_programs_fit(n_local, engine.real_dtype)
+            use_template = two_state_programs_fit(
+                n_local, compute_plane_dtype(engine.real_dtype)
+            )
         if use_template:
             from quantumcomputer_tpu.models.shor_circuit import (
                 shor_circuit_template,

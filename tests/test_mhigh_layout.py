@@ -209,7 +209,7 @@ def test_engine_pairs_oracles_at_memory_ceiling(rng, monkeypatch):
     L = 15
     n = L + M
     # Force the "ladder does not fit" branch at this small n.
-    monkeypatch.setattr(eng_mod, "_LADDER_MEM_LIMIT", 1)
+    monkeypatch.setenv("QC_TPU_HBM_BYTES", "1")
     circ = tuple(
         Gate("camodc_high", (c,), meta=(C, pow(29, 1 + (c % 3), C), M)) for c in (13, 14, 12, 11)
     )

@@ -170,7 +170,7 @@ def test_ladder_memory_gate_disables_fusion(monkeypatch):
     circ = shor_circuit_mhigh(C, a, L, M)
     e1 = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas", layout="m_high")
     s_ladder = np.asarray(e1.run(circ))
-    monkeypatch.setattr(eng_mod, "_LADDER_MEM_LIMIT", 0)
+    monkeypatch.setenv("QC_TPU_HBM_BYTES", "0")
     e2 = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, backend="pallas", layout="m_high")
     s_pergate = np.asarray(e2.run(circ))
     np.testing.assert_allclose(s_ladder, s_pergate, atol=2e-6)

@@ -109,11 +109,11 @@ def test_template_skipped_at_memory_ceiling(monkeypatch):
     eng.run_and_measure_index_with_tables = spy
     import quantumcomputer_tpu.sim.engine as eng_mod
 
-    monkeypatch.setattr(eng_mod, "_LADDER_MEM_LIMIT", 1)
+    monkeypatch.setenv("QC_TPU_HBM_BYTES", "1")
     rec = find_period(eng, 15, 7, jax.random.PRNGKey(0), allow_template=True)
     assert calls["dyn"] == 0 and rec.period == 4
 
-    monkeypatch.setattr(eng_mod, "_LADDER_MEM_LIMIT", int(14.5 * (1 << 30)))
+    monkeypatch.setenv("QC_TPU_HBM_BYTES", str(int(14.5 * (1 << 30))))
     rec = find_period(eng, 15, 7, jax.random.PRNGKey(0), allow_template=True)
     assert calls["dyn"] == 1 and rec.period == 4
 
