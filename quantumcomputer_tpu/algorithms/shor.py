@@ -53,6 +53,11 @@ class AttemptRecord:
     period: Optional[int]
     valid: bool
     reason: str = ""
+    #: wall-clock of this attempt's quantum step + classical post-processing.
+    #: The reference times only the whole algorithm (qc_shor.c:1007-1013,
+    #: 1056-1063, reproduced as ShorResult.elapsed_s and the -v print);
+    #: per-attempt timing is a beyond-reference observability surface.
+    elapsed_s: float = 0.0
 
 
 @dataclass
@@ -103,9 +108,20 @@ def find_period(
     num_fractions: int = nt.NUM_CONTINUED_FRACTIONS,
     trials_per_denominator: int = nt.TRIALS_PER_DENOMINATOR,
     allow_template: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_segment_gates: int = 8,
 ) -> AttemptRecord:
     """One quantum period-finding attempt (find_period, qc_shor.c:912-964):
-    reset -> circuit -> measure -> omega -> continued fractions -> period test."""
+    reset -> circuit -> measure -> omega -> continued fractions -> period test.
+
+    checkpoint_dir: preemption recovery for long runs (SURVEY.md §5) — the
+    circuit executes in segments of `checkpoint_segment_gates` gates with a
+    snapshot after each (sim/checkpoint.run_with_checkpoints); a killed
+    process resumes from the last valid snapshot on the next call.  Only
+    pre-measurement states are ever snapshotted: measurement itself always
+    runs fresh (the reference's no-remeasure semantic, qc_shor.c:299-301).
+    Costs state-passing programs (two state buffers live), so it is not
+    available at the single-chip memory ceiling."""
     reg = engine.register
 
     def static_circuit():
@@ -156,6 +172,23 @@ def find_period(
             engine.norm(state)  # host fetch = true execution barrier
         print("      - Measuring state...")
         idx, _ = engine.measure(state, key)
+    elif checkpoint_dir is not None:
+        import os
+        import shutil
+
+        from quantumcomputer_tpu.sim.checkpoint import run_with_checkpoints
+
+        # Per-(C, a) subdirectory: the trial loop runs different circuits,
+        # and a stale higher-numbered snapshot from another `a` would shadow
+        # this attempt's progress (the fingerprint guard would reject it and
+        # force a cold start).
+        attempt_dir = os.path.join(checkpoint_dir, f"C{C}_a{a}")
+        state = run_with_checkpoints(
+            engine, static_circuit(), attempt_dir,
+            segment_gates=checkpoint_segment_gates,
+        )
+        idx, _ = engine.measure(state, key)  # fresh measurement, never replayed
+        shutil.rmtree(attempt_dir, ignore_errors=True)  # attempt complete
     else:
         # Reset -> circuit -> measure, one compiled program (qc_shor.c:922-928).
         # Only the measured index is fetched: the collapse is dead code (the
@@ -173,6 +206,10 @@ def find_period(
         # the engine selected a non-default oracle kernel (oracle='benes'):
         # slot gates would silently run the gather instead.
         use_template = allow_template and hasattr(engine, "run_and_measure_index_with_tables")
+        if getattr(engine, "strict_reference", False):
+            # Template tables build unitary inverse permutations, which the
+            # warn-and-wrap mode may not have (2^M < C); static circuits only.
+            use_template = False
         if use_template and getattr(engine, "oracle", "gather") != "gather":
             use_template = False
         if use_template:
@@ -244,6 +281,8 @@ def shors_algorithm(
     trials_per_denominator: int = nt.TRIALS_PER_DENOMINATOR,
     layout: str = "standard",
     oracle: str = "gather",
+    checkpoint_dir: Optional[str] = None,
+    strict_reference: bool = False,
 ) -> ShorResult:
     """Full Shor driver (qc_shor.c:1003-1134).
 
@@ -270,8 +309,6 @@ def shors_algorithm(
             engine = DDStateVectorEngine(Register(L=L, M=M))
         else:
             if isinstance(dtype, str) and dtype in ("complex32", "c32"):
-                if mesh is not None:
-                    raise ValueError("complex32 throughput mode is single-chip (no mesh support)")
                 if backend == "xla":
                     log.warning(
                         "complex32 requires the pallas planar-pair path (no 32-bit "
@@ -288,13 +325,18 @@ def shors_algorithm(
                 )
                 oracle = "gather"
             if mesh is not None:
+                if strict_reference:
+                    raise ValueError("strict_reference mode is single-chip (no mesh support)")
                 from quantumcomputer_tpu.parallel.sharded import ShardedStateVectorEngine
 
                 engine = ShardedStateVectorEngine(
                     Register(L=L, M=M), dtype=dtype, mesh=mesh, backend=backend, layout=layout
                 )
             else:
-                engine = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend=backend, layout=layout, oracle=oracle)
+                engine = StateVectorEngine(
+                    Register(L=L, M=M), dtype=dtype, backend=backend, layout=layout,
+                    oracle=oracle, strict_reference=strict_reference,
+                )
     if seed is None:
         seed = int(time.time_ns() % (1 << 31))
     key = jax.random.PRNGKey(seed)
@@ -324,10 +366,14 @@ def shors_algorithm(
         found = False
         for _ in range(max_attempts_per_a):
             key, sub = jax.random.split(key)
+            t_attempt = time.perf_counter()
             attempt = find_period(
                 engine, C, a, sub, num_fractions, trials_per_denominator,
-                allow_template=not forced,
+                allow_template=not forced and checkpoint_dir is None,
+                checkpoint_dir=checkpoint_dir,
             )
+            attempt.elapsed_s = time.perf_counter() - t_attempt
+            log.info("attempt a=%d took %.6fs", a, attempt.elapsed_s)
             result.attempts.append(attempt)
             if attempt.period is None:
                 if verbose and not forced:

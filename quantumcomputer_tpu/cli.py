@@ -74,6 +74,25 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--fractions", type=int, default=nt.NUM_CONTINUED_FRACTIONS, help="continued-fraction depth")
     p.add_argument("--trials", type=int, default=nt.TRIALS_PER_DENOMINATOR, help="multiples tried per denominator")
+    p.add_argument(
+        "--strict-reference",
+        action="store_true",
+        help=(
+            "reference bug-compatibility: run the modular-multiply gates "
+            "with the reference's warn-and-wrap undersized-M semantics "
+            "(non-unitary when 2^M < C; qc_shor.c:340-351,654) for "
+            "side-by-side comparison runs; forces backend=xla, single chip"
+        ),
+    )
+    p.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help=(
+            "snapshot the evolving state between circuit segments for "
+            "preemption recovery; a killed run resumes from the last "
+            "snapshot when re-invoked with the same arguments"
+        ),
+    )
     return p
 
 
@@ -82,8 +101,11 @@ def validate(args: argparse.Namespace) -> Optional[str]:
         return "Number to be factorised C is invalid (must be > 3)."
     if args.dtype == "dd64" and (args.devices > 1 or args.layout != "standard"):
         return "dd64 parity mode is single-chip, standard layout."
-    if args.dtype == "complex32" and args.devices > 1:
-        return "complex32 throughput mode is single-chip (shard with complex64)."
+    if args.strict_reference and (
+        args.devices > 1 or args.layout != "standard" or args.backend == "pallas"
+        or args.dtype in ("complex32", "dd64")
+    ):
+        return "strict-reference mode is single-chip, standard layout, xla backend, complex64/128."
     if args.dtype == "complex32" and args.backend == "xla":
         return "complex32 requires the pallas backend (no 32-bit complex dtype exists)."
     if args.L <= 0:
@@ -93,7 +115,12 @@ def validate(args: argparse.Namespace) -> Optional[str]:
     if args.a and not (1 < args.a < args.C - 1):
         return "Forced trial integer must satisfy 1 < a < C-1."
     if args.L + args.M > 32:
-        return "L + M > 32 qubits exceeds the single-host index budget."
+        return "L + M > 32 qubits exceeds the index budget (the reference's own bound, qc_shor.c:68-73)."
+    if args.L + args.M - (args.devices.bit_length() - 1) > 31:
+        return (
+            "L + M > 31 qubits exceeds the int32 single-chip index budget: "
+            "shard with --devices so L + M - log2(devices) <= 31."
+        )
     if args.layout == "m_high" and args.devices > (1 << args.M):
         return "m_high sharding needs devices <= 2^M (global bits must fit in the work register)."
     return None
@@ -130,6 +157,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         backend = "pallas" if any(d.platform == "tpu" for d in jax.devices()) else "xla"
     if args.dtype == "complex32":
         backend = "pallas"  # no 32-bit complex dtype; off-TPU runs interpret-mode kernels
+    if args.strict_reference:
+        backend = "xla"  # plain XLA ops for exact comparison runs
 
     mesh = None
     if args.devices > 1:
@@ -158,6 +187,8 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         trials_per_denominator=args.trials,
         layout=args.layout,
         oracle=args.oracle,
+        checkpoint_dir=args.checkpoint_dir,
+        strict_reference=args.strict_reference,
     )
 
     if args.verbose:

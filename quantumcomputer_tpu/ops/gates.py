@@ -299,6 +299,28 @@ def apply_permutation(state: jax.Array, perm_inv: jax.Array) -> jax.Array:
     return jnp.take(state, perm_inv, axis=0)
 
 
+def apply_c_amodc_strict(state: jax.Array, C: int, atox: int, c_q: int, M: int) -> jax.Array:
+    """Reference BUG-COMPATIBILITY oracle (opt-in; see
+    StateVectorEngine(strict_reference=True)): the scatter-add realization
+    of the reference's matrix construction (qc_shor.c:595-660), which
+    merely warns and keeps going when 2^M < C — the f' = A*f mod C image
+    then spills past the M register and collides (index wrap at
+    qc_shor.c:654), making the gate NON-UNITARY.  Matches the CPU oracle
+    sim/reference.apply_c_amodc bit for bit, enabling TABLE-I-style
+    side-by-side runs against the original binary even in its pathological
+    configs.  The default engine refuses this case instead
+    (modmul_inverse_permutation)."""
+    from quantumcomputer_tpu.sim.reference import modmul_permutation
+
+    dim = state.shape[0]
+    g = jnp.asarray(modmul_permutation(C, atox % C, M), jnp.int32)
+    k = jnp.arange(dim, dtype=jnp.int32)
+    ctrl = (k >> c_q) & 1
+    m_mask = (1 << M) - 1
+    j = jnp.where(ctrl == 1, (k & ~m_mask) | g[k & m_mask], k)
+    return jnp.zeros_like(state).at[j].add(state)
+
+
 def apply_camodc_high(state: jax.Array, C: int, atox: int, c_phys: int, M: int) -> jax.Array:
     """Controlled a^x mod C gate in the M-HIGH layout (work register in the
     top M bits of the physical index; see models/shor_circuit.py).

@@ -26,8 +26,9 @@ these disjoint bit fields, so each stage costs one (64,1) + one (1,128)
 cos/sin — no per-element transcendentals, no table operands.
 
 The planner (plan_circuit) greedily packs consecutive fusable gates until
-MAX_AXES distinct axis targets accumulate; the controlled-modular-multiply
-gather and generic dense 2q gates break fusion runs.
+MAX_AXES distinct axis targets accumulate; only the controlled-modular-
+multiply gather breaks fusion runs (dense 2q gates fuse via the "u2q" op:
+lane/lane and row/row pairs also compose into the MXU matmul groups).
 """
 
 from __future__ import annotations
@@ -100,6 +101,18 @@ def gate_to_op(g: Gate, M: int = 0, fuse_oracle: bool = False) -> Optional[tuple
         return ("diag2", q_hi, q_lo, vals)
     if name == "iqft_stage":
         return ("iqft", g.qubits[0])
+    if name in ("cnot", "swap", "u2q"):
+        # Generic dense 2q op (reference 2q construction: qc_shor.c:513-565
+        # builds these as full sparse matrices).  Basis 2*bit(q_hi)+bit(q_lo)
+        # with q_hi > q_lo (relabel the 4x4 when the gate lists them low-high).
+        m4 = gate_matrix_2q(g)
+        q_hi, q_lo = g.qubits
+        if q_hi < q_lo:
+            q_hi, q_lo = q_lo, q_hi
+            p = [0, 2, 1, 3]
+            m4 = m4[np.ix_(p, p)]
+        vals = tuple(float(v) for v in np.concatenate([m4.real.ravel(), m4.imag.ravel()]))
+        return ("u2q", q_hi, q_lo, vals)
     return None
 
 
@@ -109,6 +122,8 @@ def _op_axis_targets(op: tuple) -> List[int]:
         return [op[1]]
     if op[0] == "iqft" and op[1] >= AXIS_MIN:
         return [op[1]]
+    if op[0] == "u2q":
+        return [q for q in (op[1], op[2]) if q >= AXIS_MIN]
     return []
 
 
@@ -179,6 +194,31 @@ def _expand_1q(u: np.ndarray, bit: int, nbits: int) -> np.ndarray:
     return np.kron(hi, np.kron(u, lo))
 
 
+def _expand_2q(u4: np.ndarray, b_hi: int, b_lo: int, nbits: int) -> np.ndarray:
+    """u4 (basis 2*bit(b_hi)+bit(b_lo)) acting on two bits of an nbits-wide
+    index as a dense 2^nbits matrix."""
+    dim = 1 << nbits
+    w = np.zeros((dim, dim), np.complex128)
+    i = np.arange(dim)
+    i_hi = (i >> b_hi) & 1
+    i_lo = (i >> b_lo) & 1
+    base = i & ~((1 << b_hi) | (1 << b_lo))
+    for j_hi in (0, 1):
+        for j_lo in (0, 1):
+            j = base | (j_hi << b_hi) | (j_lo << b_lo)
+            w[i, j] = u4[2 * i_hi + i_lo, 2 * j_hi + j_lo]
+    return w
+
+
+def _op_matrix_4x4(op: tuple):
+    """(q_hi, q_lo, 4x4 complex) of a u2q op, or None."""
+    if op[0] != "u2q":
+        return None
+    v = op[3]
+    m = np.array(v[:16], np.float64).reshape(4, 4) + 1j * np.array(v[16:], np.float64).reshape(4, 4)
+    return op[1], op[2], m
+
+
 def _lane_op_matrix(op: tuple, M: int) -> Optional[np.ndarray]:
     """128x128 matrix of an op supported ENTIRELY on the lane bits [0, 7),
     or None.  Composition order is preserved, so non-commuting lane ops
@@ -191,6 +231,9 @@ def _lane_op_matrix(op: tuple, M: int) -> Optional[np.ndarray]:
         d = np.array(v[:4]) + 1j * np.array(v[4:])
         lane = np.arange(LANE)
         return np.diag(d[2 * ((lane >> op[1]) & 1) + ((lane >> op[2]) & 1)])
+    if op[0] == "u2q" and op[1] <= 6:
+        q_hi, q_lo, m4 = _op_matrix_4x4(op)
+        return _expand_2q(m4, q_hi, q_lo, 7)
     if op[0] == "iqft" and op[1] <= 6:
         # H(l) then the closed-form ladder diagonal down to M — the whole
         # stage lives on lane bits, so the iQFT's lane-stage suffix
@@ -216,6 +259,9 @@ def _row_op_matrix(op: tuple, M: int) -> Optional[np.ndarray]:
         d = np.array(v[:4]) + 1j * np.array(v[4:])
         r = np.arange(64)
         return np.diag(d[2 * ((r >> (op[1] - 7)) & 1) + ((r >> (op[2] - 7)) & 1)])
+    if op[0] == "u2q" and 7 <= op[2] and op[1] <= 12:
+        q_hi, q_lo, m4 = _op_matrix_4x4(op)
+        return _expand_2q(m4, q_hi - 7, q_lo - 7, 6)
     if op[0] == "iqft" and 7 <= op[1] <= 12 and M >= 7:
         l = op[1]
         h = _expand_1q(np.array([[_SQRT1_2, _SQRT1_2], [_SQRT1_2, -_SQRT1_2]]), l - 7, 6)
@@ -238,6 +284,8 @@ def _is_neutral(op: tuple) -> bool:
         return op[1] >= 13
     if op[0] == "diag2":
         return op[2] >= 13
+    if op[0] == "u2q":
+        return op[2] >= 13  # q_hi > q_lo, so both qubits are axis-class
     return False
 
 
@@ -331,8 +379,10 @@ def matmul_group_ops(ops, M: int):
         wr = _row_op_matrix(op, M)
         if wr is not None:
             # A dense row op on a bit the pending residual is conditioned
-            # on cannot be reordered past it — flush first.
-            if not _is_diagonal_op(op) and op[1] in xtheta_bits:
+            # on cannot be reordered past it — flush first (u2q touches two
+            # row bits; either may carry the residual's condition).
+            op_bits = (op[1], op[2]) if op[0] == "u2q" else (op[1],)
+            if not _is_diagonal_op(op) and any(q in xtheta_bits for q in op_bits):
                 emit_rows()
             rows.append((op, wr))
             continue
@@ -638,6 +688,128 @@ def _apply_ops_to_subs(subs_re: Dict, subs_im: Dict, ops, lay: _Layout, M: int, 
                         oi = jnp.where(bit1, float(ui[1][0]), float(ui[0][1])).astype(dtype)
                         subs_re[bits] = (dr * xr - di * xi) + (orr * pr - oi * pi)
                         subs_im[bits] = (dr * xi + di * xr) + (orr * pi + oi * pr)
+        elif kind == "u2q":
+            # Dense 2q gate (cnot/swap/generic; basis 2*bit(q_hi)+bit(q_lo),
+            # q_hi > q_lo).  Three class shapes: both qubits exposed axes
+            # (4-sub-array combine), axis+in-block (pairwise combine with
+            # one roll), both in-block (4-term roll combine, the in-VMEM
+            # analog of ops/gates._apply_2q_roll).  Axis targets are always
+            # exposed by the planner (_op_axis_targets), so q >= 13 => axis.
+            q_hi, q_lo, v = op[1], op[2], op[3]
+            ur4 = np.array(v[:16], np.float64).reshape(4, 4)
+            ui4 = np.array(v[16:], np.float64).reshape(4, 4)
+            real_only = not np.any(ui4)
+
+            def cmul_sum(coeffs_r, coeffs_i, srcs_r, srcs_i):
+                """sum_k (cr_k + i ci_k) * (xr_k + i xi_k) -> (re, im).
+                Coefficients may be floats or arrays; zero floats skip."""
+                nre = None
+                nim = None
+
+                def acc(a, b):
+                    return b if a is None else a + b
+
+                for cr, ci, xr_, xi_ in zip(coeffs_r, coeffs_i, srcs_r, srcs_i):
+                    static_cr = isinstance(cr, float)
+                    static_ci = isinstance(ci, float)
+                    if not (static_cr and cr == 0.0):
+                        nre = acc(nre, xr_ * cr)
+                        nim = acc(nim, xi_ * cr)
+                    if not (static_ci and ci == 0.0):
+                        nre = acc(nre, -(xi_ * ci))
+                        nim = acc(nim, xr_ * ci)
+                z = jnp.zeros_like(srcs_r[0])
+                return (z if nre is None else nre), (z if nim is None else nim)
+
+            if q_lo in axes:  # q_hi > q_lo >= AXIS_MIN: both are axes
+                kh, kl = axis_pos(q_hi), axis_pos(q_lo)
+                for bits in product((0, 1), repeat=m):
+                    if bits[kh] or bits[kl]:
+                        continue
+                    quad = []
+                    for bh_, bl_ in ((0, 0), (0, 1), (1, 0), (1, 1)):
+                        bb = list(bits)
+                        bb[kh], bb[kl] = bh_, bl_
+                        quad.append(tuple(bb))
+                    xs_r = [subs_re[b] for b in quad]
+                    xs_i = [subs_im[b] for b in quad]
+                    for r_i, b in enumerate(quad):
+                        subs_re[b], subs_im[b] = cmul_sum(
+                            [float(ur4[r_i][c]) for c in range(4)],
+                            [float(ui4[r_i][c]) for c in range(4)],
+                            xs_r, xs_i,
+                        )
+            elif q_hi in axes:  # axis + in-block
+                k = axis_pos(q_hi)
+
+                def sel(bit1, v1, v0):
+                    if v1 == v0:
+                        return float(v0)
+                    return jnp.where(bit1, float(v1), float(v0)).astype(dtype)
+
+                for bits in product((0, 1), repeat=m):
+                    if bits[k]:
+                        continue
+                    b1 = bits[:k] + (1,) + bits[k + 1:]
+                    x0r, x0i = subs_re[bits], subs_im[bits]
+                    x1r, x1i = subs_re[b1], subs_im[b1]
+                    r0r, bl1 = roll_pair(x0r, q_lo)
+                    r0i, _ = roll_pair(x0i, q_lo)
+                    r1r, _ = roll_pair(x1r, q_lo)
+                    r1i, _ = roll_pair(x1i, q_lo)
+                    srcs_r = [x0r, r0r, x1r, r1r]
+                    srcs_i = [x0i, r0i, x1i, r1i]
+                    # row for axis bit a, element bit beta: 2a + beta;
+                    # columns per source: x0->beta, r0->1-beta, x1->2+beta,
+                    # r1->2+(1-beta), selected elementwise via bl1.
+                    col_pairs = [((1, 1), (0, 0)), ((1, 0), (0, 1)),
+                                 ((1, 3), (0, 2)), ((1, 2), (0, 3))]
+                    out0 = cmul_sum(
+                        [sel(bl1, ur4[p1[0]][p1[1]], ur4[p0[0]][p0[1]]) for p1, p0 in col_pairs],
+                        [sel(bl1, ui4[p1[0]][p1[1]], ui4[p0[0]][p0[1]]) for p1, p0 in col_pairs],
+                        srcs_r, srcs_i,
+                    )
+                    col_pairs1 = [((3, 1), (2, 0)), ((3, 0), (2, 1)),
+                                  ((3, 3), (2, 2)), ((3, 2), (2, 3))]
+                    out1 = cmul_sum(
+                        [sel(bl1, ur4[p1[0]][p1[1]], ur4[p0[0]][p0[1]]) for p1, p0 in col_pairs1],
+                        [sel(bl1, ui4[p1[0]][p1[1]], ui4[p0[0]][p0[1]]) for p1, p0 in col_pairs1],
+                        srcs_r, srcs_i,
+                    )
+                    subs_re[bits], subs_im[bits] = out0
+                    subs_re[b1], subs_im[b1] = out1
+            else:  # both in-block (lane/row classes)
+                for bits in product((0, 1), repeat=m):
+                    xr, xi = subs_re[bits], subs_im[bits]
+                    rhr, bh1 = roll_pair(xr, q_hi)
+                    rhi_, _ = roll_pair(xi, q_hi)
+                    rlr, bl1 = roll_pair(xr, q_lo)
+                    rli, _ = roll_pair(xi, q_lo)
+                    rbr, _ = roll_pair(rhr, q_lo)
+                    rbi, _ = roll_pair(rhi_, q_lo)
+
+                    def csel(m_, dh, dl):
+                        """m_[2bh+bl, 2(bh^dh)+(bl^dl)] elementwise."""
+                        v00 = float(m_[0, 2 * dh + dl])
+                        v01 = float(m_[1, 2 * dh + (1 ^ dl)])
+                        v10 = float(m_[2, 2 * (1 ^ dh) + dl])
+                        v11 = float(m_[3, 2 * (1 ^ dh) + (1 ^ dl)])
+                        if v00 == v01 == v10 == v11:
+                            return v00
+                        return jnp.where(
+                            bh1,
+                            jnp.where(bl1, v11, v10),
+                            jnp.where(bl1, v01, v00),
+                        ).astype(dtype)
+
+                    srcs_r = [xr, rlr, rhr, rbr]  # (dh, dl) = 00, 01, 10, 11
+                    srcs_i = [xi, rli, rhi_, rbi]
+                    deltas2 = [(0, 0), (0, 1), (1, 0), (1, 1)]
+                    subs_re[bits], subs_im[bits] = cmul_sum(
+                        [csel(ur4, dh, dl) for dh, dl in deltas2],
+                        [csel(ui4, dh, dl) for dh, dl in deltas2],
+                        srcs_r, srcs_i,
+                    )
         elif kind == "diag1":
             q, (r0, i0, r1, i1) = op[1], op[2]
             for bits in product((0, 1), repeat=m):

@@ -81,6 +81,16 @@ def try_apply_gate_planes(re: jax.Array, im: jax.Array, g: Gate, M: int):
     if g.name in DENSE_1Q:
         u = gate_matrix_1q(g)
         return apply_1q_planar(re, im, u, g.qubits[0])
+    if g.name in ("cnot", "swap", "u2q"):
+        # Dense 2q as a one-op fused segment (pallas_fused "u2q" kind):
+        # both butterflies combine in-VMEM in a single HBM pass (cf. the
+        # XLA 4-term roll fallback, ops/gates.apply_2q; reference builds
+        # these as full sparse matrices, qc_shor.c:513-565).
+        from quantumcomputer_tpu.ops import pallas_fused as pf
+
+        op = pf.gate_to_op(g, M)
+        axes = tuple(q for q in (op[1], op[2]) if q >= pf.AXIS_MIN)
+        return pf.apply_fused(re, im, (op,), axes, n, M)
     if g.name == "iqft_stage":
         l = g.qubits[0]
         if l == M:  # no ladder; plain H — still one fused pass

@@ -37,7 +37,17 @@ TILE_ROWS = 2048   # VMEM tile height: blocks larger than this accumulate
 
 def _block_geom(dim: int) -> tuple:
     """(block_rows, block) for a state of `dim` amplitudes: BLOCK_ROWS for
-    small states, scaled up so nblocks <= MAX_BLOCKS for large ones."""
+    small states, scaled up so nblocks <= MAX_BLOCKS for large ones.
+
+    Index-width bound: the samplers compute start = block_index * block and
+    start + local in int32, which fits EXACTLY up to dim = 2^31 (largest
+    index 2^31 - 1 = int32 max); beyond that the arithmetic would wrap
+    silently, so it is an explicit error (tests/test_index_width.py)."""
+    if dim > (1 << 31):
+        raise ValueError(
+            f"dim = 2^{dim.bit_length() - 1} exceeds the int32 index budget "
+            "(2^31) of the hierarchical sampler; shard the state instead"
+        )
     rows = dim // LANE
     block_rows = max(BLOCK_ROWS, rows // MAX_BLOCKS)
     return block_rows, block_rows * LANE
@@ -103,7 +113,14 @@ def sample_indices_planes(re: jax.Array, im: jax.Array, rs: jax.Array) -> jax.Ar
     """Batched hierarchical inverse-CDF sampling: `rs` uniform draws in
     [0, 1) -> basis indices, WITHOUT materializing the full probability
     vector or its cumsum (one fused block-sum pass + per-shot work bounded
-    by one block)."""
+    by one block).
+
+    The shot batch is CHUNKED so the vmapped per-shot block slices stay
+    bounded: blocks grow to dim/MAX_BLOCKS at large n (2^20 elements at
+    n=30), and a few hundred vmapped shots would otherwise materialize
+    shots x block x ~3 transient buffers — GiB of peak memory at exactly
+    the ceiling this path serves (advisor r2).  Chunks hold the transient
+    at ~3 x 32 MB regardless of shots."""
     sums = block_prob_sums_planes(re, im)
     cum = jnp.cumsum(sums)
     total = cum[-1]
@@ -122,7 +139,19 @@ def sample_indices_planes(re: jax.Array, im: jax.Array, rs: jax.Array) -> jax.Ar
         li = jnp.minimum(jnp.searchsorted(cs, ri, side="left"), block - 1)
         return start + li
 
-    return jax.vmap(local)(b, scaled - offset)
+    shots = rs.shape[0]
+    chunk = max(1, min(shots, (1 << 23) // block))  # ~8M sliced elements/chunk
+    if chunk >= shots:
+        return jax.vmap(local)(b, scaled - offset)
+    k = -(-shots // chunk)
+    pad = k * chunk - shots
+    bp = jnp.pad(b, (0, pad))
+    rp = jnp.pad(scaled - offset, (0, pad))
+    out = jax.lax.map(
+        lambda args: jax.vmap(local)(*args),
+        (bp.reshape(k, chunk), rp.reshape(k, chunk)),
+    )
+    return out.reshape(-1)[:shots]
 
 
 def sample_indices(planar: jax.Array, rs: jax.Array) -> jax.Array:

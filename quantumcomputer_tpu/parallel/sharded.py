@@ -51,7 +51,12 @@ from quantumcomputer_tpu.sim.engine import Register
 
 
 def _index_dtype(n: int):
-    return jnp.int32 if n <= 30 else jnp.int64
+    """Index dtype for GLOBAL basis indices materialized in-program.  Only
+    local (per-shard) indices and (device, local) pairs appear inside
+    compiled programs now — both int32-safe up to n_local = 31 — so this
+    survives only for the rare full-global-index paths (all n <= 31 on a
+    single chip; see tests/test_index_width.py)."""
+    return jnp.int32 if n <= 31 else jnp.int64
 
 
 def _butterfly_pairs(D: int, p: int):
@@ -130,26 +135,387 @@ def _apply_diag_global_scalar(z, diag_val_one, diag_val_zero, bit):
     return z * f
 
 
-def _measure_local(planar, key, n: int, rdtype):
+# ---------------------------------------------------------------------------
+# Planar-pair mesh path: the bf16 "complex32" storage mode across devices.
+#
+# bf16 has no complex dtype, so the sharded engine threads separate re/im
+# planes through shard_map (mirroring the single-chip planar-pair path,
+# sim/engine.apply_circuit_planes).  Design invariants (ROADMAP r2 item 2):
+#   * every shard exchange moves BOTH planes in one logical ppermute (a
+#     pytree collective: two half-width transfers, no stack/unstack HBM
+#     pass) — the ICI volume per exchange is HALF the complex64 path's;
+#   * every arithmetic blend upcasts to f32 INSIDE the expression
+#     (`(c * re.astype(f32) ...).astype(bf16)` is one fused XLA pass over
+#     bf16 buffers), so precision is f32 everywhere while HBM traffic
+#     stays at bf16 width;
+#   * shard-local gates reuse the single-chip planes dispatch (Pallas
+#     kernels with in-VMEM f32 compute).
+# f32/f64 states keep the complex path above (real/imag are free there and
+# the compiled programs are identical); these helpers are dtype-generic
+# anyway so the planes path can serve any plane dtype.
+
+
+def _acc_dtype(rdtype):
+    return jnp.float32 if rdtype == jnp.bfloat16 else rdtype
+
+
+def _ppermute_planes(re, im, perm):
+    """Exchange both planes with the partner device in one logical
+    collective (pytree ppermute: two same-schedule transfers, half the
+    bytes each vs one complex64 shard — total ICI volume halves).
+
+    The optimization barrier pins the collective to the STORAGE dtype:
+    without it XLA hoists the blend's bf16->f32 convert across the
+    collective-permute (convert(ppermute(x)) -> ppermute(convert(x))),
+    silently doubling the wire bytes — the exact regression
+    test_c32_halves_collective_bytes_vs_c64 guards."""
+    out = lax.ppermute((re, im), AXIS, perm)
+    if jnp.dtype(re.dtype) == jnp.bfloat16:
+        out = lax.optimization_barrier(out)
+    return out
+
+
+def _select_entry(b, m00, m11):
+    """where(b==0, m00, m11) for numpy complex scalars -> (re, im) pair."""
+    return (
+        jnp.where(b == 0, float(np.real(m00)), float(np.real(m11))),
+        jnp.where(b == 0, float(np.imag(m00)), float(np.imag(m11))),
+    )
+
+
+def _apply_1q_global_planes(re, im, u2: np.ndarray, p: int, me, D: int):
+    """Dense 1q gate on global qubit bit p, planar-pair form: one plane-pair
+    exchange, then new = U[b,b]*ours + U[b,1-b]*theirs with the f32 upcast
+    fused into the blend (cf. _apply_1q_global)."""
+    rre, rim = _ppermute_planes(re, im, _butterfly_pairs(D, p))
+    b = _device_bit(me, p)
+    cdt = _acc_dtype(re.dtype)
+    dr, di = _select_entry(b, u2[0, 0], u2[1, 1])
+    orr, oi = _select_entry(b, u2[0, 1], u2[1, 0])
+    dr, di, orr, oi = (v.astype(cdt) for v in (dr, di, orr, oi))
+    reF, imF = re.astype(cdt), im.astype(cdt)
+    rreF, rimF = rre.astype(cdt), rim.astype(cdt)
+    out_re = dr * reF - di * imF + orr * rreF - oi * rimF
+    out_im = dr * imF + di * reF + orr * rimF + oi * rreF
+    return out_re.astype(re.dtype), out_im.astype(re.dtype)
+
+
+def _apply_diag_global_scalar_planes(re, im, diag_one, diag_zero, bit):
+    """z *= (bit ? diag_one : diag_zero) on planes, f32-blended."""
+    cdt = _acc_dtype(re.dtype)
+    fr, fi = _select_entry(1 - bit, diag_one, diag_zero)  # bit==1 -> one
+    fr, fi = fr.astype(cdt), fi.astype(cdt)
+    reF, imF = re.astype(cdt), im.astype(cdt)
+    return (fr * reF - fi * imF).astype(re.dtype), (fr * imF + fi * reF).astype(re.dtype)
+
+
+def _apply_diag_1q_planes(re, im, dr2, di2, q: int):
+    """Diagonal 1q gate on a LOCAL qubit, planes form: dr2/di2 are (2,)
+    re/im parts of the diagonal (possibly traced selections)."""
+    cdt = _acc_dtype(re.dtype)
+    dim = re.shape[0]
+    inner = 1 << q
+    outer = dim // (2 * inner)
+    dr = jnp.asarray(dr2, cdt).reshape(1, 2, 1)
+    di = jnp.asarray(di2, cdt).reshape(1, 2, 1)
+    reF = re.reshape(outer, 2, inner).astype(cdt)
+    imF = im.reshape(outer, 2, inner).astype(cdt)
+    nre = (dr * reF - di * imF).astype(re.dtype).reshape(dim)
+    nim = (dr * imF + di * reF).astype(re.dtype).reshape(dim)
+    return nre, nim
+
+
+def _rotate_gather_rows_planes(xr, xi, srow_loc, sdev_loc, deltas, me, D: int):
+    """Planar-pair twin of _rotate_gather_rows: each rotation round ships
+    both planes in one logical collective."""
+    accr, acci = xr, xi
+    for delta in deltas:
+        if delta == 0:
+            inr, ini, src = xr, xi, me
+        else:
+            inr, ini = _ppermute_planes(xr, xi, [(p, (p + delta) % D) for p in range(D)])
+            src = (me - delta) % D
+        mask = (sdev_loc == src)[:, None]
+        accr = jnp.where(mask, jnp.take(inr, srow_loc, axis=0), accr)
+        acci = jnp.where(mask, jnp.take(ini, srow_loc, axis=0), acci)
+    return accr, acci
+
+
+def apply_gate_sharded_planes(re, im, g: Gate, *, n: int, M: int, d: int, me, backend: str = "xla", tables=()):
+    """Planar-pair twin of apply_gate_sharded: dispatch one gate on local
+    (2^(n-d),) re/im planes.  Shard-local gates reuse the single-chip planes
+    dispatch (Pallas first); gates on globally-sharded qubits use the
+    fused-upcast blend helpers above."""
+    from quantumcomputer_tpu.sim.engine import apply_gate_planes
+
+    n_local = n - d
+    D = 1 << d
+
+    def is_global(q):
+        return q >= n_local
+
+    name = g.name
+    if name in DENSE_1Q:
+        q = g.qubits[0]
+        if not is_global(q):
+            return apply_gate_planes(re, im, g, M, tables=tables)
+        return _apply_1q_global_planes(re, im, gate_matrix_1q(g), q - n_local, me, D)
+
+    if name in DIAGONAL_1Q:
+        dg = np.diagonal(gate_matrix_1q(g))
+        q = g.qubits[0]
+        if not is_global(q):
+            return _apply_diag_1q_planes(re, im, dg.real, dg.imag, q)
+        return _apply_diag_global_scalar_planes(re, im, dg[1], dg[0], _device_bit(me, q - n_local))
+
+    if name in ("cz", "cphase"):
+        d4 = np.diagonal(gate_matrix_2q(g))
+        q_hi, q_lo = g.qubits if g.qubits[0] > g.qubits[1] else (g.qubits[1], g.qubits[0])
+        hi_g, lo_g = is_global(q_hi), is_global(q_lo)
+        if not hi_g and not lo_g:
+            return apply_gate_planes(re, im, g, M, tables=tables)
+        if hi_g and lo_g:
+            b_hi = _device_bit(me, q_hi - n_local)
+            b_lo = _device_bit(me, q_lo - n_local)
+            idx = 2 * b_hi + b_lo
+            fr = jnp.asarray(d4.real)[idx]
+            fi = jnp.asarray(d4.imag)[idx]
+            cdt = _acc_dtype(re.dtype)
+            reF, imF = re.astype(cdt), im.astype(cdt)
+            fr, fi = fr.astype(cdt), fi.astype(cdt)
+            return (fr * reF - fi * imF).astype(re.dtype), (fr * imF + fi * reF).astype(re.dtype)
+        if hi_g:
+            b = _device_bit(me, q_hi - n_local)
+            dr2 = jnp.where(b == 0, jnp.asarray(d4[:2].real), jnp.asarray(d4[2:].real))
+            di2 = jnp.where(b == 0, jnp.asarray(d4[:2].imag), jnp.asarray(d4[2:].imag))
+            return _apply_diag_1q_planes(re, im, dr2, di2, q_lo)
+        b = _device_bit(me, q_lo - n_local)
+        dr2 = jnp.where(b == 0, jnp.asarray(d4[[0, 2]].real), jnp.asarray(d4[[1, 3]].real))
+        di2 = jnp.where(b == 0, jnp.asarray(d4[[0, 2]].imag), jnp.asarray(d4[[1, 3]].imag))
+        return _apply_diag_1q_planes(re, im, dr2, di2, q_hi)
+
+    if name in ("camodc", "camodc_slot"):
+        c_q = g.qubits[0]
+        assert M <= n_local, "M register must be shard-local"
+        if not is_global(c_q):
+            return apply_gate_planes(re, im, g, M, tables=tables)
+        if name == "camodc":
+            C, atox = g.meta
+            ginv = jnp.asarray(xops.modmul_inverse_permutation(C, atox, M))
+        else:
+            ginv = tables[g.meta[0]]
+        m_dim = 1 << M
+        ctrl = _device_bit(me, c_q - n_local)
+
+        def permute_plane(x):
+            permuted = jnp.take(x.reshape(-1, m_dim), ginv, axis=-1).reshape(x.shape)
+            return jnp.where(ctrl == 1, permuted, x)
+
+        return permute_plane(re), permute_plane(im)
+
+    if name in ("camodc_high", "camodc_high_slot"):
+        # m_high oracle, planes form (cf. the complex branches above): the
+        # static form uses the packed-row exchange (~1R+1W + ~one shard of
+        # ICI); the slot form's table is traced, so it keeps the D-round
+        # rotation (the compile-once tradeoff).
+        if d == 0:
+            return apply_gate_planes(re, im, g, M, tables=tables)
+        c_phys = g.qubits[0]
+        if name == "camodc_high":
+            C, atox, m_reg = g.meta
+            assert d <= m_reg, "m_high sharding needs the global bits inside the M register"
+            rest = 1 << (n - m_reg)
+            R = (1 << m_reg) >> d
+            xr = re.reshape(R, rest)
+            xi = im.reshape(R, rest)
+            accr, acci = _apply_rows_packed((xr, xi), int(C), int(atox), m_reg, d, me)
+        else:
+            slot, m_reg = g.meta
+            assert d <= m_reg, "m_high sharding needs the global bits inside the M register"
+            rest = 1 << (n - m_reg)
+            R = (1 << m_reg) >> d
+            ginv = tables[slot]
+            sdev_loc = lax.dynamic_slice_in_dim(ginv // R, me * R, R)
+            srow_loc = lax.dynamic_slice_in_dim(ginv % R, me * R, R)
+            xr = re.reshape(R, rest)
+            xi = im.reshape(R, rest)
+            accr, acci = _rotate_gather_rows_planes(xr, xi, srow_loc, sdev_loc, range(D), me, D)
+        col = lax.iota(jnp.int32, rest)
+        ctrl = (((col >> c_phys) & 1) == 1)[None, :]
+        return (
+            jnp.where(ctrl, accr, xr).reshape(re.shape),
+            jnp.where(ctrl, acci, xi).reshape(im.shape),
+        )
+
+    if name == "camodc_ladder_high":
+        C, m_reg = g.meta[0], g.meta[1]
+        A_list = g.meta[2:]
+        controls = g.qubits
+        if d == 0:
+            return apply_gate_planes(re, im, g, M, tables=tables)
+        assert d <= m_reg
+        from quantumcomputer_tpu.ops.gates import modexp_combo_multipliers
+
+        rest = 1 << (n - m_reg)
+        R = (1 << m_reg) >> d
+        combos = jnp.asarray(modexp_combo_multipliers(C, A_list), jnp.int32)
+        col = lax.iota(jnp.int32, rest)
+        bits = jnp.zeros_like(col)
+        for k, c in enumerate(controls):
+            bits = bits | (((col >> c) & 1) << k)
+        mult = combos[bits]
+        xr = re.reshape(R, rest)
+        xi = im.reshape(R, rest)
+        f_out = (me * R + lax.iota(jnp.int32, R))[:, None]
+        src = jnp.where(f_out < C, (mult[None, :] * f_out) % C, f_out)
+        src_dev = src // R
+        src_loc = src % R
+        accr, acci = xr, xi
+        for delta in range(D):
+            if delta == 0:
+                inr, ini, src_of = xr, xi, me
+            else:
+                inr, ini = _ppermute_planes(xr, xi, [(p, (p + delta) % D) for p in range(D)])
+                src_of = (me - delta) % D
+            hit = src_dev == src_of
+            accr = jnp.where(hit, jnp.take_along_axis(inr, src_loc, axis=0), accr)
+            acci = jnp.where(hit, jnp.take_along_axis(ini, src_loc, axis=0), acci)
+        return accr.reshape(re.shape), acci.reshape(im.shape)
+
+    if name == "iqft_stage":
+        l = g.qubits[0]
+        if not is_global(l):
+            return apply_gate_planes(re, im, g, M, tables=tables)
+        re, im = _apply_1q_global_planes(re, im, _H64(), l - n_local, me, D)
+        if l > M:
+            cdt = _acc_dtype(re.dtype)
+            ls = re.shape[0]
+            mask = (1 << l) - (1 << M)
+            masked = lax.iota(jnp.int32, ls) & mask  # int32-safe split, cf. complex branch
+            if l > n_local:
+                masked = masked + ((me & ((1 << (l - n_local)) - 1)) << n_local)
+            frac = masked.astype(cdt) * (np.pi / float(1 << l))
+            pc, ps = jnp.cos(frac), jnp.sin(frac)
+            reF, imF = re.astype(cdt), im.astype(cdt)
+            nre = (pc * reF - ps * imF).astype(re.dtype)
+            nim = (pc * imF + ps * reF).astype(re.dtype)
+            bit_l = _device_bit(me, l - n_local)
+            re = jnp.where(bit_l == 1, nre, re)
+            im = jnp.where(bit_l == 1, nim, im)
+        return re, im
+
+    # Rare global dense 2q forms (cnot/swap/u2q): route through the complex
+    # helpers at f32 (one upcast pass; these never appear in the Shor hot
+    # path, where the oracle/iQFT forms above cover everything).
+    cdt = _acc_dtype(re.dtype)
+    z = lax.complex(re.astype(cdt), im.astype(cdt))
+    z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables)
+    return jnp.real(z).astype(re.dtype), jnp.imag(z).astype(re.dtype)
+
+
+def apply_circuit_sharded_planes(
+    re, im, circuit: Circuit, *, n: int, M: int, d: int, me, backend: str,
+    fuse: bool = True, trace_norms: bool = False, tables=(),
+):
+    """Planar-pair twin of apply_circuit_sharded (the bf16 'complex32' mesh
+    path): shard-local runs go through the fused multi-gate Pallas planner,
+    collective gates dispatch via apply_gate_sharded_planes.  Norms
+    accumulate in f32."""
+    norms: list = []
+    acc = _acc_dtype(re.dtype)
+
+    def step_done(r, i_):
+        if trace_norms:
+            norms.append(lax.psum(jnp.sum(r.astype(acc) ** 2) + jnp.sum(i_.astype(acc) ** 2), AXIS))
+        return r, i_
+
+    if fuse:
+        from quantumcomputer_tpu.sim.engine import fuse_oracle_ladders
+
+        def _eligible(g: Gate) -> bool:
+            return (
+                g.name == "camodc_high"
+                and g.meta[0] * (1 << g.meta[2]) < (1 << 31)
+            )
+
+        circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible)
+
+    n_local = n - d
+    if backend != "pallas" or not fuse or n_local < 14:
+        for g in circuit:
+            re, im = step_done(*apply_gate_sharded_planes(re, im, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables))
+        return ((re, im), norms) if trace_norms else (re, im)
+
+    from quantumcomputer_tpu.ops import pallas_fused as pf
+
+    def local_fusable(g: Gate) -> bool:
+        return pf.gate_to_op(g, M) is not None and all(q < n_local for q in g.qubits)
+
+    run: list = []
+
+    def flush(r, i_):
+        nonlocal run
+        if run:
+            for seg in pf.plan_circuit(tuple(run), n_local, M):
+                if seg[0] == "fused":
+                    r, i_ = step_done(*pf.apply_fused(r, i_, seg[1], seg[2], n_local, M))
+                else:
+                    r, i_ = step_done(*apply_gate_sharded_planes(r, i_, seg[1], n=n, M=M, d=d, me=me, backend=backend, tables=tables))
+            run = []
+        return r, i_
+
+    for g in circuit:
+        if local_fusable(g):
+            run.append(g)
+        else:
+            re, im = flush(re, im)
+            re, im = step_done(*apply_gate_sharded_planes(re, im, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables))
+    re, im = flush(re, im)
+    return ((re, im), norms) if trace_norms else (re, im)
+
+
+def _measure_index_planes(re, im, key, n: int):
     """Shard-local body of the hierarchical inverse-CDF measurement
     (equivalent to the reference's global serial scan, qc_shor.c:272-306):
-    device-level pick over all-gathered shard totals, then in-shard pick."""
+    device-level pick over all-gathered shard totals, then in-shard pick.
+    Works directly on re/im planes — no stacked (2, ls) copy is ever
+    materialized — with f32 accumulation for bf16 storage.
+
+    Returns the measured GLOBAL index as an int32 (device, local) PAIR:
+    the full index dev*ls + loc can exceed int32 at n = 32 and TPU has no
+    x64, so the two components compose on the HOST (Python ints are
+    arbitrary-precision) — see tests/test_index_width.py."""
     me = lax.axis_index(AXIS)
-    ls = planar.shape[-1]
-    probs = sv.probabilities(planar)
-    r = jax.random.uniform(key, dtype=rdtype)  # same key -> same r on all shards
+    ls = re.shape[-1]
+    acc = _acc_dtype(re.dtype)
+    probs = re.astype(acc) ** 2 + im.astype(acc) ** 2
+    r = jax.random.uniform(key, dtype=acc)  # same key -> same r on all shards
     totals = lax.all_gather(jnp.sum(probs), AXIS)  # (D,)
     cum_dev = jnp.cumsum(totals)
     dev = jnp.minimum(jnp.searchsorted(cum_dev, r, side="left"), totals.shape[0] - 1)
     offset = cum_dev[dev] - totals[dev]
     local_cum = jnp.cumsum(probs)
     local_idx = jnp.minimum(jnp.searchsorted(local_cum, r - offset, side="left"), ls - 1)
-    idt = _index_dtype(n)
-    candidate = jnp.where(me == dev, dev.astype(idt) * ls + local_idx.astype(idt), 0)
-    gidx = lax.psum(candidate, AXIS)
-    onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == gidx).astype(planar.dtype)
-    collapsed = jnp.stack([onehot, jnp.zeros_like(onehot)])
-    return gidx, collapsed
+    # dev is identical on every shard (same draw, same gathered totals);
+    # only the owning shard knows the local pick.
+    loc = lax.psum(jnp.where(me == dev, local_idx.astype(jnp.int32), 0), AXIS)
+    return dev.astype(jnp.int32), loc
+
+
+def _collapse_planes(dev, loc, me, ls: int, dtype):
+    """One-hot collapsed planar shard for measured (device, local) index —
+    pure int32 compares, no global index materialized."""
+    onehot = ((me == dev) & (lax.iota(jnp.int32, ls) == loc)).astype(dtype)
+    return jnp.stack([onehot, jnp.zeros_like(onehot)])
+
+
+def _measure_local(planar, key, n: int, rdtype):
+    """Measurement + collapse from a local planar shard (rdtype kept for
+    API compatibility; draws/accumulation follow the plane dtype)."""
+    me = lax.axis_index(AXIS)
+    ls = planar.shape[-1]
+    dev, loc = _measure_index_planes(planar[0], planar[1], key, n)
+    return dev, loc, _collapse_planes(dev, loc, me, ls, planar.dtype)
 
 
 def apply_circuit_sharded(
@@ -216,6 +582,79 @@ def apply_circuit_sharded(
             z = step_done(apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables))
     z = flush(z)
     return (z, norms) if trace_norms else z
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
+def _packed_exchange_schedule(C: int, atox: int, m_reg: int, d: int):
+    """Static routing tables for the m_high oracle row exchange
+    (VERDICT r2 item 2): the permutation f -> A*f mod C on global rows is
+    compile-time known, so each device ships each partner ONLY the rows it
+    needs, padded per-offset to the max count across devices.
+
+    Returns (local_idx (D, R), schedule) where schedule is a tuple of
+    (delta, send_idx (D, K_delta), recv_dst (D, K_delta)) for every used
+    nonzero offset:
+      * local_idx[k][r] = the shard-local source row when it lives on k,
+        else r (identity placeholder, overwritten by the scatter);
+      * send_idx[p] = rows device p gathers and sends to p+delta, ordered
+        as the receiver expects (padding sends row 0);
+      * recv_dst[p] = where device p scatters the buffer it receives from
+        p-delta (padding points at row R -> dropped by scatter mode).
+
+    Total ICI volume = sum_delta K_delta rows ~ R * (D-1)/D for the
+    near-uniform modular-multiply permutation — vs D full shards for the
+    rotate-blend form this replaces."""
+    from quantumcomputer_tpu.ops.gates import modmul_inverse_permutation
+
+    D = 1 << d
+    R = (1 << m_reg) >> d
+    src = np.asarray(modmul_inverse_permutation(C, atox, m_reg), np.int64)
+    rows = np.arange(D * R, dtype=np.int64)
+    src_dev = src // R
+    dst_dev = rows // R
+    delta_of = (dst_dev - src_dev) % D
+
+    local_idx = np.where(delta_of == 0, src % R, rows % R).reshape(D, R).astype(np.int32)
+
+    schedule = []
+    for delta in range(1, D):
+        # receiver k's rows from src_dev k-delta, sender p = k-delta
+        counts = [int(np.sum(delta_of[k * R:(k + 1) * R] == delta)) for k in range(D)]
+        K = max(counts)
+        if K == 0:
+            continue
+        send_idx = np.zeros((D, K), np.int32)
+        recv_dst = np.full((D, K), R, np.int32)  # R = out-of-bounds -> dropped
+        for k in range(D):  # receiver
+            g = np.nonzero(delta_of[k * R:(k + 1) * R] == delta)[0]  # local dst rows
+            p = (k - delta) % D  # sender
+            send_idx[p, : g.size] = (src[k * R + g] % R).astype(np.int32)
+            recv_dst[k, : g.size] = g.astype(np.int32)
+        schedule.append((delta, send_idx, recv_dst))
+    return local_idx, tuple(schedule)
+
+
+def _apply_rows_packed(planes, C: int, atox: int, m_reg: int, d: int, me):
+    """Apply the m_high oracle row exchange to (R, rest)-shaped plane
+    arrays via the packed static schedule: ONE full-shard row gather
+    (local sources), then per-offset packed send/recv + scatter.  Per-shard
+    HBM traffic ~ 1R+1W of the shard plus the packed rows; ICI volume ~ one
+    shard total across all offsets (cf. _rotate_gather_rows: D full-shard
+    ppermutes each with a full-shard gather+blend)."""
+    D = 1 << d
+    local_tab, schedule = _packed_exchange_schedule(C, atox, m_reg, d)
+    local_me = jnp.take(jnp.asarray(local_tab), me, axis=0)  # (R,)
+    outs = [jnp.take(x, local_me, axis=0) for x in planes]
+    for delta, send_tab, recv_tab in schedule:
+        send_me = jnp.take(jnp.asarray(send_tab), me, axis=0)
+        recv_me = jnp.take(jnp.asarray(recv_tab), me, axis=0)
+        bufs = tuple(jnp.take(x, send_me, axis=0) for x in planes)
+        rbufs = lax.ppermute(bufs, AXIS, [(p, (p + delta) % D) for p in range(D)])
+        outs = [o.at[recv_me].set(rb, mode="drop") for o, rb in zip(outs, rbufs)]
+    return outs
 
 
 def _rotate_gather_rows(x, srow_loc, sdev_loc, deltas, me, D: int):
@@ -360,26 +799,20 @@ def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str =
         # (ROADMAP item 4; single-chip form: ops/gates.apply_camodc_high).
         #
         # Lowering: the permutation's (src_device -> dst_device) schedule is
-        # STATIC (C, A, M, D all compile-time), so it decomposes into one
-        # ppermute rotation per used device offset: round delta ships every
-        # device's block to device+delta; receivers gather the rows whose
-        # source lives in that block.  Rounds whose offset no (src, dst)
-        # pair uses are skipped entirely at trace time.  The control qubit
-        # is a low physical bit, so the final control mask is shard-local.
+        # STATIC (C, A, M, D all compile-time), so each device ships each
+        # partner only the rows it needs (_apply_rows_packed): one
+        # full-shard row gather for local sources plus per-offset packed
+        # sends — ~1R+1W of HBM and ~one shard of total ICI volume, vs the
+        # D-round full-shard rotate-blend this replaces (VERDICT r2 item 2).
+        # The control qubit is a low physical bit, so the final control
+        # mask is shard-local.
         C, atox, m_reg = g.meta
         c_phys = g.qubits[0]
         assert d <= m_reg, "m_high sharding needs the global bits inside the M register"
         rest = 1 << (n - m_reg)  # columns (L-register span)
         R = (1 << m_reg) >> d    # work-register rows per device
-        ginv_np = np.asarray(xops.modmul_inverse_permutation(C, atox, m_reg), np.int64)
-        sdev_tab = jnp.asarray(ginv_np // R, jnp.int32)  # src device per global row
-        srow_tab = jnp.asarray(ginv_np % R, jnp.int32)   # src local row per global row
-        rows = np.arange(1 << m_reg, dtype=np.int64)
-        used_deltas = sorted({int(v) for v in ((rows // R - ginv_np // R) % D)})
         x = z.reshape(R, rest)
-        sdev_loc = lax.dynamic_slice_in_dim(sdev_tab, me * R, R)
-        srow_loc = lax.dynamic_slice_in_dim(srow_tab, me * R, R)
-        acc = _rotate_gather_rows(x, srow_loc, sdev_loc, used_deltas, me, D)
+        (acc,) = _apply_rows_packed((x,), int(C), int(atox), m_reg, d, me)
         col = lax.iota(jnp.int32, rest)
         ctrl = ((col >> c_phys) & 1) == 1
         return jnp.where(ctrl[None, :], acc, x).reshape(z.shape)
@@ -432,12 +865,15 @@ def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str =
         # (see xops.iqft_stage_phases) evaluated at *global* indices.
         z = _apply_1q_global(z, _H64(), l - n_local, me, D)
         if l > M:
-            idt = _index_dtype(n)
             ls = z.shape[0]
-            iota = lax.iota(idt, ls)
-            gidx = me.astype(idt) * ls + iota
             mask = (1 << l) - (1 << M)
-            frac = (gidx & mask).astype(sv.real_dtype_of(z.dtype)) * (np.pi / float(1 << l))
+            # (global_index & mask) built from int32-safe pieces: local bits
+            # from the shard iota, device bits [n_local, l) from me — the
+            # full global index would overflow int32 at n = 32.
+            masked = lax.iota(jnp.int32, ls) & mask
+            if l > n_local:
+                masked = masked + ((me & ((1 << (l - n_local)) - 1)) << n_local)
+            frac = masked.astype(sv.real_dtype_of(z.dtype)) * (np.pi / float(1 << l))
             phase = lax.complex(jnp.cos(frac), jnp.sin(frac)).astype(z.dtype)
             bit_l = _device_bit(me, l - n_local)
             z = jnp.where(bit_l == 1, z * phase, z)
@@ -466,7 +902,14 @@ class ShardedStateVectorEngine:
         if layout not in ("standard", "m_high"):
             raise ValueError(f"unknown layout {layout!r}")
         self.register = register
-        self.dtype = jnp.dtype(dtype)
+        if isinstance(dtype, str) and dtype in (sv.COMPLEX32, "c32"):
+            # bf16-STORAGE throughput mode on the mesh: bf16 planes thread
+            # through shard_map (no complex dtype exists at this width), so
+            # every collective moves half the bytes of the complex64 path
+            # and every blend upcasts to f32 inside the expression.
+            self.dtype = sv.COMPLEX32
+        else:
+            self.dtype = jnp.dtype(dtype)
         self.real_dtype = sv.real_dtype_of(dtype)
         self.backend = backend
         self.layout = layout
@@ -502,6 +945,14 @@ class ShardedStateVectorEngine:
         L, M = self.register.L, self.register.M
         return (phys >> L) | ((phys & ((1 << L) - 1)) << M)
 
+    def _global_index(self, dev: int, loc: int) -> int:
+        """Compose a measured (device, local) pair into the global physical
+        index ON THE HOST: Python ints are arbitrary-precision, so this is
+        exact at any n, whereas an in-program int32 global index would wrap
+        at n = 32 (the reference documents its own 32-qubit index bound,
+        qc_shor.c:68-73; see tests/test_index_width.py)."""
+        return (dev << (self.register.n - self.d)) | loc
+
     # -- state lifecycle ----------------------------------------------------
 
     def initial_state(self) -> jax.Array:
@@ -524,10 +975,16 @@ class ShardedStateVectorEngine:
             from quantumcomputer_tpu.models.circuit import dagger_circuit
 
             adj = dagger_circuit(circuit, M)
+            bf16 = self.real_dtype == jnp.bfloat16
 
             def _body_of(circ):
                 def body(planar):  # local view: (2, 2^(n-d))
                     me = lax.axis_index(AXIS)
+                    if bf16:
+                        re, im = apply_circuit_sharded_planes(
+                            planar[0], planar[1], circ, n=n, M=M, d=d, me=me, backend=backend
+                        )
+                        return jnp.stack([re, im])
                     z = sv.to_complex(planar)
                     z = apply_circuit_sharded(z, circ, n=n, M=M, d=d, me=me, backend=backend)
                     return sv.from_complex(z)
@@ -565,11 +1022,21 @@ class ShardedStateVectorEngine:
         if fn is None:
             n, M, d, backend = self.register.n, self.m_eff, self.d, self.backend
 
+            bf16 = self.real_dtype == jnp.bfloat16
+
             def body(planar):
                 me = lax.axis_index(AXIS)
-                z = sv.to_complex(planar)
+                if bf16:
+                    (re, im), norms = apply_circuit_sharded_planes(
+                        planar[0], planar[1], circuit, n=n, M=M, d=d, me=me,
+                        backend=backend, trace_norms=True,
+                    )
+                    return jnp.stack([re, im]), (
+                        jnp.stack(norms) if norms else jnp.zeros((0,), jnp.float32)
+                    )
                 z, norms = apply_circuit_sharded(
-                    z, circuit, n=n, M=M, d=d, me=me, backend=backend, trace_norms=True
+                    sv.to_complex(planar), circuit, n=n, M=M, d=d, me=me,
+                    backend=backend, trace_norms=True,
                 )
                 return sv.from_complex(z), (
                     jnp.stack(norms) if norms else jnp.zeros((0,), planar.dtype)
@@ -599,7 +1066,7 @@ class ShardedStateVectorEngine:
             body,
             mesh=self.mesh,
             in_specs=(P(None, AXIS), P()),
-            out_specs=(P(), P(None, AXIS)),
+            out_specs=(P(), P(), P(None, AXIS)),
             check_vma=False,
         )
         return jax.jit(smapped, donate_argnums=(0,))
@@ -620,8 +1087,16 @@ class ShardedStateVectorEngine:
 
             def body():
                 me = lax.axis_index(AXIS)
-                idt = _index_dtype(n)
-                onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == r0).astype(rdtype)
+                # |0..01> reset via int32-safe (device, local) split compare.
+                r0_dev, r0_loc = r0 // ls, r0 % ls
+                onehot = ((me == r0_dev) & (lax.iota(jnp.int32, ls) == r0_loc)).astype(rdtype)
+                if rdtype == jnp.bfloat16:
+                    re, im = apply_circuit_sharded_planes(
+                        onehot, jnp.zeros_like(onehot), circuit,
+                        n=n, M=M, d=d, me=me, backend=backend,
+                    )
+                    acc = jnp.float32
+                    return lax.psum(jnp.sum(re.astype(acc) ** 2) + jnp.sum(im.astype(acc) ** 2), AXIS)
                 z = lax.complex(onehot, jnp.zeros_like(onehot))
                 z = apply_circuit_sharded(z, circuit, n=n, M=M, d=d, me=me, backend=backend)
                 return lax.psum(jnp.sum(jnp.real(z) ** 2 + jnp.imag(z) ** 2), AXIS)
@@ -658,22 +1133,33 @@ class ShardedStateVectorEngine:
 
             def body(tabs, k):
                 me = lax.axis_index(AXIS)
-                idt = _index_dtype(n)
-                onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == r0).astype(rdtype)
-                z = lax.complex(onehot, jnp.zeros_like(onehot))
-                z = apply_circuit_sharded(
-                    z, circuit, n=n, M=M, d=d, me=me, backend=backend, tables=tabs
-                )
-                gidx, _ = _measure_local(sv.from_complex(z), k, n, rdtype)
-                return gidx
+                # |0..01> reset via int32-safe (device, local) split compare.
+                r0_dev, r0_loc = r0 // ls, r0 % ls
+                onehot = ((me == r0_dev) & (lax.iota(jnp.int32, ls) == r0_loc)).astype(rdtype)
+                if rdtype == jnp.bfloat16:
+                    re, im = apply_circuit_sharded_planes(
+                        onehot, jnp.zeros_like(onehot), circuit,
+                        n=n, M=M, d=d, me=me, backend=backend, tables=tabs,
+                    )
+                else:
+                    z = apply_circuit_sharded(
+                        lax.complex(onehot, jnp.zeros_like(onehot)), circuit,
+                        n=n, M=M, d=d, me=me, backend=backend, tables=tabs,
+                    )
+                    # Measure from the re/im planes directly — never a
+                    # stacked (2, ls) copy while the state is live (the
+                    # program truly holds ONE sharded state).
+                    re, im = jnp.real(z), jnp.imag(z)
+                return _measure_index_planes(re, im, k, n)
 
             smapped = jax.shard_map(
-                body, mesh=self.mesh, in_specs=(P(), P()), out_specs=P(), check_vma=False
+                body, mesh=self.mesh, in_specs=(P(), P()), out_specs=(P(), P()), check_vma=False
             )
             fn = jax.jit(smapped)
             self._run_cache[ck] = fn
         tabs = tuple(jnp.asarray(np.asarray(t), jnp.int32) for t in tables)
-        return int(fn(tabs, key))
+        dev, loc = fn(tabs, key)
+        return self._global_index(int(dev), int(loc))
 
     def run_and_measure(self, circuit: Circuit, key: jax.Array) -> Tuple[int, jax.Array]:
         """Reset -> circuit -> sharded measurement, as ONE compiled shard_map
@@ -689,29 +1175,40 @@ class ShardedStateVectorEngine:
 
             def body(k):
                 me = lax.axis_index(AXIS)
-                idt = _index_dtype(n)
-                # |0..01> reset, shard-local construction (layout-aware index).
-                onehot = (lax.iota(idt, ls) + me.astype(idt) * ls == r0).astype(rdtype)
-                z = lax.complex(onehot, jnp.zeros_like(onehot))
-                z = apply_circuit_sharded(z, circuit, n=n, M=M, d=d, me=me, backend=backend)
-                return _measure_local(sv.from_complex(z), k, n, rdtype)
+                # |0..01> reset, shard-local construction (layout-aware index),
+                # int32-safe (device, local) split compare.
+                r0_dev, r0_loc = r0 // ls, r0 % ls
+                onehot = ((me == r0_dev) & (lax.iota(jnp.int32, ls) == r0_loc)).astype(rdtype)
+                if rdtype == jnp.bfloat16:
+                    re, im = apply_circuit_sharded_planes(
+                        onehot, jnp.zeros_like(onehot), circuit,
+                        n=n, M=M, d=d, me=me, backend=backend,
+                    )
+                else:
+                    z = apply_circuit_sharded(
+                        lax.complex(onehot, jnp.zeros_like(onehot)), circuit,
+                        n=n, M=M, d=d, me=me, backend=backend,
+                    )
+                    re, im = jnp.real(z), jnp.imag(z)
+                dev, loc = _measure_index_planes(re, im, k, n)
+                return dev, loc, _collapse_planes(dev, loc, me, ls, rdtype)
 
             smapped = jax.shard_map(
-                body, mesh=self.mesh, in_specs=(P(),), out_specs=(P(), P(None, AXIS)),
+                body, mesh=self.mesh, in_specs=(P(),), out_specs=(P(), P(), P(None, AXIS)),
                 check_vma=False,
             )
             fn = jax.jit(smapped)
             self._run_cache[ck] = fn
-        idx, collapsed = fn(key)
-        return int(idx), collapsed
+        dev, loc, collapsed = fn(key)
+        return self._global_index(int(dev), int(loc)), collapsed
 
     def measure(self, state: jax.Array, key: jax.Array) -> Tuple[int, jax.Array]:
         fn = self._run_cache.get("__measure__")
         if fn is None:
             fn = self._measure_fn()
             self._run_cache["__measure__"] = fn
-        idx, collapsed = fn(state, key)
-        return int(idx), collapsed
+        dev, loc, collapsed = fn(state, key)
+        return self._global_index(int(dev), int(loc)), collapsed
 
     def sample(self, state: jax.Array, key: jax.Array, shots: int) -> jax.Array:
         """Draw `shots` independent basis indices from |amp|^2 WITHOUT
@@ -726,8 +1223,8 @@ class ShardedStateVectorEngine:
             def body(planar, k):
                 me = lax.axis_index(AXIS)
                 ls = planar.shape[-1]
-                probs = sv.probabilities(planar)
-                rs = jax.random.uniform(k, (shots,), dtype=rdtype)  # same on all shards
+                probs = sv.probabilities(planar)  # f32-accumulated for bf16
+                rs = jax.random.uniform(k, (shots,), dtype=_acc_dtype(rdtype))  # same on all shards
                 totals = lax.all_gather(jnp.sum(probs), AXIS)  # (D,)
                 cum_dev = jnp.cumsum(totals)
                 scaled = rs * cum_dev[-1]
@@ -737,17 +1234,21 @@ class ShardedStateVectorEngine:
                 li = jnp.minimum(
                     jnp.searchsorted(local_cum, scaled - offset, side="left"), ls - 1
                 )
-                idt = _index_dtype(n)
-                cand = jnp.where(dev == me, dev.astype(idt) * ls + li.astype(idt), 0)
-                return lax.psum(cand, AXIS)
+                # dev is identical on all shards; only the owning shard's
+                # local pick survives the psum.  (device, local) int32
+                # pairs compose on the host — int32-safe at any n.
+                loc = lax.psum(jnp.where(dev == me, li.astype(jnp.int32), 0), AXIS)
+                return dev.astype(jnp.int32), loc
 
             smapped = jax.shard_map(
-                body, mesh=self.mesh, in_specs=(P(None, AXIS), P()), out_specs=P(),
+                body, mesh=self.mesh, in_specs=(P(None, AXIS), P()), out_specs=(P(), P()),
                 check_vma=False,
             )
             fn = jax.jit(smapped)
             self._run_cache[("__sample__", shots)] = fn
-        return fn(state, key)
+        dev, loc = fn(state, key)
+        ls = (1 << self.register.n) >> self.d
+        return np.asarray(dev, np.int64) * ls + np.asarray(loc, np.int64)
 
     # -- inspection ----------------------------------------------------------
 

@@ -97,6 +97,12 @@ def apply_gate(state: jax.Array, g: Gate, M: int, backend: str = "xla", tables=(
     if name == "camodc":
         C, atox = g.meta
         return xops.apply_c_amodc(state, C, atox, g.qubits[0], M)
+    if name == "camodc_strict":
+        # Opt-in reference bug-compatibility (warn-and-wrap undersized-M
+        # scatter; non-unitary) — emitted by the strict_reference engine's
+        # circuit rewrite, never by the builders.
+        C, atox = g.meta
+        return xops.apply_c_amodc_strict(state, C, atox, g.qubits[0], M)
     if name == "camodc_high":
         C, atox, m_reg = g.meta
         return xops.apply_camodc_high(state, C, atox, g.qubits[0], m_reg)
@@ -258,7 +264,10 @@ def apply_circuit_planes(
 
             circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible)
         else:
-            from quantumcomputer_tpu.ops.pallas_oracle import pair_member_supported
+            from quantumcomputer_tpu.ops.pallas_oracle import (
+                pair_inplace_supported,
+                pair_member_supported,
+            )
 
             def _pair_eligible(g: Gate) -> bool:
                 return g.name == "camodc_high" and pair_member_supported(
@@ -266,6 +275,25 @@ def apply_circuit_planes(
                 )
 
             circuit = fuse_oracle_ladders(circuit, M, eligible=_pair_eligible, max_run=2)
+            # Defensive re-check (advisor r2): a K=2 ladder the IN-PLACE
+            # pair kernel rejects must never reach dispatch here — the
+            # fallback would be the OUT-OF-PLACE ladder kernel inside a
+            # program this branch sized for a one-state peak.  Split any
+            # such pair back into per-gate in-place oracles.
+            split: list = []
+            for g in circuit:
+                if (
+                    g.name == "camodc_ladder_high"
+                    and not pair_inplace_supported(g.qubits, g.meta[1], n_bits, itemsize)
+                ):
+                    Cm, m_reg = g.meta[0], g.meta[1]
+                    split.extend(
+                        Gate("camodc_high", (c,), meta=(Cm, A, m_reg))
+                        for c, A in zip(g.qubits, g.meta[2:])
+                    )
+                else:
+                    split.append(g)
+            circuit = tuple(split)
         from quantumcomputer_tpu.ops import pallas_fused
 
         for i, seg in enumerate(pallas_fused.plan_circuit(circuit, n_bits, M, fuse_oracle=(oracle == "benes"))):
@@ -377,6 +405,10 @@ def two_state_programs_fit(n: int, rdtype) -> bool:
     return 2 * (1 << n) * jnp.dtype(rdtype).itemsize * 2 <= device_hbm_budget()
 
 
+def _x64_enabled() -> bool:
+    return bool(jax.config.jax_enable_x64)
+
+
 class StateVectorEngine:
     """Executes circuits on a 2^n amplitude vector resident on device.
 
@@ -396,13 +428,35 @@ class StateVectorEngine:
         oracle: str = "gather",
         layout: str = "standard",
         nan_checks: bool = False,
+        strict_reference: bool = False,
     ):
         if backend not in ("xla", "pallas"):
             raise ValueError(f"unknown backend {backend!r}")
+        if strict_reference:
+            # Reference bug-compatibility mode (qc_shor.c:340-351, 654):
+            # modular-multiply gates run the warn-and-wrap scatter even when
+            # 2^M < C (non-unitary collisions), for side-by-side comparison
+            # runs against the original binary.  Comparison runs are small
+            # and exact: plain XLA ops, standard layout only.
+            if backend != "xla" or layout != "standard":
+                raise ValueError(
+                    "strict_reference mode requires backend='xla' and the standard layout"
+                )
         if oracle not in ("gather", "benes"):
             raise ValueError(f"unknown oracle backend {oracle!r}")
         if layout not in ("standard", "m_high"):
             raise ValueError(f"unknown layout {layout!r}")
+        if register.n > 31 and not _x64_enabled():
+            # The single-chip sampler/collapse index math is int32 (TPU has
+            # no x64): basis indices fit exactly up to n = 31 (2^31 - 1).
+            # The reference documents its own 32-qubit bound the same way
+            # (qc_shor.c:68-73); the mesh engine reaches n = 32 by keeping
+            # (device, local) index pairs.  See tests/test_index_width.py.
+            raise ValueError(
+                f"n = L + M = {register.n} > 31 exceeds the int32 basis-index "
+                "budget of a single chip; enable jax_enable_x64 (CPU only) or "
+                "shard over a mesh (ShardedStateVectorEngine)"
+            )
         self.register = register
         if isinstance(dtype, str) and dtype in (sv.COMPLEX32, "c32"):
             # bf16-STORAGE throughput mode: every kernel computes at f32 in
@@ -420,12 +474,23 @@ class StateVectorEngine:
         self.oracle = oracle
         self.layout = layout
         self.nan_checks = nan_checks
+        self.strict_reference = strict_reference
         # In the M-high layout the L register occupies the low physical bits
         # and the iQFT ladder boundary is physical bit 0 (see
         # models/shor_circuit.shor_circuit_mhigh).
         self.m_eff = 0 if layout == "m_high" else register.M
         self.reset_index = (1 << register.L) if layout == "m_high" else 1
         self._run_cache: dict = {}
+
+    def _prep(self, circuit: Circuit) -> Circuit:
+        """Engine-level circuit rewrite: in strict_reference mode every
+        modular-multiply gate becomes its warn-and-wrap scatter twin."""
+        if not self.strict_reference:
+            return circuit
+        return tuple(
+            Gate("camodc_strict", g.qubits, g.params, g.meta) if g.name == "camodc" else g
+            for g in circuit
+        )
 
     # -- state lifecycle ----------------------------------------------------
 
@@ -481,7 +546,9 @@ class StateVectorEngine:
                 # the Pallas kernels need no per-op derivative rules.
                 from quantumcomputer_tpu.models.circuit import dagger_circuit
 
-                adj = dagger_circuit(circuit, M)
+                # strict_reference gates are non-unitary scatters: no
+                # adjoint exists, so the backprop rule is skipped.
+                adj = None if self.strict_reference else dagger_circuit(circuit, M)
 
                 def run_impl(planar):
                     if planar.dtype == jnp.bfloat16:
@@ -496,20 +563,23 @@ class StateVectorEngine:
                     )
                     return sv.from_complex(state)
 
-                run = jax.custom_vjp(run_impl)
+                if adj is None:
+                    run = run_impl
+                else:
+                    run = jax.custom_vjp(run_impl)
 
-                def _fwd(planar):
-                    return run_impl(planar), None
+                    def _fwd(planar):
+                        return run_impl(planar), None
 
-                def _bwd(_, ct):
-                    if ct.dtype == jnp.bfloat16:
-                        re, im = apply_circuit_planes(ct[0], ct[1], adj, M, fuse, oracle)
-                        return (jnp.stack([re, im]),)
-                    z = sv.to_complex(ct)
-                    z = apply_circuit(z, adj, M, backend, fuse, oracle)
-                    return (sv.from_complex(z),)
+                    def _bwd(_, ct):
+                        if ct.dtype == jnp.bfloat16:
+                            re, im = apply_circuit_planes(ct[0], ct[1], adj, M, fuse, oracle)
+                            return (jnp.stack([re, im]),)
+                        z = sv.to_complex(ct)
+                        z = apply_circuit(z, adj, M, backend, fuse, oracle)
+                        return (sv.from_complex(z),)
 
-                run.defvjp(_fwd, _bwd)
+                    run.defvjp(_fwd, _bwd)
 
             fn = jax.jit(run, donate_argnums=(0,))
             self._run_cache[key] = fn
@@ -525,6 +595,7 @@ class StateVectorEngine:
         equivalent of the reference's pointer swap, qc_shor.c:242-249): the
         input buffer is reused for the output and must not be touched again.
         Keep a copy (`state + 0`) if you need the pre-circuit state."""
+        circuit = self._prep(circuit)
         if state is None:
             return self._compiled_run_from_reset(circuit)()
         return self._compiled_run(circuit, with_norms=False)(state)
@@ -558,6 +629,7 @@ class StateVectorEngine:
         Also the natural timing/validation entry point: one dispatch, one
         scalar fetch, and the fetched norm doubles as a probability-
         conservation check (Report §IV.A)."""
+        circuit = self._prep(circuit)
         ck = (circuit, "norm", self.nan_checks)
         fn = self._run_cache.get(ck)
         if fn is None:
@@ -583,6 +655,7 @@ class StateVectorEngine:
         Returns (measured index, collapsed planar state).  When the
         collapsed state is not needed, use run_and_measure_index — the
         collapse output is a full extra state buffer."""
+        circuit = self._prep(circuit)
         ck = (circuit, "measure", self.nan_checks)
         fn = self._run_cache.get(ck)
         if fn is None:
@@ -625,6 +698,7 @@ class StateVectorEngine:
         `tables` is a sequence of int32 (2^m,) inverse-permutation arrays,
         indexed by each slot gate's meta[0]
         (models/shor_circuit.shor_oracle_tables builds them)."""
+        circuit = self._prep(circuit)
         ck = (circuit, "measure_idx_dyn", self.nan_checks, len(tables))
         fn = self._run_cache.get(ck)
         if fn is None:
@@ -652,6 +726,7 @@ class StateVectorEngine:
         executes at); per gate otherwise.
 
         CONSUMES a caller-supplied `state` (buffer donation), like run()."""
+        circuit = self._prep(circuit)
         if state is None:
             state = self.initial_state()
         return self._compiled_run(circuit, with_norms=True)(state)

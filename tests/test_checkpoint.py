@@ -126,3 +126,91 @@ def test_checkpoint_roundtrip_complex32(tmp_path):
         np.asarray(direct.astype(jnp.float32)),
         atol=2e-3,
     )
+
+
+class _Die(RuntimeError):
+    pass
+
+
+def test_find_period_kill_and_resume(tmp_path, monkeypatch):
+    """Driver-level preemption recovery (VERDICT r2 item 8): a process
+    killed mid-circuit resumes from the last segment on re-invocation —
+    byte-identical final result, no segment re-executed, and the
+    measurement never replayed from a snapshot."""
+    import quantumcomputer_tpu.algorithms.shor as shor_mod
+
+    C, a, L, M = 21, 2, 4, 5
+    ckdir = str(tmp_path / "ck")
+    seed = jax.random.PRNGKey(3)
+
+    # Uninterrupted reference run (fresh engine, same key).
+    e_ref = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    ref_rec = shor_mod.find_period(e_ref, C, a, seed, checkpoint_dir=str(tmp_path / "ref"),
+                                   checkpoint_segment_gates=3)
+
+    # "Preempted" run: die after 2 segments have been snapshotted.
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    orig_run = eng.run
+    calls = {"n": 0}
+
+    def dying_run(circuit, state=None):
+        if calls["n"] >= 2:
+            raise _Die("simulated preemption")
+        calls["n"] += 1
+        return orig_run(circuit, state)
+
+    monkeypatch.setattr(eng, "run", dying_run)
+    with pytest.raises(_Die):
+        shor_mod.find_period(eng, C, a, seed, checkpoint_dir=ckdir,
+                             checkpoint_segment_gates=3)
+    assert ckpt.latest_segment(os.path.join(ckdir, f"C{C}_a{a}")) == 2
+
+    # Resume in a "new process": fresh engine, same checkpoint dir.  Count
+    # the segments actually executed — the first two must NOT re-run.
+    eng2 = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    orig_run2 = eng2.run
+    executed = []
+
+    def counting_run(circuit, state=None):
+        executed.append(len(circuit))
+        return orig_run2(circuit, state)
+
+    monkeypatch.setattr(eng2, "run", counting_run)
+    rec = shor_mod.find_period(eng2, C, a, seed, checkpoint_dir=ckdir,
+                               checkpoint_segment_gates=3)
+
+    circ = shor_circuit(C, a, L, M)
+    total_segments = (len(circ) + 2) // 3
+    assert len(executed) == total_segments - 2  # resumed, not recomputed
+    assert rec.measured_index == ref_rec.measured_index  # same key, same state
+    assert rec.period == ref_rec.period == 6
+    # attempt directory cleaned up after success
+    assert not os.path.isdir(os.path.join(ckdir, f"C{C}_a{a}"))
+
+
+def test_find_period_checkpoint_state_matches_plain(tmp_path):
+    """The segmented checkpoint path produces the same measured index as
+    the single-program path for the same key (identical pre-measurement
+    state at complex128)."""
+    from quantumcomputer_tpu.algorithms.shor import find_period
+
+    C, a, L, M = 15, 7, 3, 4
+    k = jax.random.PRNGKey(9)
+    e1 = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    e2 = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    r_plain = find_period(e1, C, a, k)
+    r_ck = find_period(e2, C, a, k, checkpoint_dir=str(tmp_path / "ck2"))
+    assert r_plain.measured_index == r_ck.measured_index
+    assert r_plain.period == r_ck.period
+
+
+def test_cli_checkpoint_dir_flag(tmp_path, capsys):
+    from quantumcomputer_tpu.cli import main
+
+    rc = main(
+        ["-C", "15", "-L", "3", "-M", "4", "-a", "7", "--seed", "0",
+         "--dtype", "complex128", "--checkpoint-dir", str(tmp_path / "ckcli")]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Factors of 15 found: (5, 3)." in out

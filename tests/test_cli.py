@@ -114,8 +114,19 @@ def test_main_complex32_end_to_end(capsys):
 
 
 def test_complex32_rejections():
-    assert main(["-C", "15", "-L", "3", "-M", "4", "--dtype", "complex32", "--devices", "2"]) == 2
     assert main(["-C", "15", "-L", "3", "-M", "4", "--dtype", "complex32", "--backend", "xla"]) == 2
+
+
+def test_main_complex32_sharded_end_to_end(capsys):
+    """--dtype complex32 --devices 2: bf16 planes through shard_map
+    (round-3 capability; VERDICT r2 next-round item 1)."""
+    rc = main(
+        ["-C", "15", "-L", "3", "-M", "4", "-a", "7", "--seed", "0",
+         "--dtype", "complex32", "--devices", "2", "-v"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Factors of 15 found: (5, 3)." in out
 
 
 def test_main_complex32_very_verbose(capsys):

@@ -84,14 +84,9 @@ def test_c32_sampling_statistics():
     assert counts.min() > 64  # ~128 +- binomial noise
 
 
-def test_c32_requires_pallas_and_single_chip():
+def test_c32_requires_pallas():
     with pytest.raises(ValueError):
         StateVectorEngine(Register(L=4, M=4), dtype="complex32", backend="xla")
-    from quantumcomputer_tpu.algorithms.shor import shors_algorithm
-    from quantumcomputer_tpu.parallel.mesh import build_mesh
-
-    with pytest.raises(ValueError):
-        shors_algorithm(C=15, L=3, M=4, forced_trial_int=7, dtype="complex32", mesh=build_mesh(num_devices=2))
 
 
 def test_bf16_kernel_thresholds_scale_with_itemsize():

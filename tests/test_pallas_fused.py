@@ -147,14 +147,17 @@ def test_row_stage_interleaved_dense(rng):
 
 def test_planner_budget_and_breaks():
     gates = [cir.H(13), cir.H(14), cir.H(15), cir.H(13), cir.CNOT(1, 0), cir.H(2)]
-    # qubit 13,14,15 fill the axis budget; the second H(13) MERGES with the
-    # first (per-qubit 1q composition -> H@H = identity diagonal); CNOT
-    # breaks the run; trailing H(2) is its own (axis-free) segment.
+    # qubit 13,14,15 under the axis budget; the second H(13) MERGES with
+    # the first (per-qubit 1q composition -> H@H = identity diagonal); the
+    # CNOT fuses too (u2q op, round 3) — ONE segment for the whole run.
     segs = pf.plan_circuit(tuple(gates), 16, 0)
-    kinds = [s[0] for s in segs]
-    assert kinds == ["fused", "single", "fused"]
+    assert [s[0] for s in segs] == ["fused"]
     assert segs[0][2] == (15, 14, 13)
-    assert len(segs[0][1]) == 3  # H(13)+H(13) merged into one op
+    assert len(segs[0][1]) == 5  # H13+H13 merged; u2q and H(2) in-run
+    # The modular-multiply gather is what still breaks runs.
+    gates_b = [cir.H(13), cir.Gate("camodc", (8,), meta=(21, 2)), cir.H(2)]
+    segs_b = pf.plan_circuit(tuple(gates_b), 16, 5)
+    assert [s[0] for s in segs_b] == ["fused", "single", "fused"]
     gates2 = [cir.H(q) for q in (13, 14, 15, 12, 11, 10)] + [cir.RY(13, 0.3)]
     segs2 = pf.plan_circuit(tuple(gates2), 16, 0)
     assert [s[0] for s in segs2] == ["fused"] * len(segs2)
