@@ -132,26 +132,51 @@ def find_period(
         return shor_circuit(C, a, reg.L, reg.M)
 
     _, very_verbose = verbosity()
+    ceiling_progress = False
     if very_verbose:
         # The per-phase progress path threads state-PASSING programs (input
         # + output state live) and a donating measure — two state buffers.
-        # At the single-chip memory ceiling (n=30 c64 on 16 GB) only the
-        # reset-folded scalar-output form fits, so -V falls back to it with
-        # an explanation instead of dying in the allocator.
+        # At the single-chip memory ceiling (n=30 c64 on 16 GB) only
+        # reset-folded scalar-output forms fit, so -V switches to folded
+        # PREFIX programs there: each phase boundary runs reset->prefix->
+        # norm as one one-state-program (recomputing earlier phases — the
+        # price of progress lines at a size where a second state buffer
+        # cannot exist), then the measurement runs the usual folded
+        # scalar-output program.
         from quantumcomputer_tpu.sim.engine import (
             compute_plane_dtype,
             two_state_programs_fit,
         )
 
         n_local = reg.n - getattr(engine, "d", 0)
-        if not two_state_programs_fit(n_local, compute_plane_dtype(engine.real_dtype)):
-            print(
-                "      - (state too large for per-phase progress: two state "
-                "buffers exceed this chip's HBM; running the fused "
-                "single-program path)"
-            )
-            very_verbose = False
-    if very_verbose:
+        ceiling_progress = not two_state_programs_fit(
+            n_local, compute_plane_dtype(engine.real_dtype)
+        )
+    if very_verbose and ceiling_progress:
+        circuit = static_circuit()
+        L = reg.L
+        print("      - Performing quantum computation...")
+        print(
+            "      - (memory ceiling: progress via reset-folded prefix "
+            "programs — one state buffer live, earlier phases recomputed)"
+        )
+        banners = (
+            "         - Applying Hadamard matrices.",
+            "         - Applying a^x mod (C) gates.",
+            "         - Performing inverse quantum Fourier transform.",
+        )
+        for k, banner in enumerate(banners, start=1):
+            print(banner)
+            # Blocking scalar fetch = true execution barrier; the fetched
+            # norm doubles as the Report §IV.A conservation check.
+            norm = engine.run_norm(tuple(circuit[: k * L]))
+            log.debug("phase %d/3 norm %.12f", k, norm)
+        print("      - Measuring state...")
+        if hasattr(engine, "run_and_measure_index"):
+            idx = engine.run_and_measure_index(circuit, key)
+        else:
+            idx, _ = engine.run_and_measure(circuit, key)
+    elif very_verbose:
         circuit = static_circuit()
         # Reference -V progress surface (qc_shor.c:918-932, 716-735): run
         # the three circuit phases as separate programs with a blocking norm

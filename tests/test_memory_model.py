@@ -107,10 +107,11 @@ def test_bench_pick_n_scales(monkeypatch):
     assert bench.pick_n() == 31  # never past the index-width cap
 
 
-def test_very_verbose_falls_back_when_two_states_dont_fit(monkeypatch, capsys):
-    """-V threads state-passing programs (two live state buffers); at the
-    memory ceiling find_period must fall back to the fused single-program
-    path with an explanation instead of OOMing (VERDICT r2, weak #4)."""
+def test_very_verbose_uses_folded_prefixes_at_ceiling(monkeypatch, capsys):
+    """-V per-phase progress normally threads state-passing programs (two
+    live state buffers); at the memory ceiling find_period must switch to
+    reset-folded PREFIX programs (one state live, scalar outputs) and
+    still print every phase banner (VERDICT r2, weak #4 / item 5)."""
     from quantumcomputer_tpu.algorithms.shor import find_period
     from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
     from quantumcomputer_tpu.utils import logging as qlog
@@ -119,7 +120,14 @@ def test_very_verbose_falls_back_when_two_states_dont_fit(monkeypatch, capsys):
     monkeypatch.setattr(qlog, "_verbose", True)
     monkeypatch.setattr(qlog, "_very_verbose", True)
     eng = StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex64)
+    runs = []
+    orig = eng.run_norm
+    monkeypatch.setattr(
+        eng, "run_norm", lambda circ: runs.append(len(circ)) or orig(circ)
+    )
     rec = find_period(eng, 15, 7, jax.random.PRNGKey(0))
     assert rec.period == 4
+    assert runs == [3, 6, 9]  # three folded prefixes, one state each
     out = capsys.readouterr().out
-    assert "state too large for per-phase progress" in out
+    assert "reset-folded prefix programs" in out
+    assert "inverse quantum Fourier transform" in out
