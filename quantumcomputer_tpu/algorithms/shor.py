@@ -324,14 +324,19 @@ def shors_algorithm(
     if engine is None:
         if isinstance(dtype, str) and dtype == "dd64":
             # Double-float parity mode: f64-equivalent accuracy on TPU
-            # hardware (sim/dd_engine.py).  Single-chip, standard layout.
-            if mesh is not None:
-                raise ValueError("dd64 parity mode is single-chip (no mesh support)")
+            # hardware (sim/dd_engine.py; sharded_dd.py on a mesh).
             if layout != "standard":
                 raise ValueError("dd64 parity mode uses the standard layout")
-            from quantumcomputer_tpu.sim.dd_engine import DDStateVectorEngine
+            if mesh is not None:
+                from quantumcomputer_tpu.parallel.sharded_dd import (
+                    ShardedDDStateVectorEngine,
+                )
 
-            engine = DDStateVectorEngine(Register(L=L, M=M))
+                engine = ShardedDDStateVectorEngine(Register(L=L, M=M), mesh=mesh)
+            else:
+                from quantumcomputer_tpu.sim.dd_engine import DDStateVectorEngine
+
+                engine = DDStateVectorEngine(Register(L=L, M=M))
         else:
             if isinstance(dtype, str) and dtype in ("complex32", "c32"):
                 if backend == "xla":

@@ -99,8 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
 def validate(args: argparse.Namespace) -> Optional[str]:
     if args.C <= 3:
         return "Number to be factorised C is invalid (must be > 3)."
-    if args.dtype == "dd64" and (args.devices > 1 or args.layout != "standard"):
-        return "dd64 parity mode is single-chip, standard layout."
+    if args.dtype == "dd64" and args.layout != "standard":
+        return "dd64 parity mode uses the standard layout."
     if args.strict_reference and (
         args.devices > 1 or args.layout != "standard" or args.backend == "pallas"
         or args.dtype in ("complex32", "dd64")

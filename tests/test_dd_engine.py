@@ -141,7 +141,7 @@ def test_dd_cli():
     from quantumcomputer_tpu.cli import main
 
     assert main(["-C", "15", "-L", "3", "-M", "4", "-a", "7", "--seed", "0", "--dtype", "dd64"]) == 0
-    assert main(["-C", "15", "-L", "3", "-M", "4", "--dtype", "dd64", "--devices", "2"]) == 2
+    assert main(["-C", "15", "-L", "3", "-M", "4", "--dtype", "dd64", "--layout", "m_high"]) == 2
 
 
 def test_dd_folded_scalar_programs():
