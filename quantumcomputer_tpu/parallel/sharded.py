@@ -50,15 +50,6 @@ from quantumcomputer_tpu.sim import statevec as sv
 from quantumcomputer_tpu.sim.engine import Register
 
 
-def _index_dtype(n: int):
-    """Index dtype for GLOBAL basis indices materialized in-program.  Only
-    local (per-shard) indices and (device, local) pairs appear inside
-    compiled programs now — both int32-safe up to n_local = 31 — so this
-    survives only for the rare full-global-index paths (all n <= 31 on a
-    single chip; see tests/test_index_width.py)."""
-    return jnp.int32 if n <= 31 else jnp.int64
-
-
 def _butterfly_pairs(D: int, p: int):
     """ppermute pairing for global-qubit bit p: k <-> k XOR 2^p."""
     return [(k, k ^ (1 << p)) for k in range(D)]
