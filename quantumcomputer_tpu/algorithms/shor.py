@@ -132,6 +132,15 @@ def find_period(
         return shor_circuit(C, a, reg.L, reg.M)
 
     _, very_verbose = verbosity()
+    if very_verbose and checkpoint_dir is not None:
+        # Checkpointing wins over per-phase progress: -V would otherwise
+        # silently skip run_with_checkpoints and a preempted multi-hour run
+        # would restart from gate 0 (reviewer r3 finding).
+        print(
+            "      - (checkpointing enabled: per-phase -V progress is "
+            "replaced by per-segment snapshots)"
+        )
+        very_verbose = False
     ceiling_progress = False
     if very_verbose:
         # The per-phase progress path threads state-PASSING programs (input
@@ -167,6 +176,11 @@ def find_period(
         )
         for k, banner in enumerate(banners, start=1):
             print(banner)
+            if k == len(banners):
+                # The final phase is executed BY the folded measurement
+                # program right below — a third run_norm would run the full
+                # circuit twice back to back (reviewer r3 finding).
+                break
             # Blocking scalar fetch = true execution barrier; the fetched
             # norm doubles as the Report §IV.A conservation check.
             norm = engine.run_norm(tuple(circuit[: k * L]))
@@ -308,6 +322,7 @@ def shors_algorithm(
     oracle: str = "gather",
     checkpoint_dir: Optional[str] = None,
     strict_reference: bool = False,
+    semiclassical: bool = False,
 ) -> ShorResult:
     """Full Shor driver (qc_shor.c:1003-1134).
 
@@ -318,9 +333,30 @@ def shors_algorithm(
 
     Passing a jax.sharding.Mesh runs the circuit on the distributed engine
     (state sharded over the mesh; see parallel/sharded.py).
+
+    semiclassical=True replaces the L counting qubits with ONE reused,
+    sequentially-measured qubit (Griffiths-Niu semiclassical iQFT; see
+    algorithms/semiclassical.py): the state shrinks from 2^(L+M) to
+    2^(M+1) amplitudes with an IDENTICAL outcome distribution.  Single
+    chip, standard layout (the state is tiny by construction).
     """
     if C < 4 or L < 1 or M < 1:
         return ShorResult(outcome=Outcome.BAD_ARGUMENTS, C=C)
+    if semiclassical:
+        if engine is not None or mesh is not None or layout != "standard" or strict_reference:
+            raise ValueError(
+                "semiclassical mode is its own engine: no mesh/layout/"
+                "strict_reference/engine arguments"
+            )
+        if isinstance(dtype, str):
+            raise ValueError("semiclassical mode supports complex64/complex128")
+    if engine is not None and strict_reference and not getattr(engine, "strict_reference", False):
+        # A caller-supplied engine carries its own oracle semantics; silently
+        # ignoring the flag would fake a bug-compat comparison (reviewer r3).
+        raise ValueError(
+            "strict_reference=True conflicts with the provided engine "
+            "(construct it with StateVectorEngine(strict_reference=True))"
+        )
     if engine is None:
         if isinstance(dtype, str) and dtype == "dd64":
             # Double-float parity mode: f64-equivalent accuracy on TPU
@@ -397,11 +433,28 @@ def shors_algorithm(
         for _ in range(max_attempts_per_a):
             key, sub = jax.random.split(key)
             t_attempt = time.perf_counter()
-            attempt = find_period(
-                engine, C, a, sub, num_fractions, trials_per_denominator,
-                allow_template=not forced and checkpoint_dir is None,
-                checkpoint_dir=checkpoint_dir,
-            )
+            if semiclassical:
+                from quantumcomputer_tpu.algorithms.semiclassical import (
+                    find_period_semiclassical,
+                )
+
+                period, screc = find_period_semiclassical(
+                    C, a, L, M, sub, dtype=dtype,
+                    num_fractions=num_fractions,
+                    trials_per_denominator=trials_per_denominator,
+                )
+                # measured_index records x~ (the sequential bit readout);
+                # there is no full-register basis index in this mode.
+                attempt = AttemptRecord(
+                    a=a, measured_index=screc.x_tilde, omega=screc.omega,
+                    period=period, valid=period is not None,
+                )
+            else:
+                attempt = find_period(
+                    engine, C, a, sub, num_fractions, trials_per_denominator,
+                    allow_template=not forced and checkpoint_dir is None,
+                    checkpoint_dir=checkpoint_dir,
+                )
             attempt.elapsed_s = time.perf_counter() - t_attempt
             log.info("attempt a=%d took %.6fs", a, attempt.elapsed_s)
             result.attempts.append(attempt)

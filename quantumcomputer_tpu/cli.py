@@ -75,6 +75,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fractions", type=int, default=nt.NUM_CONTINUED_FRACTIONS, help="continued-fraction depth")
     p.add_argument("--trials", type=int, default=nt.TRIALS_PER_DENOMINATOR, help="multiples tried per denominator")
     p.add_argument(
+        "--semiclassical",
+        action="store_true",
+        help=(
+            "one-control-qubit period finding (Griffiths-Niu semiclassical "
+            "inverse QFT): the L counting qubits collapse to ONE reused, "
+            "sequentially-measured qubit — the state is 2^(M+1) amplitudes "
+            "instead of 2^(L+M), with an identical outcome distribution"
+        ),
+    )
+    p.add_argument(
         "--strict-reference",
         action="store_true",
         help=(
@@ -101,6 +111,14 @@ def validate(args: argparse.Namespace) -> Optional[str]:
         return "Number to be factorised C is invalid (must be > 3)."
     if args.dtype == "dd64" and args.layout != "standard":
         return "dd64 parity mode uses the standard layout."
+    if args.semiclassical and (
+        args.devices > 1 or args.layout != "standard" or args.strict_reference
+        or args.dtype in ("complex32", "dd64") or args.checkpoint_dir
+    ):
+        return (
+            "semiclassical mode is its own tiny-state engine: no sharding, "
+            "layouts, strict-reference, checkpointing, or complex32/dd64."
+        )
     if args.strict_reference and (
         args.devices > 1 or args.layout != "standard" or args.backend == "pallas"
         or args.dtype in ("complex32", "dd64")
@@ -116,10 +134,14 @@ def validate(args: argparse.Namespace) -> Optional[str]:
         return "Forced trial integer must satisfy 1 < a < C-1."
     if args.L + args.M > 32:
         return "L + M > 32 qubits exceeds the index budget (the reference's own bound, qc_shor.c:68-73)."
-    if args.L + args.M - (args.devices.bit_length() - 1) > 31:
+    if (
+        args.L + args.M - (args.devices.bit_length() - 1) > 31
+        and args.dtype != "complex128"  # c128 runs on CPU under x64: int64 indices
+    ):
         return (
             "L + M > 31 qubits exceeds the int32 single-chip index budget: "
-            "shard with --devices so L + M - log2(devices) <= 31."
+            "shard with --devices so L + M - log2(devices) <= 31 "
+            "(or use --dtype complex128, which runs on CPU with 64-bit indices)."
         )
     if args.layout == "m_high" and args.devices > (1 << args.M):
         return "m_high sharding needs devices <= 2^M (global bits must fit in the work register)."
@@ -189,6 +211,7 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         oracle=args.oracle,
         checkpoint_dir=args.checkpoint_dir,
         strict_reference=args.strict_reference,
+        semiclassical=args.semiclassical,
     )
 
     if args.verbose:

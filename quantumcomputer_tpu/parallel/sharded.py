@@ -395,9 +395,15 @@ def apply_gate_sharded_planes(re, im, g: Gate, *, n: int, M: int, d: int, me, ba
             im = jnp.where(bit_l == 1, nim, im)
         return re, im
 
-    # Rare global dense 2q forms (cnot/swap/u2q): route through the complex
-    # helpers at f32 (one upcast pass; these never appear in the Shor hot
-    # path, where the oracle/iQFT forms above cover everything).
+    if name in ("cnot", "swap", "u2q") and all(not is_global(q) for q in g.qubits):
+        # Shard-local dense 2q: the single-chip planes dispatch (u2q fused
+        # kernel, or its upcast fallback) — never the complex round-trip.
+        return apply_gate_planes(re, im, g, M, tables=tables)
+
+    # Rare GLOBAL dense 2q forms (cnot/swap/u2q with a device-bit qubit):
+    # route through the complex helpers at f32 (one upcast pass; these
+    # never appear in the Shor hot path, where the oracle/iQFT forms above
+    # cover everything).
     cdt = _acc_dtype(re.dtype)
     z = lax.complex(re.astype(cdt), im.astype(cdt))
     z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables)
@@ -465,32 +471,44 @@ def apply_circuit_sharded_planes(
     return ((re, im), norms) if trace_norms else (re, im)
 
 
-def _measure_index_planes(re, im, key, n: int):
-    """Shard-local body of the hierarchical inverse-CDF measurement
-    (equivalent to the reference's global serial scan, qc_shor.c:272-306):
-    device-level pick over all-gathered shard totals, then in-shard pick.
-    Works directly on re/im planes — no stacked (2, ls) copy is ever
-    materialized — with f32 accumulation for bf16 storage.
+def two_level_pick(probs, scaled_r):
+    """THE shared sharded inverse-CDF pick (equivalent to the reference's
+    global serial scan, qc_shor.c:272-306): device-level pick over
+    all-gathered shard totals, then in-shard pick.  Used by the complex,
+    complex32, and dd64 mesh engines — keep them on one implementation so
+    the measurement semantics cannot silently diverge.
 
-    Returns the measured GLOBAL index as an int32 (device, local) PAIR:
-    the full index dev*ls + loc can exceed int32 at n = 32 and TPU has no
-    x64, so the two components compose on the HOST (Python ints are
-    arbitrary-precision) — see tests/test_index_width.py."""
+    `scaled_r` is the caller's draw on the caller's probability scale (the
+    complex engines pass the raw uniform — their states are normalized;
+    the dd engine scales by its total).  Returns the measured GLOBAL index
+    as an int32 (device, local) PAIR: the full index dev*ls + loc can
+    exceed int32 at n = 32 and TPU has no x64, so the two components
+    compose on the HOST (Python ints are arbitrary-precision) — see
+    tests/test_index_width.py."""
     me = lax.axis_index(AXIS)
-    ls = re.shape[-1]
-    acc = _acc_dtype(re.dtype)
-    probs = re.astype(acc) ** 2 + im.astype(acc) ** 2
-    r = jax.random.uniform(key, dtype=acc)  # same key -> same r on all shards
+    ls = probs.shape[-1]
     totals = lax.all_gather(jnp.sum(probs), AXIS)  # (D,)
     cum_dev = jnp.cumsum(totals)
-    dev = jnp.minimum(jnp.searchsorted(cum_dev, r, side="left"), totals.shape[0] - 1)
+    dev = jnp.minimum(jnp.searchsorted(cum_dev, scaled_r, side="left"), totals.shape[0] - 1)
     offset = cum_dev[dev] - totals[dev]
     local_cum = jnp.cumsum(probs)
-    local_idx = jnp.minimum(jnp.searchsorted(local_cum, r - offset, side="left"), ls - 1)
+    local_idx = jnp.minimum(
+        jnp.searchsorted(local_cum, scaled_r - offset, side="left"), ls - 1
+    )
     # dev is identical on every shard (same draw, same gathered totals);
     # only the owning shard knows the local pick.
     loc = lax.psum(jnp.where(me == dev, local_idx.astype(jnp.int32), 0), AXIS)
     return dev.astype(jnp.int32), loc
+
+
+def _measure_index_planes(re, im, key, n: int):
+    """Measurement body for the complex/complex32 mesh engines: f32-
+    accumulated probabilities from re/im planes (no stacked copy), raw
+    uniform draw (states are normalized), shared two-level pick."""
+    acc = _acc_dtype(re.dtype)
+    probs = re.astype(acc) ** 2 + im.astype(acc) ** 2
+    r = jax.random.uniform(key, dtype=acc)  # same key -> same r on all shards
+    return two_level_pick(probs, r)
 
 
 def _collapse_planes(dev, loc, me, ls: int, dtype):

@@ -382,19 +382,18 @@ class ShardedDDStateVectorEngine:
 
 def _measure_dd_sharded(planar4, key):
     """Two-level inverse-CDF on f32 hi+lo probabilities; returns int32
-    (device, local) + the collapsed local shard (cf. sharded._measure_
-    index_planes — same split-index convention)."""
+    (device, local) + the collapsed local shard.  The pick itself is the
+    ONE shared implementation (parallel/sharded.two_level_pick); the dd
+    draw scales by the global total like the single-chip dd engine
+    (_measure_dd_impl) — statistical accuracy only."""
+    from quantumcomputer_tpu.parallel.sharded import two_level_pick
+
     me = lax.axis_index(AXIS)
     ls = planar4.shape[-1]
     probs = (planar4[0] + planar4[1]) ** 2 + (planar4[2] + planar4[3]) ** 2
-    totals = lax.all_gather(jnp.sum(probs), AXIS)
-    cum_dev = jnp.cumsum(totals)
-    r = jax.random.uniform(key, dtype=probs.dtype) * cum_dev[-1]
-    dev = jnp.minimum(jnp.searchsorted(cum_dev, r, side="left"), totals.shape[0] - 1)
-    offset = cum_dev[dev] - totals[dev]
-    local_cum = jnp.cumsum(probs)
-    li = jnp.minimum(jnp.searchsorted(local_cum, r - offset, side="left"), ls - 1)
-    loc = lax.psum(jnp.where(me == dev, li.astype(jnp.int32), 0), AXIS)
+    total = lax.psum(jnp.sum(probs), AXIS)
+    r = jax.random.uniform(key, dtype=probs.dtype) * total
+    dev, loc = two_level_pick(probs, r)
     onehot = ((me == dev) & (lax.iota(jnp.int32, ls) == loc)).astype(jnp.float32)
     zeros = jnp.zeros_like(onehot)
-    return dev.astype(jnp.int32), loc, jnp.stack([onehot, zeros, zeros, zeros])
+    return dev, loc, jnp.stack([onehot, zeros, zeros, zeros])

@@ -38,32 +38,34 @@ def circuit_fingerprint(circuit: Circuit) -> str:
 def save_state(path: str, state: jax.Array, meta: dict) -> None:
     """Snapshot a planar state (host copy) + metadata.
 
+    ALL planes are stored — (2, dim) re/im for the complex engines,
+    (4, dim) [re_hi, re_lo, im_hi, im_lo] for dd64 (saving only rows 0-1
+    of a dd state silently corrupts the resume; reviewer r3 finding).
     bf16 ("complex32") planes are stored as their uint16 bit patterns with
     a dtype tag — np.savez round-trips ml_dtypes.bfloat16 as an opaque
     void dtype otherwise."""
-    re = np.asarray(state[0])
-    im = np.asarray(state[1])
-    plane_dtype = str(re.dtype)
+    planes = np.asarray(state)
+    plane_dtype = str(planes.dtype)
     if plane_dtype == "bfloat16":
-        re = re.view(np.uint16)
-        im = im.view(np.uint16)
+        planes = planes.view(np.uint16)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     tmp = path + ".tmp.npz"
-    np.savez(tmp, re=re, im=im, meta=json.dumps(meta), plane_dtype=plane_dtype)
+    np.savez(tmp, planes=planes, meta=json.dumps(meta), plane_dtype=plane_dtype)
     os.replace(tmp, path)
 
 
 def load_state(path: str, sharding=None) -> Tuple[jax.Array, dict]:
     """Load a snapshot; optionally place it with a NamedSharding."""
     with np.load(path, allow_pickle=False) as z:
-        re, im = z["re"], z["im"]
         meta = json.loads(str(z["meta"]))
+        if "planes" in z:
+            planar = z["planes"]
+        else:  # round-2 format: separate re/im keys (always 2 planes)
+            planar = np.stack([z["re"], z["im"]])
         if "plane_dtype" in z and str(z["plane_dtype"]) == "bfloat16":
             import ml_dtypes
 
-            re = re.view(ml_dtypes.bfloat16)
-            im = im.view(ml_dtypes.bfloat16)
-        planar = np.stack([re, im])
+            planar = planar.view(ml_dtypes.bfloat16)
     arr = jax.device_put(planar, sharding) if sharding is not None else jax.device_put(planar)
     return arr, meta
 
@@ -111,10 +113,15 @@ def run_with_checkpoints(
                 # (segment k == "k*segment_gates gates applied"), so a
                 # snapshot taken under a different segment_gates would map
                 # to the wrong gate offset — refuse it.
+                # dd engines carry four planes; complex engines two.  A
+                # plane-count mismatch (e.g. an old 2-plane snapshot fed to
+                # a dd64 resume) must cold-start, not corrupt.
+                expected_planes = 4 if getattr(engine, "backend", "") == "dd" else 2
                 if (
                     meta.get("fingerprint") == fp
                     and meta.get("segment") == last
                     and meta.get("segment_gates") == segment_gates
+                    and st.shape[0] == expected_planes
                     # Plane dtype must match the engine: resuming an f32
                     # run's snapshot into a complex32 engine (or vice
                     # versa) would silently continue at the wrong storage

@@ -214,3 +214,67 @@ def test_cli_checkpoint_dir_flag(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Factors of 15 found: (5, 3)." in out
+
+
+def test_checkpoint_dd64_four_planes_roundtrip(tmp_path):
+    """dd64 snapshots must carry all FOUR planes; resuming a dd run from a
+    checkpoint yields the same state as an uninterrupted run (reviewer r3:
+    the 2-plane save corrupted dd resumes)."""
+    from quantumcomputer_tpu.sim.dd_engine import DDStateVectorEngine
+
+    C, a, L, M = 15, 7, 3, 4
+    circ = shor_circuit(C, a, L, M)
+    eng = DDStateVectorEngine(Register(L=L, M=M))
+    direct = eng.to_numpy(eng.run(circ, eng.initial_state()))
+    eng2 = DDStateVectorEngine(Register(L=L, M=M))
+    st = ckpt.run_with_checkpoints(eng2, circ, str(tmp_path / "dd"), segment_gates=3)
+    assert np.asarray(st).shape[0] == 4
+    np.testing.assert_allclose(eng2.to_numpy(st), direct, atol=1e-14)
+    # resume mid-way in a fresh engine: byte-identical
+    for f in sorted((tmp_path / "dd").iterdir())[2:]:
+        f.unlink()  # "die" after 2 segments
+    eng3 = DDStateVectorEngine(Register(L=L, M=M))
+    st3 = ckpt.run_with_checkpoints(eng3, circ, str(tmp_path / "dd"), segment_gates=3)
+    np.testing.assert_allclose(eng3.to_numpy(st3), direct, atol=1e-14)
+
+
+def test_checkpoint_plane_count_guard(tmp_path):
+    """A 2-plane snapshot fed to a dd64 resume must cold-start, never
+    resume corrupt."""
+    from quantumcomputer_tpu.sim.dd_engine import DDStateVectorEngine
+
+    C, a, L, M = 15, 7, 3, 4
+    circ = shor_circuit(C, a, L, M)
+    e_c = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64)
+    ckpt.run_with_checkpoints(e_c, circ, str(tmp_path / "mix"), segment_gates=3)
+    e_dd = DDStateVectorEngine(Register(L=L, M=M))
+    st = ckpt.run_with_checkpoints(e_dd, circ, str(tmp_path / "mix"), segment_gates=3)
+    # cold restart in dd: result is the dd-accurate state, 4 planes
+    assert np.asarray(st).shape[0] == 4
+    want = ref.shor_circuit(C, a, L, M)
+    np.testing.assert_allclose(e_dd.to_numpy(st), want, atol=1e-12)
+
+
+def test_checkpoint_wins_over_very_verbose(tmp_path, monkeypatch):
+    """-V with checkpoint_dir must still snapshot (reviewer r3: the -V
+    branch silently skipped run_with_checkpoints)."""
+    from quantumcomputer_tpu.algorithms.shor import find_period
+    from quantumcomputer_tpu.utils import logging as qlog
+
+    monkeypatch.setattr(qlog, "_verbose", True)
+    monkeypatch.setattr(qlog, "_very_verbose", True)
+    eng = StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex128)
+    ckdir = str(tmp_path / "vck")
+    rec = find_period(eng, 15, 7, jax.random.PRNGKey(0), checkpoint_dir=ckdir,
+                      checkpoint_segment_gates=3)
+    assert rec.period == 4
+    # attempt dir is cleaned up on success, so assert via the parent having
+    # existed + a second interrupted-style call writing snapshots:
+    import quantumcomputer_tpu.sim.checkpoint as ck_mod
+
+    wrote = []
+    orig = ck_mod.save_state
+    monkeypatch.setattr(ck_mod, "save_state", lambda *a, **k: wrote.append(a[0]) or orig(*a, **k))
+    find_period(eng, 15, 7, jax.random.PRNGKey(1), checkpoint_dir=ckdir,
+                checkpoint_segment_gates=3)
+    assert wrote, "-V run never wrote a checkpoint snapshot"

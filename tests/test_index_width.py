@@ -103,3 +103,17 @@ def test_mesh_sample_int32_programs():
     shots = eng.sample(state, jax.random.PRNGKey(0), 16)
     assert shots.dtype == np.int64  # host-side compose
     np.testing.assert_array_equal(shots, 1)  # |0..01> -> index 1 always
+
+
+def test_cli_allows_n32_complex128_on_cpu():
+    """complex128 routes to CPU under x64 (64-bit indices): the reference's
+    full 32-qubit bound stays reachable there (reviewer r3: the int32 CLI
+    check must not block it)."""
+    from quantumcomputer_tpu.cli import validate, build_parser
+
+    args = build_parser().parse_args(
+        ["-C", "15", "-L", "16", "-M", "16", "--dtype", "complex128"]
+    )
+    assert validate(args) is None
+    args2 = build_parser().parse_args(["-C", "15", "-L", "16", "-M", "16"])
+    assert validate(args2) is not None

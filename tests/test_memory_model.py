@@ -127,7 +127,10 @@ def test_very_verbose_uses_folded_prefixes_at_ceiling(monkeypatch, capsys):
     )
     rec = find_period(eng, 15, 7, jax.random.PRNGKey(0))
     assert rec.period == 4
-    assert runs == [3, 6, 9]  # three folded prefixes, one state each
+    # TWO folded prefixes: the final phase executes inside the folded
+    # measurement program itself (a third run_norm would run the full
+    # circuit twice back to back).
+    assert runs == [3, 6]
     out = capsys.readouterr().out
     assert "reset-folded prefix programs" in out
     assert "inverse quantum Fourier transform" in out

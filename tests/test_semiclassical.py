@@ -1,0 +1,132 @@
+"""Semiclassical (one-control-qubit) period finding: n = M + 1 qubits.
+
+Correctness oracle: the FULL-register engine.  The semiclassical scheme is
+the reference circuit with the iQFT's controlled phases deferred onto
+their lower qubits and evaluated classically after measurement — so the
+joint distribution over measured counting bits must EQUAL the full
+circuit's counting-register distribution, branch by branch.  That is
+tested exactly (every branch, 1e-6 at complex64), not statistically.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quantumcomputer_tpu.algorithms.semiclassical import (
+    find_period_semiclassical,
+    run_semiclassical,
+)
+from quantumcomputer_tpu.models.shor_circuit import shor_circuit
+from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+
+
+def _full_register_omega_distribution(C, a, L, M):
+    """P(x_tilde) from the full-register circuit: marginalize the final
+    state's probabilities over the work register, then bit-reverse the
+    counting index (read_omega convention)."""
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    state = eng.run(shor_circuit(C, a, L, M))
+    amps = eng.to_numpy(state)
+    probs = np.abs(amps) ** 2
+    p_count = probs.reshape(1 << L, 1 << M).sum(axis=1)  # index = counting bits [M, N)
+    # counting value c (bits M..N-1, LSB-first within the register) ->
+    # x_tilde = bit-reversed c
+    p_xt = np.zeros(1 << L)
+    for c in range(1 << L):
+        xt = int(format(c, f"0{L}b")[::-1], 2) if L > 1 else c
+        p_xt[xt] += p_count[c]
+    return p_xt
+
+
+@pytest.mark.parametrize("C,a,L,M", [(15, 7, 3, 4), (21, 2, 4, 5), (33, 29, 3, 6)])
+def test_branch_distribution_equals_full_circuit(C, a, L, M):
+    """EVERY measurement branch's joint probability (product of recorded
+    conditionals) equals the full-register probability of that x_tilde."""
+    p_xt = _full_register_omega_distribution(C, a, L, M)
+    total = 0.0
+    for branch in range(1 << L):
+        forced = [(branch >> k) & 1 for k in range(L)]  # m_{L-1}.. in order
+        rec = run_semiclassical(
+            C, a, L, M, jax.random.PRNGKey(0), dtype=jnp.complex64, forced_bits=forced
+        )
+        # joint probability, short-circuiting dead branches (forcing a
+        # zero-probability outcome leaves NaNs downstream by construction)
+        p = 1.0
+        for cond in rec.branch_probs:
+            if not np.isfinite(cond) or cond < 1e-12:
+                p = 0.0
+                break
+            p *= cond
+        if p > 0.0:
+            assert rec.x_tilde == branch
+        assert abs(p - p_xt[branch]) < 1e-6, (branch, p, p_xt[branch])
+        total += p
+    assert abs(total - 1.0) < 1e-6
+
+
+def test_sampled_runs_land_on_support():
+    C, a, L, M = 15, 7, 3, 4
+    p_xt = _full_register_omega_distribution(C, a, L, M)
+    support = {i for i in range(1 << L) if p_xt[i] > 1e-9}
+    for seed in range(12):
+        rec = run_semiclassical(C, a, L, M, jax.random.PRNGKey(seed))
+        assert rec.x_tilde in support
+        assert abs(rec.omega - rec.x_tilde / (1 << L)) < 1e-15
+
+
+def test_find_period_semiclassical_factors():
+    """End-to-end: period recovery via CF on the semiclassical omega."""
+    found = 0
+    for seed in range(8):
+        period, rec = find_period_semiclassical(15, 7, 3, 4, jax.random.PRNGKey(seed))
+        if period is not None:
+            assert period == 4
+            found += 1
+    assert found >= 4  # half the omega mass lies on period-revealing harmonics
+
+    period, _ = find_period_semiclassical(21, 2, 5, 5, jax.random.PRNGKey(3))
+    assert period in (None, 6)
+
+
+def test_semiclassical_qubit_budget():
+    """The whole point: C=8191-scale moduli run on an (M+1)-qubit state.
+    One attempt at M=13 uses 2^14 amplitudes (the full-register circuit
+    needs 2^30 at L=17)."""
+    C, a, M = 8191, 3, 13
+    L = 17
+    period, rec = find_period_semiclassical(C, a, L, M, jax.random.PRNGKey(1))
+    assert len(rec.bits) == L
+    if period is not None:
+        # a=3 has multiplicative order 13 mod 8191 — tiny, so CF usually
+        # nails it despite 2^L >> C not holding confidence-wise
+        assert pow(a, period, C) == 1
+
+
+def test_semiclassical_rejects_undersized_M():
+    with pytest.raises(ValueError, match="not unitary"):
+        run_semiclassical(15, 7, 3, 3, jax.random.PRNGKey(0))
+
+
+def test_shors_algorithm_semiclassical_mode():
+    from quantumcomputer_tpu.algorithms.shor import shors_algorithm
+
+    res = shors_algorithm(C=15, L=3, M=4, forced_trial_int=7, seed=0, semiclassical=True)
+    assert res.ok and res.factors == (5, 3)
+    # trial loop too
+    res2 = shors_algorithm(C=21, L=5, M=5, seed=1, semiclassical=True)
+    assert res2.ok and res2.factors == (7, 3)
+
+
+def test_cli_semiclassical(capsys):
+    from quantumcomputer_tpu.cli import main
+
+    rc = main(["-C", "15", "-L", "3", "-M", "4", "-a", "7", "--seed", "0", "--semiclassical"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Factors of 15 found: (5, 3)." in out
+    # incompatible with mesh / m_high (single small state; no need)
+    assert main(["-C", "15", "-L", "3", "-M", "4", "--semiclassical", "--devices", "2"]) == 2
+    assert main(["-C", "15", "-L", "3", "-M", "4", "--semiclassical", "--layout", "m_high"]) == 2

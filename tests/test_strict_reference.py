@@ -113,3 +113,20 @@ def test_strict_mode_cli_end_to_end(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Factors of 15 found: (5, 3)." in out
+
+
+def test_strict_flag_conflicts_with_provided_engine():
+    """shors_algorithm(engine=..., strict_reference=True) must not silently
+    ignore the flag (reviewer r3)."""
+    from quantumcomputer_tpu.algorithms.shor import shors_algorithm
+
+    eng = StateVectorEngine(Register(L=3, M=4), dtype=jnp.complex128)
+    with pytest.raises(ValueError, match="strict_reference"):
+        shors_algorithm(C=15, L=3, M=4, forced_trial_int=7, engine=eng, strict_reference=True)
+    strict_eng = StateVectorEngine(
+        Register(L=3, M=4), dtype=jnp.complex128, strict_reference=True
+    )
+    res = shors_algorithm(
+        C=15, L=3, M=4, forced_trial_int=7, seed=0, engine=strict_eng, strict_reference=True
+    )
+    assert res.ok
