@@ -135,6 +135,10 @@ def run_semiclassical(
     conditional probabilities — the distribution-parity test hook."""
     if (1 << M) < C:
         raise ValueError(f"2^M={1 << M} < C={C}: the modular-multiply gate is not unitary")
+    if M + 1 > 31:
+        raise ValueError(f"M+1={M + 1} > 31 qubits exceeds the int32 index budget")
+    if L > 52:
+        raise ValueError(f"L={L} > 52 exceeds the float64 omega mantissa (x_tilde / 2^L)")
     rdtype = sv.real_dtype_of(dtype)
     ck = (M, jnp.dtype(rdtype).name)
     step = _cache.get(ck)

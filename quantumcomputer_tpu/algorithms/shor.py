@@ -357,7 +357,12 @@ def shors_algorithm(
             "strict_reference=True conflicts with the provided engine "
             "(construct it with StateVectorEngine(strict_reference=True))"
         )
-    if engine is None:
+    if semiclassical:
+        # No full-register engine exists in this mode: the (M+1)-qubit step
+        # program lives in algorithms/semiclassical.py, and L+M can far
+        # exceed any chip's state budget (that is the point).
+        pass
+    elif engine is None:
         if isinstance(dtype, str) and dtype == "dd64":
             # Double-float parity mode: f64-equivalent accuracy on TPU
             # hardware (sim/dd_engine.py; sharded_dd.py on a mesh).

@@ -132,6 +132,15 @@ def validate(args: argparse.Namespace) -> Optional[str]:
         return "M is invalid (must be positive)."
     if args.a and not (1 < args.a < args.C - 1):
         return "Forced trial integer must satisfy 1 < a < C-1."
+    if args.semiclassical:
+        # The state is 2^(M+1) amplitudes regardless of L: the full-register
+        # L+M bounds do not apply.  M+1 must fit the int32 index budget and
+        # L the float64 omega mantissa (x_tilde / 2^L is exact to L <= 52).
+        if args.M + 1 > 31:
+            return "semiclassical work register M + 1 > 31 qubits exceeds the int32 index budget."
+        if args.L > 52:
+            return "semiclassical L > 52 exceeds the float64 omega mantissa (x_tilde / 2^L)."
+        return None
     if args.L + args.M > 32:
         return "L + M > 32 qubits exceeds the index budget (the reference's own bound, qc_shor.c:68-73)."
     if (

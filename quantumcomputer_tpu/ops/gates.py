@@ -264,8 +264,11 @@ def modmul_inverse_permutation(C: int, A: int, M: int) -> np.ndarray:
     if (1 << M) < C:
         raise ValueError(f"2^M={1 << M} < C={C}: the modular-multiply gate is not unitary (increase M)")
     a_inv = pow(A, -1, C)
-    f = np.arange(1 << M, dtype=np.int32)
-    return np.where(f < C, (a_inv * f) % C, f).astype(np.int32)
+    # int64 products: a_inv*f reaches ~C^2 (> int32 once C > ~46341 — the
+    # semiclassical large-modulus regime); results are < 2^M so the final
+    # table narrows back to int32 losslessly.
+    f = np.arange(1 << M, dtype=np.int64)
+    return np.where(f < C, (np.int64(a_inv) * f) % C, f).astype(np.int32)
 
 
 def apply_c_amodc_dyn(state: jax.Array, ginv: jax.Array, c_q: int, M: int) -> jax.Array:

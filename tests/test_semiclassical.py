@@ -110,6 +110,61 @@ def test_semiclassical_rejects_undersized_M():
         run_semiclassical(15, 7, 3, 3, jax.random.PRNGKey(0))
 
 
+def test_semiclassical_bounds():
+    with pytest.raises(ValueError, match="int32"):
+        run_semiclassical(15, 7, 3, 31, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="mantissa"):
+        run_semiclassical(15, 7, 53, 4, jax.random.PRNGKey(0))
+
+
+def test_modmul_table_large_modulus():
+    """The inverse-permutation table must be exact for C > 2^16, where the
+    a_inv * f products exceed int32 (int64 host arithmetic)."""
+    from quantumcomputer_tpu.ops.gates import modmul_inverse_permutation
+
+    C, A, M = 1019 * 1021, 2, 20
+    tab = np.asarray(modmul_inverse_permutation(C, A, M))
+    a_inv = pow(A, -1, C)
+    rng = np.random.default_rng(0)
+    for j in map(int, rng.integers(0, C, 64)):
+        assert tab[j] == (a_inv * j) % C  # exact Python ints
+        # round-trip: g(g_inv(j)) == j
+        assert (A * tab[j]) % C == j
+    for j in map(int, rng.integers(C, 1 << M, 8)):
+        assert tab[j] == j  # identity outside the modulus
+
+
+def test_semiclassical_large_modulus_end_to_end():
+    """Factor a 20-bit semiprime — the full-register circuit would need
+    L + M = 60 qubits (2^60 amplitudes, ~18 EB at complex64); the
+    semiclassical state is 2^21.  This is the capability the reference's
+    architecture caps at ~n=32 (qc_shor.c:68-73)."""
+    from quantumcomputer_tpu.algorithms.shor import shors_algorithm
+
+    res = shors_algorithm(
+        C=1019 * 1021, L=40, M=20, forced_trial_int=2, seed=0, semiclassical=True
+    )
+    assert res.ok and res.factors == (1021, 1019)
+    assert res.attempts[-1].period == 173060
+
+
+def test_cli_semiclassical_bounds():
+    from quantumcomputer_tpu.cli import build_parser, validate
+
+    ok = build_parser().parse_args(
+        ["-C", "1040399", "-L", "40", "-M", "20", "--semiclassical"]
+    )
+    assert validate(ok) is None
+    big_m = build_parser().parse_args(
+        ["-C", "15", "-L", "3", "-M", "31", "--semiclassical"]
+    )
+    assert "int32" in validate(big_m)
+    big_l = build_parser().parse_args(
+        ["-C", "15", "-L", "53", "-M", "4", "--semiclassical"]
+    )
+    assert "mantissa" in validate(big_l)
+
+
 def test_shors_algorithm_semiclassical_mode():
     from quantumcomputer_tpu.algorithms.shor import shors_algorithm
 
