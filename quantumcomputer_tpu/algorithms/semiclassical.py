@@ -27,11 +27,14 @@ ceiling.  The reference's own measurement/no-remeasure semantics are kept
 per bit (inverse-CDF draw, collapse, never re-sampled).
 
 TPU realization: ONE jitted program serves every step of every trial
-integer — the oracle permutation table, the correction angle, and the PRNG
-key are all runtime operands (the compile-once pattern of
+integer — the oracle scalars (C, a_inv), the correction angle, and the
+draw are all runtime operands (the compile-once pattern of
 shor_circuit_template), so the L-step loop and the a-trial loop never
-recompile.  The work register state stays device-resident planar
-(2, 2^(M+1)) between steps.
+recompile.  The oracle's gather indices are generated ON DEVICE from the
+two scalars (ops/gates.modmul_inverse_indices_onchip — int32 shift-add
+modular multiply), so per-step host->device traffic is a few scalars even
+at M=28 where a permutation table would be a 1 GiB upload.  The work
+register state stays device-resident planar (2, 2^(M+1)) between steps.
 """
 
 from __future__ import annotations
@@ -48,55 +51,140 @@ from quantumcomputer_tpu.ops import gates as xops
 from quantumcomputer_tpu.sim import statevec as sv
 
 
-def _step_fn(M: int, rdtype) -> Callable:
-    """One semiclassical step as a single compiled program.
+def _step_core(planar, M: int, rdtype, C_s, a_inv_s, theta, r, force):
+    """One semiclassical step: H on the control, controlled modular
+    multiply, deferred-phase rotation, H, measure-collapse-reset.
 
-    (planar (2, 2^(M+1)), ginv (2^M,) int32, theta scalar, r scalar) ->
-    (bit int32, p_branch, new planar with the control reset to |0>).
+    Pure PLANAR arithmetic throughout — no complex materialization.  The
+    control qubit c (= bit M, the top bit) splits the planar state into
+    (plane, c, work) halves; every op below is expressed on those halves
+    so the only full-state materializations are the oracle gather and the
+    collapsed output (peak matters: at M=28 the state is 4.3 GB).
 
-    The control qubit is bit M (the single counting qubit).  p_branch is
-    the probability of the measured outcome — the exact branch weight,
-    used by the distribution-parity tests and exposed in the record."""
-    c_q = M
+    Returns (bit int32, conditional branch probability, new planar with
+    the control reset to |0>)."""
+    dim = 2 << M
+    pv = planar.reshape(2, 2, 1 << M)
+    s2 = jnp.asarray(1.0 / math.sqrt(2.0), rdtype)
+    # |c> = H|0>: the state enters each step with c = 0 — implemented as
+    # the generic H butterfly so the program stays correct for any input.
+    a0 = (pv[:, 0] + pv[:, 1]) * s2
+    a1 = (pv[:, 0] - pv[:, 1]) * s2
+    # controlled modular multiply on the c=1 half only: (C, a_inv) are
+    # scalar runtime operands and the gather indices are generated ON
+    # DEVICE (ops/gates.modmul_inverse_indices_onchip) — no 2^M table is
+    # ever built on the host or shipped through the tunnel, which is what
+    # keeps large-M steps cheap (a table at M=28 is a 1 GiB upload).
+    ginv = xops.modmul_inverse_indices_onchip(C_s, a_inv_s, M)
+    a1 = a1[:, ginv]
+    # deferred iQFT phase e^{i theta} on the c=1 half
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    a1 = jnp.stack([ct * a1[0] - st * a1[1], st * a1[0] + ct * a1[1]])
+    # second H butterfly
+    b0 = (a0 + a1) * s2
+    b1 = (a0 - a1) * s2
+    # measure qubit c by inverse CDF over (p0, p1), collapse, renormalize,
+    # and RESET c to |0> in the same pass: the kept half moves to the
+    # c = 0 slot.
+    p0 = jnp.sum(b0[0] * b0[0] + b0[1] * b0[1])
+    p1 = jnp.sum(b1[0] * b1[0] + b1[1] * b1[1])
+    total = p0 + p1  # 1 up to roundoff; strict states may differ
+    bit = (r * total >= p0).astype(jnp.int32)
+    # force >= 0 walks that branch regardless of the draw (the exact
+    # distribution-parity test hook; dead branches yield p_branch ~ 0 and
+    # a meaningless collapsed state, by design).
+    bit = jnp.where(force >= 0, force, bit)
+    p_branch = jnp.where(bit == 1, p1, p0)
+    kept = jnp.where(bit == 1, b1, b0) / jnp.sqrt(p_branch).astype(rdtype)
+    out = jnp.stack([kept, jnp.zeros_like(kept)], axis=1).reshape(2, dim)
+    return bit, p_branch / total, out
 
-    def step(planar, ginv, theta, r, force):
-        z = sv.to_complex(planar)
-        # |c> = H|0>: the state enters with c = 0, so H sends it to
-        # (|0> + |1>)/sqrt(2) — implemented as the generic H butterfly so
-        # the program stays correct for any input.
-        h = jnp.asarray(np.array([[1.0, 1.0], [1.0, -1.0]]) / math.sqrt(2.0), z.dtype)
-        z = xops.apply_1q(z, h, c_q)
-        # controlled modular multiply, table as a runtime operand
-        z = xops.apply_c_amodc_dyn(z, ginv, c_q, M)
-        # deferred iQFT phase from the already-measured bits (theta traced)
-        dim = z.shape[0]
-        idx = jnp.arange(dim, dtype=jnp.int32)
-        bit_c = ((idx >> c_q) & 1) == 1
-        phase = jnp.where(
-            bit_c, jax.lax.complex(jnp.cos(theta), jnp.sin(theta)).astype(z.dtype), 1.0
+
+def _attempt_fn(L: int, M: int, rdtype) -> Callable:
+    """A WHOLE semiclassical attempt — all L measure-and-reset steps — as
+    ONE compiled program (lax.fori_loop), so an attempt is a single device
+    dispatch regardless of L.  The deferred-phase bookkeeping runs on
+    device via the standard semiclassical recurrence: with steps indexed
+    s = 0..L-1 (exponent j = L-1-s),
+
+        theta_s = pi * sum_{s'<s} m_{s'} / 2^(s-s') = pi * phi_s,
+        phi_{s+1} = (phi_s + m_s) / 2,   phi_0 = 0
+
+    — one scalar carried between iterations replaces the host round-trip
+    per measured bit (at M=28 through the axon tunnel, per-step dispatch
+    was ~12 s/step; fused, the whole attempt is one dispatch).
+
+    (planar (2, 2^(M+1)), C scalar, a_inv (L,), r (L,), force (L,)) ->
+    (bits (L,) int32, conditional branch probs (L,), final planar).
+
+    The control qubit is bit M (the single counting qubit).  Each
+    conditional probability is the exact branch weight — the
+    distribution-parity tests multiply them back into joint weights."""
+    def body(s, carry):
+        planar, phi, bits, probs, C_s, a_inv_arr, rs, forces = carry
+        theta = (jnp.pi * phi).astype(rdtype)
+        bit, p_cond, out = _step_core(
+            planar, M, rdtype, C_s, a_inv_arr[s], theta, rs[s], forces[s]
         )
-        z = z * phase
-        z = xops.apply_1q(z, h, c_q)
-        # measure qubit c by inverse CDF over (p0, p1), collapse,
-        # renormalize, and RESET c to |0> in the same pass: the kept half
-        # moves to the c = 0 slot.
-        re, im = jnp.real(z), jnp.imag(z)
-        probs = re * re + im * im
-        x = z.reshape(2, 1 << M)  # c is the top bit of an (M+1)-bit index
-        p0 = jnp.sum(probs.reshape(2, 1 << M)[0])
-        p1 = jnp.sum(probs.reshape(2, 1 << M)[1])
-        total = p0 + p1  # 1 up to roundoff; strict states may differ
-        bit = (r * total >= p0).astype(jnp.int32)
-        # force >= 0 walks that branch regardless of the draw (the exact
-        # distribution-parity test hook; dead branches yield p_branch ~ 0
-        # and a meaningless collapsed state, by design).
-        bit = jnp.where(force >= 0, force, bit)
-        p_branch = jnp.where(bit == 1, p1, p0)
-        kept = jnp.where(bit == 1, x[1], x[0]) / jnp.sqrt(p_branch).astype(z.dtype)
-        out = jnp.concatenate([kept, jnp.zeros_like(kept)])
-        return bit, p_branch / total, sv.from_complex(out)
+        phi = (phi + bit.astype(rdtype)) / 2
+        return (
+            out, phi, bits.at[s].set(bit), probs.at[s].set(p_cond.astype(rdtype)),
+            C_s, a_inv_arr, rs, forces,
+        )
+
+    def attempt(planar, C_s, a_inv_arr, rs, forces):
+        carry = (
+            planar, jnp.zeros((), rdtype),
+            jnp.zeros((L,), jnp.int32), jnp.zeros((L,), rdtype),
+            C_s, a_inv_arr, rs, forces,
+        )
+        planar, _, bits, probs, *_ = jax.lax.fori_loop(0, L, body, carry)
+        return bits, probs, planar
+
+    return jax.jit(attempt, donate_argnums=(0,))
+
+
+def _step_fn(M: int, rdtype) -> Callable:
+    """One semiclassical step as its own compiled program (the deferred
+    phase arrives as a host-computed operand).  This is the MEMORY-CEILING
+    form: a fori_loop program's carries double-buffer on TPU, so at the
+    largest M the fused attempt exceeds HBM where the step program still
+    fits — L host dispatches buy back the last qubit."""
+
+    def step(planar, C_s, a_inv_s, theta, r, force):
+        return _step_core(planar, M, rdtype, C_s, a_inv_s, theta, r, force)
 
     return jax.jit(step, donate_argnums=(0,))
+
+
+# Measured fused-attempt HBM footprint in units of one planar state: the
+# fori_loop carries double-buffer (2x), the gather reads/writes the c=1
+# halves while the butterfly temporaries live (~3x), plus the int32 index
+# vector (~0.5x).  MEASURED on a 16 GB v5e: the fused form runs at M=26
+# (1.07 GB state) and crashes the TPU worker at M=27 (2.15 GB) — so the
+# gate budgets 8 states: 8 x 2.15 GB > 14.5 GiB rejects M=27 while
+# 8 x 1.07 GB admits M=26, splitting the bisect exactly.
+_FUSED_STATES_HEADROOM = 8
+
+# The per-step program holds in+out states across the dispatch boundary
+# (donation does not reduce peak through the AOT tunnel) plus ~1 state of
+# butterfly/gather halves: MEASURED working at M=28 on a 16 GB v5e
+# (3 x 4.3 GB = 12.9 GB of planned footprint), impossible at M=29.
+_STEP_STATES_HEADROOM = 3
+
+
+def fused_attempt_fits(M: int, rdtype) -> bool:
+    from quantumcomputer_tpu.utils.memory import device_hbm_budget
+
+    state_bytes = 2 * (2 << M) * jnp.dtype(rdtype).itemsize
+    return _FUSED_STATES_HEADROOM * state_bytes <= device_hbm_budget()
+
+
+def step_program_fits(M: int, rdtype) -> bool:
+    from quantumcomputer_tpu.utils.memory import device_hbm_budget
+
+    state_bytes = 2 * (2 << M) * jnp.dtype(rdtype).itemsize
+    return _STEP_STATES_HEADROOM * state_bytes <= device_hbm_budget()
 
 
 class SemiclassicalRecord:
@@ -125,6 +213,7 @@ def run_semiclassical(
     key: jax.Array,
     dtype=jnp.complex64,
     forced_bits: Optional[List[int]] = None,
+    fused: Optional[bool] = None,
     _cache: dict = {},
 ) -> SemiclassicalRecord:
     """One semiclassical period-finding attempt: L sequential one-qubit
@@ -132,39 +221,71 @@ def run_semiclassical(
 
     forced_bits: walk a specific measurement branch instead of sampling
     (the draws are ignored); branch_probs still record the exact
-    conditional probabilities — the distribution-parity test hook."""
+    conditional probabilities — the distribution-parity test hook.
+
+    fused: None (default) auto-selects — the whole attempt runs as ONE
+    compiled fori_loop program when the device memory budget allows
+    (fused_attempt_fits), else L per-step dispatches with the deferred
+    phase maintained on the host.  Both paths share _step_core."""
     if (1 << M) < C:
         raise ValueError(f"2^M={1 << M} < C={C}: the modular-multiply gate is not unitary")
     if M + 1 > 31:
         raise ValueError(f"M+1={M + 1} > 31 qubits exceeds the int32 index budget")
     if L > 52:
         raise ValueError(f"L={L} > 52 exceeds the float64 omega mantissa (x_tilde / 2^L)")
+    if math.gcd(a, C) != 1:
+        raise ValueError(f"a={a} not coprime to C={C}: gate is not a permutation")
     rdtype = sv.real_dtype_of(dtype)
-    ck = (M, jnp.dtype(rdtype).name)
-    step = _cache.get(ck)
-    if step is None:
-        step = _cache[ck] = _step_fn(M, rdtype)
+    if fused is None:
+        if not step_program_fits(M, rdtype):
+            from quantumcomputer_tpu.utils.memory import device_hbm_budget
+
+            raise ValueError(
+                f"semiclassical state 2^{M + 1} amplitudes exceeds the device "
+                f"memory budget ({device_hbm_budget() >> 30} GiB) even for "
+                "per-step programs (M=28 is the 16 GB single-chip ceiling)"
+            )
+        fused = fused_attempt_fits(M, rdtype)
+
+    # Step s applies the controlled a^(2^(L-1-s)) mod C multiply; the
+    # modular inverses are L Python bigint pows — the ONLY host work.
+    a_invs = np.asarray(
+        [pow(pow(a, 1 << (L - 1 - s), C), -1, C) for s in range(L)], np.int32
+    )
+    rs = jax.random.uniform(key, (L,), dtype=rdtype)
+    forces = np.full((L,), -1, np.int32)
+    if forced_bits is not None:
+        forces = np.asarray(forced_bits, np.int32)
+    C_s = jnp.asarray(C, jnp.int32)
 
     # |0..01>: work register = 1, control = 0 (reset_register semantics).
     planar = sv.initial_planar(M + 1, rdtype, 1)
-    bits: List[int] = []
-    probs: List[float] = []
-    for j in range(L - 1, -1, -1):
-        ginv = jnp.asarray(xops.modmul_inverse_permutation(C, pow(a, 1 << j, C), M))
-        theta = 0.0
-        for steps_done, m in enumerate(bits):
-            j_prev = L - 1 - steps_done  # exponent index of that measured bit
-            theta += math.pi * m / float(1 << (j_prev - j))
-        key, sub = jax.random.split(key)
-        r = jax.random.uniform(sub, dtype=rdtype)
-        force = jnp.asarray(
-            -1 if forced_bits is None else int(forced_bits[len(bits)]), jnp.int32
+    if fused:
+        ck = (L, M, jnp.dtype(rdtype).name)
+        attempt = _cache.get(ck)
+        if attempt is None:
+            attempt = _cache[ck] = _attempt_fn(L, M, rdtype)
+        bits_d, probs_d, _ = attempt(
+            planar, C_s, jnp.asarray(a_invs), rs, jnp.asarray(forces)
         )
-        bit, p_branch, planar = step(
-            planar, ginv, jnp.asarray(theta, rdtype), r, force
-        )
-        bits.append(int(bit))
-        probs.append(float(p_branch))
+        bits = [int(b) for b in np.asarray(bits_d)]
+        probs = [float(p) for p in np.asarray(probs_d)]
+    else:
+        ck = ("step", M, jnp.dtype(rdtype).name)
+        step = _cache.get(ck)
+        if step is None:
+            step = _cache[ck] = _step_fn(M, rdtype)
+        bits, probs = [], []
+        phi = 0.0  # host float64: theta = pi * phi exactly as on device
+        for s in range(L):
+            bit_d, p_d, planar = step(
+                planar, C_s, jnp.asarray(int(a_invs[s]), jnp.int32),
+                jnp.asarray(math.pi * phi, rdtype), rs[s], jnp.asarray(int(forces[s]), jnp.int32),
+            )
+            bit = int(bit_d)
+            phi = (phi + bit) / 2.0
+            bits.append(bit)
+            probs.append(float(p_d))
 
     # Bit-reversed readout (read_omega convention, qc_shor.c:868-883): the
     # first-measured bit (exponent L-1, physical N-1) is the LSB of x~.

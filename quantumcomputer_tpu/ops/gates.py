@@ -285,6 +285,62 @@ def apply_c_amodc_dyn(state: jax.Array, ginv: jax.Array, c_q: int, M: int) -> ja
     return jnp.stack([x[:, 0], x1], axis=1).reshape(dim)
 
 
+def modmul_onchip(a: jax.Array, j: jax.Array, C: jax.Array, nbits: int) -> jax.Array:
+    """Elementwise (a * j) mod C for j < C in pure int32 — the shift-add
+    (Russian peasant) modular multiply.
+
+    TPU has no int64 (and f32 mantissas cap exact products at 2^24), so
+    the product is accumulated over a's bits: the invariants acc, t < C
+    keep every intermediate below 2C <= 2^31 for any C < 2^30.  The nbits
+    static iterations are an unrolled elementwise DAG — XLA fuses the
+    whole chain into a single pass over the operand vector.  nbits must
+    cover a's bit length (a < C <= 2^nbits suffices)."""
+    C = jnp.asarray(C, jnp.int32)
+    a = jnp.asarray(a, jnp.int32)
+    t = jnp.asarray(j, jnp.int32)        # t_k = (2^k * j) mod C
+    acc = jnp.zeros_like(t)
+    for k in range(nbits):
+        bit = (a >> k) & 1
+        acc_p = acc + t
+        acc_p = jnp.where(acc_p >= C, acc_p - C, acc_p)
+        acc = jnp.where(bit == 1, acc_p, acc)
+        t2 = t + t
+        t = jnp.where(t2 >= C, t2 - C, t2)
+    return acc
+
+
+def modmul_permute_onchip(a: jax.Array, j: jax.Array, C: jax.Array, nbits: int) -> jax.Array:
+    """The modular-multiply PERMUTATION g(j) = (a * j) mod C for j < C,
+    identity for j >= C, elementwise on an arbitrary int32 index array —
+    the on-device form of the oracle's index map (same semantics as
+    modmul_inverse_permutation's table, qc_shor.c:595-660 index walk)."""
+    lt = j < jnp.asarray(C, jnp.int32)
+    return jnp.where(lt, modmul_onchip(a, jnp.where(lt, j, 0), C, nbits), j)
+
+
+def modmul_inverse_indices_onchip(C: jax.Array, a_inv: jax.Array, M: int) -> jax.Array:
+    """The modmul_inverse_permutation table computed ON DEVICE from two
+    scalar operands — no 2^M-entry host table is ever built or uploaded.
+
+    This is the compile-once form for LARGE moduli (semiclassical mode,
+    where the per-step tables would otherwise dominate host->device
+    traffic): one program serves every (C, a) with the same M.  The
+    shift-add arithmetic lives in modmul_onchip (invariants documented
+    there); index generation costs ~one stream of the 2^M vector per
+    oracle apply."""
+    return modmul_permute_onchip(a_inv, lax.iota(jnp.int32, 1 << M), C, M)
+
+
+def apply_c_amodc_scalars(
+    state: jax.Array, C: jax.Array, a_inv: jax.Array, c_q: int, M: int
+) -> jax.Array:
+    """apply_c_amodc with (C, a_inv) as TRACED SCALARS: the gather indices
+    are generated on device (modmul_inverse_indices_onchip), so one
+    compiled program serves every modulus with the same (c_q, M) and the
+    only host->device traffic is two int32 scalars."""
+    return apply_c_amodc_dyn(state, modmul_inverse_indices_onchip(C, a_inv, M), c_q, M)
+
+
 def apply_c_amodc(state: jax.Array, C: int, atox: int, c_q: int, M: int) -> jax.Array:
     """Controlled a^x mod C gate (qc_shor.c:595-660) as a blockwise gather.
 

@@ -117,6 +117,69 @@ def test_semiclassical_bounds():
         run_semiclassical(15, 7, 53, 4, jax.random.PRNGKey(0))
 
 
+def test_modmul_indices_onchip_matches_host_table():
+    """The device-side shift-add index generator must equal the int64 host
+    table for every modulus class (odd/even a_inv, C near 2^M, tiny C)."""
+    from quantumcomputer_tpu.ops.gates import (
+        modmul_inverse_indices_onchip,
+        modmul_inverse_permutation,
+    )
+
+    cases = [(15, 7, 4), (21, 2, 5), (33, 29, 6), (8191, 3, 13), (1019 * 1021, 2, 20),
+             (63, 62, 6), (5, 2, 10)]
+    for C, A, M in cases:
+        a_inv = pow(A % C, -1, C)
+        host = modmul_inverse_permutation(C, A, M)
+        dev = jax.jit(
+            lambda c, ai: modmul_inverse_indices_onchip(c, ai, M)
+        )(jnp.int32(C), jnp.int32(a_inv))
+        np.testing.assert_array_equal(np.asarray(dev), host, err_msg=f"C={C} A={A} M={M}")
+
+
+def test_per_step_path_matches_fused():
+    """The memory-ceiling per-step dispatch path (host-side deferred phase)
+    must reproduce the fused fori_loop attempt: same bits with the same
+    draws, branch probabilities equal to f32 theta roundoff."""
+    C, a, L, M = 21, 2, 5, 5
+    for seed in (0, 3, 9):
+        key = jax.random.PRNGKey(seed)
+        rf = run_semiclassical(C, a, L, M, key, fused=True)
+        rp = run_semiclassical(C, a, L, M, key, fused=False)
+        assert rf.bits == rp.bits
+        np.testing.assert_allclose(rf.branch_probs, rp.branch_probs, atol=2e-6)
+    # forced-branch parity too (exact branch weights on both paths)
+    forced = [1, 0, 1, 1, 0]
+    rf = run_semiclassical(C, a, L, M, jax.random.PRNGKey(0), forced_bits=forced, fused=True)
+    rp = run_semiclassical(C, a, L, M, jax.random.PRNGKey(0), forced_bits=forced, fused=False)
+    assert rf.bits == rp.bits == forced
+    np.testing.assert_allclose(rf.branch_probs, rp.branch_probs, atol=2e-6)
+
+
+def test_fused_auto_selection_honours_memory_budget(monkeypatch):
+    """Auto mode must fall back to per-step dispatch when the fused
+    attempt's ~5-state footprint exceeds the device budget (the measured
+    M=28-on-v5e crash)."""
+    from quantumcomputer_tpu.algorithms import semiclassical as sc
+
+    state_bytes = 2 * (2 << 5) * 4
+    monkeypatch.setenv("QC_TPU_HBM_BYTES", str(8 * state_bytes))
+    assert sc.fused_attempt_fits(5, jnp.float32)
+    monkeypatch.setenv("QC_TPU_HBM_BYTES", str(8 * state_bytes - 1))
+    assert not sc.fused_attempt_fits(5, jnp.float32)
+    # a 16 GB v5e budget (the measured ladder): fused through M=26,
+    # per-step at M=27-28, refused at M=29
+    monkeypatch.setenv("QC_TPU_HBM_BYTES", str(int(14.5 * (1 << 30))))
+    assert sc.fused_attempt_fits(26, jnp.float32)
+    assert not sc.fused_attempt_fits(27, jnp.float32)
+    assert sc.step_program_fits(28, jnp.float32)
+    assert not sc.step_program_fits(29, jnp.float32)
+    # the auto path surfaces the ceiling as a clear error (M=4 state is
+    # 256 bytes; a budget under the 3-state per-step floor must refuse)
+    monkeypatch.setenv("QC_TPU_HBM_BYTES", str(3 * 256 - 1))
+    with pytest.raises(ValueError, match="memory budget"):
+        sc.run_semiclassical(15, 7, 3, 4, jax.random.PRNGKey(0))
+
+
 def test_modmul_table_large_modulus():
     """The inverse-permutation table must be exact for C > 2^16, where the
     a_inv * f products exceed int32 (int64 host arithmetic)."""
