@@ -231,6 +231,9 @@ def run_semiclassical(
         raise ValueError(f"2^M={1 << M} < C={C}: the modular-multiply gate is not unitary")
     if M + 1 > 31:
         raise ValueError(f"M+1={M + 1} > 31 qubits exceeds the int32 index budget")
+    if C >= (1 << 30):
+        # ops/gates.modmul_onchip keeps intermediates < 2C: int32 needs C < 2^30.
+        raise ValueError(f"C={C} >= 2^30 exceeds the int32 shift-add modular-arithmetic bound")
     if L > 52:
         raise ValueError(f"L={L} > 52 exceeds the float64 omega mantissa (x_tilde / 2^L)")
     if math.gcd(a, C) != 1:
@@ -305,10 +308,22 @@ def find_period_semiclassical(
     dtype=jnp.complex64,
     num_fractions: int = nt.NUM_CONTINUED_FRACTIONS,
     trials_per_denominator: int = nt.TRIALS_PER_DENOMINATOR,
+    mesh=None,
 ) -> Tuple[Optional[int], SemiclassicalRecord]:
     """Semiclassical analog of find_period: omega -> continued fractions ->
-    period test (same classical pipeline, qc_shor.c:912-964)."""
-    rec = run_semiclassical(C, a, L, M, key, dtype)
+    period test (same classical pipeline, qc_shor.c:912-964).
+
+    mesh: shard the work register over a device mesh
+    (parallel/sharded_semiclassical.py) — the modulus ceiling grows with
+    chip count (single-chip HBM caps M at 28 on a 16 GB part)."""
+    if mesh is not None:
+        from quantumcomputer_tpu.parallel.sharded_semiclassical import (
+            run_semiclassical_sharded,
+        )
+
+        rec = run_semiclassical_sharded(C, a, L, M, key, mesh, dtype)
+    else:
+        rec = run_semiclassical(C, a, L, M, key, dtype)
     period = nt.find_period_from_omega(
         rec.omega, a, C, num_fractions, trials_per_denominator
     )

@@ -337,16 +337,18 @@ def shors_algorithm(
     semiclassical=True replaces the L counting qubits with ONE reused,
     sequentially-measured qubit (Griffiths-Niu semiclassical iQFT; see
     algorithms/semiclassical.py): the state shrinks from 2^(L+M) to
-    2^(M+1) amplitudes with an IDENTICAL outcome distribution.  Single
-    chip, standard layout (the state is tiny by construction).
+    2^(M+1) amplitudes with an IDENTICAL outcome distribution.  With a
+    mesh the work register is sharded (parallel/sharded_semiclassical.py)
+    and the modulus ceiling grows with chip count (M up to 30).
     """
     if C < 4 or L < 1 or M < 1:
         return ShorResult(outcome=Outcome.BAD_ARGUMENTS, C=C)
     if semiclassical:
-        if engine is not None or mesh is not None or layout != "standard" or strict_reference:
+        if engine is not None or layout != "standard" or strict_reference:
             raise ValueError(
-                "semiclassical mode is its own engine: no mesh/layout/"
-                "strict_reference/engine arguments"
+                "semiclassical mode is its own engine: no layout/"
+                "strict_reference/engine arguments (mesh= shards the work "
+                "register, parallel/sharded_semiclassical.py)"
             )
         if isinstance(dtype, str):
             raise ValueError("semiclassical mode supports complex64/complex128")
@@ -447,6 +449,7 @@ def shors_algorithm(
                     C, a, L, M, sub, dtype=dtype,
                     num_fractions=num_fractions,
                     trials_per_denominator=trials_per_denominator,
+                    mesh=mesh,
                 )
                 # measured_index records x~ (the sequential bit readout);
                 # there is no full-register basis index in this mode.

@@ -112,12 +112,13 @@ def validate(args: argparse.Namespace) -> Optional[str]:
     if args.dtype == "dd64" and args.layout != "standard":
         return "dd64 parity mode uses the standard layout."
     if args.semiclassical and (
-        args.devices > 1 or args.layout != "standard" or args.strict_reference
+        args.layout != "standard" or args.strict_reference
         or args.dtype in ("complex32", "dd64") or args.checkpoint_dir
     ):
         return (
-            "semiclassical mode is its own tiny-state engine: no sharding, "
-            "layouts, strict-reference, checkpointing, or complex32/dd64."
+            "semiclassical mode is its own engine: no layouts, "
+            "strict-reference, checkpointing, or complex32/dd64 "
+            "(--devices N shards the work register)."
         )
     if args.strict_reference and (
         args.devices > 1 or args.layout != "standard" or args.backend == "pallas"
@@ -140,6 +141,12 @@ def validate(args: argparse.Namespace) -> Optional[str]:
             return "semiclassical work register M + 1 > 31 qubits exceeds the int32 index budget."
         if args.L > 52:
             return "semiclassical L > 52 exceeds the float64 omega mantissa (x_tilde / 2^L)."
+        if args.C >= (1 << 30):
+            # The on-device shift-add modular multiply keeps intermediates
+            # < 2C: int32 bounds the MODULUS (ops/gates.modmul_onchip).
+            return "semiclassical mode needs C < 2^30 (int32 shift-add modular arithmetic)."
+        if args.devices > 1 and args.M - (args.devices.bit_length() - 1) < 1:
+            return "semiclassical sharding needs M - log2(devices) >= 1 (no local work rows)."
         return None
     if args.L + args.M > 32:
         return "L + M > 32 qubits exceeds the index budget (the reference's own bound, qc_shor.c:68-73)."

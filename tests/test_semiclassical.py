@@ -245,6 +245,22 @@ def test_cli_semiclassical(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "Factors of 15 found: (5, 3)." in out
-    # incompatible with mesh / m_high (single small state; no need)
-    assert main(["-C", "15", "-L", "3", "-M", "4", "--semiclassical", "--devices", "2"]) == 2
+    # incompatible with m_high / strict-reference (its own engine)
     assert main(["-C", "15", "-L", "3", "-M", "4", "--semiclassical", "--layout", "m_high"]) == 2
+    # sharded work register needs local rows: M - log2(devices) >= 1
+    assert main(["-C", "15", "-L", "3", "-M", "4", "--semiclassical", "--devices", "16"]) == 2
+
+
+def test_cli_semiclassical_sharded(capsys):
+    """--semiclassical --devices N: the work register shards over the mesh
+    (parallel/sharded_semiclassical.py) and the driver factors through it."""
+    from quantumcomputer_tpu.cli import main
+
+    rc = main(
+        ["-C", "15", "-L", "3", "-M", "4", "-a", "7", "--seed", "0",
+         "--semiclassical", "--devices", "4", "-v"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Factors of 15 found: (5, 3)." in out
+    assert "Sharding state vector over 4 device(s)." in out

@@ -1,0 +1,134 @@
+"""Sharded semiclassical period finding (parallel/sharded_semiclassical.py).
+
+The distribution-level correctness of semiclassical mode itself is proven
+in test_semiclassical.py (branch-by-branch equality with the full-register
+circuit).  Here the contract is the MESH form: bit-for-bit parity with the
+single-chip engine under the same key, the exactness of the host-side
+Euclidean lattice counts that size the exchange buffers, and the oracle
+exchange surviving its adversarial regimes (smooth multipliers, identity
+regions, multiplier-1 steps)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from quantumcomputer_tpu.algorithms.semiclassical import run_semiclassical
+from quantumcomputer_tpu.parallel.mesh import build_mesh
+from quantumcomputer_tpu.parallel.sharded_semiclassical import (
+    exchange_capacity,
+    max_bin_load,
+    run_semiclassical_sharded,
+)
+
+
+def _brute_max_bin_load(b, C, M, d):
+    """numpy ground truth for max_bin_load (materializes the 2^M map)."""
+    D, ls = 1 << d, 1 << (M - d)
+    s = np.arange(1 << M)
+    w = np.where(s < C, (np.int64(b) * s) % C, s)
+    best = 0
+    for e in range(D):
+        blk = slice(e * ls, (e + 1) * ls)
+        mask = s[blk] < C
+        counts = np.bincount(w[blk][mask] >> (M - d), minlength=D)
+        best = max(best, int(counts.max()))
+    return best
+
+
+def test_lattice_counts_exact():
+    """The O(log C) floor-sum bin loads must equal brute force everywhere:
+    smooth multipliers (near-linear maps), rough ones, b=1 (identity),
+    b=C-1 (reversal), and moduli with large identity regions."""
+    cases = [
+        (2, 21, 5, 2), (7, 21, 5, 2), (20, 21, 5, 2),      # b = C-1
+        (1, 15, 4, 1), (3, 8191, 13, 3), (8190, 8191, 13, 3),
+        (16, 1019 * 1021, 20, 3), (2, 33, 6, 3),           # big identity region
+        (65536, 1019 * 1021, 20, 2),
+    ]
+    for b, C, M, d in cases:
+        assert max_bin_load(b, C, M, d) == _brute_max_bin_load(b, C, M, d), (b, C, M, d)
+
+
+def test_exchange_capacity_covers_smooth_multipliers():
+    """a=2's step multipliers are smooth (2, 4, 16, ...): the capacity must
+    cover their concentrated bins — far above the uniform ~ls/D estimate."""
+    C, M, d = 1019 * 1021, 20, 3
+    ls, D = 1 << (M - d), 1 << d
+    pows = [pow(2, 1 << j, C) for j in range(8)]
+    cap = exchange_capacity(pows, C, M, d)
+    assert cap >= max_bin_load(2, C, M, d)
+    assert max_bin_load(2, C, M, d) >= ls // 2  # vs the uniform ~ls/D estimate
+    # power-of-two bucketing (compile-cache friendliness)
+    assert cap & (cap - 1) == 0
+
+
+@pytest.mark.parametrize(
+    "C,a,L,M,d",
+    [
+        (15, 2, 6, 4, 2),      # ord(a)=4: multiplier-1 steps (cond skip)
+        (15, 7, 5, 4, 1),      # minimal mesh
+        (21, 2, 7, 5, 3),      # smooth multipliers on 8 devices
+        (33, 29, 6, 6, 3),     # C << 2^M: large identity region
+        (8191, 3, 10, 13, 3),  # 13-bit prime modulus
+    ],
+)
+def test_sharded_matches_single_chip(C, a, L, M, d):
+    """Same key -> same bits and branch probabilities as the single-chip
+    engine (the two paths share only the draw stream and the math)."""
+    mesh = build_mesh(1 << d)
+    for seed in (0, 1):
+        key = jax.random.PRNGKey(seed)
+        rs = run_semiclassical_sharded(C, a, L, M, key, mesh)
+        r1 = run_semiclassical(C, a, L, M, key)
+        assert rs.bits == r1.bits
+        np.testing.assert_allclose(rs.branch_probs, r1.branch_probs, atol=5e-6)
+        assert rs.x_tilde == r1.x_tilde and rs.omega == r1.omega
+
+
+def test_sharded_forced_branch_parity():
+    """Forced walks reproduce the single-chip exact branch weights — the
+    distribution-equality hook works across the mesh."""
+    C, a, L, M = 21, 2, 6, 5
+    mesh = build_mesh(4)
+    for forced in ([0] * 6, [1] * 6, [1, 0, 1, 1, 0, 1]):
+        rs = run_semiclassical_sharded(
+            C, a, L, M, jax.random.PRNGKey(0), mesh, forced_bits=forced
+        )
+        r1 = run_semiclassical(
+            C, a, L, M, jax.random.PRNGKey(0), forced_bits=forced
+        )
+        assert rs.bits == r1.bits == forced
+        np.testing.assert_allclose(rs.branch_probs, r1.branch_probs, atol=5e-6)
+
+
+def test_sharded_large_modulus_end_to_end():
+    """The 20-bit semiprime factors through the mesh engine: the sharded
+    attempt feeds the same CF pipeline (the capability the mesh exists
+    for — moduli past the single-chip HBM ceiling)."""
+    from quantumcomputer_tpu.algorithms import number_theory as nt
+
+    C, a, L, M = 1019 * 1021, 2, 40, 20
+    mesh = build_mesh(8)
+    rec = run_semiclassical_sharded(C, a, L, M, jax.random.PRNGKey(0), mesh)
+    period = nt.find_period_from_omega(rec.omega, a, C)
+    assert period is not None and pow(a, period, C) == 1
+    half = pow(a, period // 2, C)
+    f = np.gcd(half - 1, C)
+    assert 1 < f < C and C % f == 0
+
+
+def test_sharded_bounds():
+    mesh = build_mesh(4)
+    key = jax.random.PRNGKey(0)
+    with pytest.raises(ValueError, match="not unitary"):
+        run_semiclassical_sharded(33, 2, 4, 5, key, mesh)
+    with pytest.raises(ValueError, match="shift-add"):
+        run_semiclassical_sharded((1 << 30) + 1, 2, 4, 31, key, mesh)
+    with pytest.raises(ValueError, match="mantissa"):
+        run_semiclassical_sharded(15, 7, 53, 4, key, mesh)
+    with pytest.raises(ValueError, match="coprime|permutation"):
+        run_semiclassical_sharded(15, 5, 4, 4, key, mesh)
+    with pytest.raises(ValueError, match="too small"):
+        run_semiclassical_sharded(5, 2, 4, 3, key, build_mesh(8))
