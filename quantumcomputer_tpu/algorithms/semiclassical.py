@@ -39,6 +39,7 @@ register state stays device-resident planar (2, 2^(M+1)) between steps.
 
 from __future__ import annotations
 
+import hashlib
 import math
 from typing import Callable, List, Optional, Tuple
 
@@ -48,6 +49,9 @@ import numpy as np
 
 from quantumcomputer_tpu.algorithms import number_theory as nt
 from quantumcomputer_tpu.ops import gates as xops
+from quantumcomputer_tpu.utils.logging import get_logger
+
+log = get_logger("semiclassical")
 from quantumcomputer_tpu.sim import statevec as sv
 
 
@@ -205,6 +209,17 @@ class SemiclassicalRecord:
         return p
 
 
+def _attempt_fingerprint(C, a, L, M, rdtype, key, forces) -> str:
+    """Identity of one semiclassical attempt for checkpoint matching: the
+    draws derive deterministically from the key, so (args, key, forces)
+    pin the whole measurement record."""
+    h = hashlib.sha256()
+    h.update(f"semiclassical|{C}|{a}|{L}|{M}|{jnp.dtype(rdtype).name}".encode())
+    h.update(np.asarray(key).tobytes())
+    h.update(np.asarray(forces, np.int32).tobytes())
+    return h.hexdigest()[:16]
+
+
 def run_semiclassical(
     C: int,
     a: int,
@@ -214,6 +229,8 @@ def run_semiclassical(
     dtype=jnp.complex64,
     forced_bits: Optional[List[int]] = None,
     fused: Optional[bool] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 4,
     _cache: dict = {},
 ) -> SemiclassicalRecord:
     """One semiclassical period-finding attempt: L sequential one-qubit
@@ -226,7 +243,17 @@ def run_semiclassical(
     fused: None (default) auto-selects — the whole attempt runs as ONE
     compiled fori_loop program when the device memory budget allows
     (fused_attempt_fits), else L per-step dispatches with the deferred
-    phase maintained on the host.  Both paths share _step_core."""
+    phase maintained on the host.  Both paths share _step_core.
+
+    checkpoint_dir: snapshot (state, bits, probs) every checkpoint_every
+    steps for preemption recovery — a killed attempt re-invoked with the
+    same arguments resumes from the last snapshot with no re-measure (the
+    measured bits travel WITH the collapsed state; the reference's
+    no-remeasure semantic, qc_shor.c:299-301, is what makes the pair
+    inseparable).  Forces the per-step path: the fused attempt is a
+    single dispatch with no step boundary to snapshot — and it is exactly
+    the memory-ceiling per-step runs (M=27-28, ~10 minutes through the
+    dispatch tunnel) that need recovery."""
     if (1 << M) < C:
         raise ValueError(f"2^M={1 << M} < C={C}: the modular-multiply gate is not unitary")
     if M + 1 > 31:
@@ -239,6 +266,8 @@ def run_semiclassical(
     if math.gcd(a, C) != 1:
         raise ValueError(f"a={a} not coprime to C={C}: gate is not a permutation")
     rdtype = sv.real_dtype_of(dtype)
+    if checkpoint_dir is not None:
+        fused = False  # snapshots need step boundaries (docstring)
     if fused is None:
         if not step_program_fits(M, rdtype):
             from quantumcomputer_tpu.utils.memory import device_hbm_budget
@@ -280,7 +309,46 @@ def run_semiclassical(
             step = _cache[ck] = _step_fn(M, rdtype)
         bits, probs = [], []
         phi = 0.0  # host float64: theta = pi * phi exactly as on device
-        for s in range(L):
+        start_s = 0
+        fp = None
+        if checkpoint_dir is not None:
+            from quantumcomputer_tpu.sim import checkpoint as ckpt
+
+            fp = _attempt_fingerprint(C, a, L, M, rdtype, key, forces)
+            # Newest snapshot MATCHING this attempt: a trial loop leaves
+            # stale higher-numbered segments from earlier attempts (other
+            # keys), which must not shadow this attempt's own progress.
+            import os
+
+            segs: List[int] = []
+            if os.path.isdir(checkpoint_dir):
+                for f in os.listdir(checkpoint_dir):
+                    if f.startswith("segment_") and f.endswith(".npz"):
+                        try:
+                            segs.append(int(f[len("segment_"):-len(".npz")]))
+                        except ValueError:
+                            pass
+            for seg in sorted(segs, reverse=True):
+                if seg >= L:
+                    continue
+                try:
+                    loaded, meta = ckpt.load_state(ckpt._segment_path(checkpoint_dir, seg))
+                except Exception as e:
+                    log.warning("semiclassical snapshot %d unreadable (%s): skipped", seg, e)
+                    continue
+                if meta.get("fingerprint") == fp and meta.get("step") == seg:
+                    planar = loaded
+                    bits = [int(b) for b in meta["bits"]]
+                    probs = [float(p) for p in meta["probs"]]
+                    for m in bits:  # the phi recurrence is a pure function of the bits
+                        phi = (phi + m) / 2.0
+                    start_s = seg
+                    log.info("resuming semiclassical attempt at step %d/%d", seg, L)
+                    break
+            else:
+                if segs:
+                    log.info("no snapshot matches this attempt: cold start")
+        for s in range(start_s, L):
             bit_d, p_d, planar = step(
                 planar, C_s, jnp.asarray(int(a_invs[s]), jnp.int32),
                 jnp.asarray(math.pi * phi, rdtype), rs[s], jnp.asarray(int(forces[s]), jnp.int32),
@@ -289,6 +357,14 @@ def run_semiclassical(
             phi = (phi + bit) / 2.0
             bits.append(bit)
             probs.append(float(p_d))
+            if checkpoint_dir is not None and (s + 1) % checkpoint_every == 0 and s + 1 < L:
+                from quantumcomputer_tpu.sim import checkpoint as ckpt
+
+                ckpt.save_state(
+                    ckpt._segment_path(checkpoint_dir, s + 1), planar,
+                    {"kind": "semiclassical", "fingerprint": fp, "step": s + 1,
+                     "bits": bits, "probs": probs},
+                )
 
     # Bit-reversed readout (read_omega convention, qc_shor.c:868-883): the
     # first-measured bit (exponent L-1, physical N-1) is the LSB of x~.
@@ -309,21 +385,30 @@ def find_period_semiclassical(
     num_fractions: int = nt.NUM_CONTINUED_FRACTIONS,
     trials_per_denominator: int = nt.TRIALS_PER_DENOMINATOR,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
 ) -> Tuple[Optional[int], SemiclassicalRecord]:
     """Semiclassical analog of find_period: omega -> continued fractions ->
     period test (same classical pipeline, qc_shor.c:912-964).
 
     mesh: shard the work register over a device mesh
     (parallel/sharded_semiclassical.py) — the modulus ceiling grows with
-    chip count (single-chip HBM caps M at 28 on a 16 GB part)."""
+    chip count (single-chip HBM caps M at 28 on a 16 GB part).
+
+    checkpoint_dir: per-step preemption snapshots (single-chip only: the
+    sharded attempt is one fused dispatch with no step boundary)."""
     if mesh is not None:
+        if checkpoint_dir is not None:
+            raise ValueError(
+                "checkpoint_dir is single-chip only: the sharded attempt is "
+                "one fused dispatch with no step boundary to snapshot"
+            )
         from quantumcomputer_tpu.parallel.sharded_semiclassical import (
             run_semiclassical_sharded,
         )
 
         rec = run_semiclassical_sharded(C, a, L, M, key, mesh, dtype)
     else:
-        rec = run_semiclassical(C, a, L, M, key, dtype)
+        rec = run_semiclassical(C, a, L, M, key, dtype, checkpoint_dir=checkpoint_dir)
     period = nt.find_period_from_omega(
         rec.omega, a, C, num_fractions, trials_per_denominator
     )

@@ -449,7 +449,7 @@ def shors_algorithm(
                     C, a, L, M, sub, dtype=dtype,
                     num_fractions=num_fractions,
                     trials_per_denominator=trials_per_denominator,
-                    mesh=mesh,
+                    mesh=mesh, checkpoint_dir=checkpoint_dir,
                 )
                 # measured_index records x~ (the sequential bit readout);
                 # there is no full-register basis index in this mode.

@@ -113,12 +113,17 @@ def validate(args: argparse.Namespace) -> Optional[str]:
         return "dd64 parity mode uses the standard layout."
     if args.semiclassical and (
         args.layout != "standard" or args.strict_reference
-        or args.dtype in ("complex32", "dd64") or args.checkpoint_dir
+        or args.dtype in ("complex32", "dd64")
     ):
         return (
             "semiclassical mode is its own engine: no layouts, "
-            "strict-reference, checkpointing, or complex32/dd64 "
+            "strict-reference, or complex32/dd64 "
             "(--devices N shards the work register)."
+        )
+    if args.semiclassical and args.checkpoint_dir and args.devices > 1:
+        return (
+            "semiclassical checkpointing is single-chip only (the sharded "
+            "attempt is one fused dispatch with no step boundary)."
         )
     if args.strict_reference and (
         args.devices > 1 or args.layout != "standard" or args.backend == "pallas"

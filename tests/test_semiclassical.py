@@ -180,6 +180,72 @@ def test_fused_auto_selection_honours_memory_budget(monkeypatch):
         sc.run_semiclassical(15, 7, 3, 4, jax.random.PRNGKey(0))
 
 
+def test_semiclassical_checkpoint_kill_and_resume(tmp_path):
+    """A semiclassical attempt killed mid-run resumes from the last
+    snapshot with NO re-measure: same bits/probs as an uninterrupted run,
+    and the resumed process executes only the remaining steps."""
+    from quantumcomputer_tpu.algorithms import semiclassical as sc
+
+    C, a, L, M = 21, 2, 8, 5
+    key = jax.random.PRNGKey(3)
+    ref = run_semiclassical(C, a, L, M, key, fused=False)
+
+    ckdir = str(tmp_path / "ck")
+    calls = {"n": 0}
+    real_step_fn = sc._step_fn
+
+    def counting_step_fn(Mv, rdtype):
+        step = real_step_fn(Mv, rdtype)
+
+        def wrapped(*args):
+            calls["n"] += 1
+            if calls["die_after"] is not None and calls["n"] > calls["die_after"]:
+                raise KeyboardInterrupt("simulated preemption")
+            return step(*args)
+
+        return wrapped
+
+    sc._step_fn = counting_step_fn
+    try:
+        # First run dies after 5 steps (snapshots at 4 with checkpoint_every=4).
+        calls.update(n=0, die_after=5)
+        with pytest.raises(KeyboardInterrupt):
+            run_semiclassical(C, a, L, M, key, checkpoint_dir=ckdir, _cache={})
+        # Resume: completes, identical record, only L - 4 steps executed.
+        calls.update(n=0, die_after=None)
+        rec = run_semiclassical(C, a, L, M, key, checkpoint_dir=ckdir, _cache={})
+        assert calls["n"] == L - 4
+        assert rec.bits == ref.bits
+        np.testing.assert_allclose(rec.branch_probs, ref.branch_probs, atol=1e-6)
+        assert rec.x_tilde == ref.x_tilde
+        # A DIFFERENT attempt in the same dir must not resume from these
+        # snapshots (fingerprint mismatch -> cold start, full step count).
+        calls.update(n=0, die_after=None)
+        other = run_semiclassical(C, a, L, M, jax.random.PRNGKey(99), checkpoint_dir=ckdir, _cache={})
+        assert calls["n"] == L
+        ref_other = run_semiclassical(C, a, L, M, jax.random.PRNGKey(99), fused=False)
+        assert other.bits == ref_other.bits
+    finally:
+        sc._step_fn = real_step_fn
+
+
+def test_semiclassical_checkpoint_corrupt_snapshot_logs_and_restarts(tmp_path, caplog):
+    """A corrupted snapshot is skipped WITH a log line (never silently
+    treated as a cold start) and the attempt still completes correctly."""
+    import logging
+
+    C, a, L, M = 15, 7, 5, 4
+    key = jax.random.PRNGKey(0)
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    (ckdir / "segment_00004.npz").write_bytes(b"not a real npz")
+    with caplog.at_level(logging.WARNING, logger="quantumcomputer_tpu.semiclassical"):
+        rec = run_semiclassical(C, a, L, M, key, checkpoint_dir=str(ckdir), _cache={})
+    assert any("unreadable" in r.message for r in caplog.records)
+    ref = run_semiclassical(C, a, L, M, key, fused=False)
+    assert rec.bits == ref.bits
+
+
 def test_modmul_table_large_modulus():
     """The inverse-permutation table must be exact for C > 2^16, where the
     a_inv * f products exceed int32 (int64 host arithmetic)."""

@@ -119,6 +119,49 @@ def test_sharded_large_modulus_end_to_end():
     assert 1 < f < C and C % f == 0
 
 
+def test_lowered_collective_profile():
+    """The program's collective inventory IS the design: exactly ONE
+    all_to_all (the oracle exchange, shared by every fori_loop iteration)
+    and three all_reduces (p0, p1, overflow) — no all_gather (nothing
+    materializes the full state) and no collective_permute (no rotation
+    rounds).  Asserted on the lowered StableHLO, where platform lowering
+    cannot have rewritten the collectives yet."""
+    import re
+
+    from quantumcomputer_tpu.parallel.sharded_semiclassical import _attempt_fn
+
+    mesh = build_mesh(8)
+    fn = _attempt_fn(6, 10, 3, jnp.float32, 64, mesh)
+    txt = fn.lower(
+        jnp.int32(1019), jnp.zeros((6,), jnp.int32), jnp.zeros((6,), jnp.int32),
+        jnp.zeros((6,), jnp.float32), jnp.zeros((6,), jnp.int32),
+    ).as_text()
+    assert len(re.findall(r"all_to_all", txt)) == 1
+    assert len(re.findall(r"all_gather", txt)) == 0
+    assert len(re.findall(r"collective_permute", txt)) == 0
+    assert len(re.findall(r"all_reduce", txt)) == 3
+
+
+def test_modmul_onchip_int32_boundary():
+    """The shift-add modular multiply must be exact at the int32 limit:
+    C just under 2^30 (intermediates reach ~2C ~ 2^31) — the bound that
+    sets the sharded-semiclassical modulus ceiling."""
+    from quantumcomputer_tpu.ops.gates import modmul_onchip
+
+    for C in [(1 << 30) - 35, (1 << 30) - 1, (1 << 29) + 1]:
+        rng = np.random.default_rng(C & 0xFFFF)
+        js = np.concatenate([
+            np.array([0, 1, 2, C - 1, C - 2, C // 2]),
+            rng.integers(0, C, 32),
+        ]).astype(np.int64)
+        for a in [2, 3, C - 1, C // 2, 982451653 % C]:
+            exp = (a * js) % C
+            got = jax.jit(
+                lambda aa, jj, M=30: modmul_onchip(aa, jj, jnp.int32(C), M)
+            )(jnp.int32(a), jnp.asarray(js, jnp.int32))
+            np.testing.assert_array_equal(np.asarray(got, np.int64), exp, err_msg=f"C={C} a={a}")
+
+
 def test_sharded_bounds():
     mesh = build_mesh(4)
     key = jax.random.PRNGKey(0)
