@@ -172,6 +172,31 @@ def bench_stream_bandwidth(n: int, reps: int = 5):
     return 2 * (1 << n) * 8 / per_pass / 1e9  # GB/s
 
 
+def bench_semiclassical(M: int = 28, reps: int = 3):
+    """Per-step wall-clock of the fused semiclassical engine at scale:
+    C ~ 2^M (a 2^M-amplitude work state — the implicit-control form), via
+    the slope between an L=2 and an L=10 fused attempt so the fixed
+    dispatch+RTT overhead cancels.  One step = one controlled modular
+    multiply + deferred-phase rotation + measure/collapse/reset over the
+    full state: the production semiclassical workload."""
+    from quantumcomputer_tpu.algorithms.semiclassical import run_semiclassical
+
+    C = (1 << M) - 3  # gcd(7, 2^28-3) == 1; C is a runtime operand either way
+    key = jax.random.PRNGKey(0)
+
+    def attempt_wall(L: int) -> float:
+        run_semiclassical(C, 7, L, M, key, fused=True)  # compile + warm
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run_semiclassical(C, 7, L, M, key, fused=True)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t2, t10 = attempt_wall(2), attempt_wall(10)
+    return max((t10 - t2) / 8, 1e-12), t10
+
+
 def main():
     from quantumcomputer_tpu.utils.compile_cache import enable as _cc
 
@@ -207,6 +232,7 @@ def main():
     c32_31_s, c32_31_compute_s, _ = (
         bench_full_shor_circuit(31, dtype="complex32") if on_tpu else (0.0, 0.0, 0)
     )
+    sc_step_s, sc_attempt10_s = bench_semiclassical(28) if on_tpu else (0.0, 0.0)
 
     print(
         json.dumps(
@@ -232,6 +258,8 @@ def main():
                 "shor8191_circuit_n31_c32_s": round(c32_31_s, 4),
                 "shor8191_circuit_n31_c32_compute_s": round(c32_31_compute_s, 4),
                 "shor8191_circuit_gates": full_gates,
+                "semiclassical_step_m28_s": round(sc_step_s, 4),
+                "semiclassical_attempt_L10_m28_s": round(sc_attempt10_s, 4),
                 "n_qubits": n,
                 "n30_status": (
                     "n=30 RUNS single-chip (8 GiB state on 16 GB v5e): "

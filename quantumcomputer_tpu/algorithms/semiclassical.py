@@ -31,10 +31,26 @@ integer — the oracle scalars (C, a_inv), the correction angle, and the
 draw are all runtime operands (the compile-once pattern of
 shor_circuit_template), so the L-step loop and the a-trial loop never
 recompile.  The oracle's gather indices are generated ON DEVICE from the
-two scalars (ops/gates.modmul_inverse_indices_onchip — int32 shift-add
-modular multiply), so per-step host->device traffic is a few scalars even
-at M=28 where a permutation table would be a 1 GiB upload.  The work
-register state stays device-resident planar (2, 2^(M+1)) between steps.
+two scalars (ops/gates.modmul_permute_onchip — int32 shift-add modular
+multiply), so per-step host->device traffic is a few scalars even at
+M=28 where a permutation table would be a 1 GiB upload.
+
+The control qubit is IMPLICIT.  It enters every step in |0> and is reset
+to |0> after the measurement, so the (M+1)-qubit state is never
+materialized: the device state is the WORK register alone, planar
+(2, 2^M), and one step is the closed form
+
+    |psi> = |0> (w + e^{i theta} U w)/2 + |1> (w - e^{i theta} U w)/2
+    p_m = || w + (-1)^m e^{i theta} U w ||^2 / 4
+    w'  = (w + (-1)^m e^{i theta} U w) / (2 sqrt(p_m))
+
+(U = the controlled modular multiply's work-register permutation).  This
+halves HBM footprint and traffic per step versus carrying the control
+axis — one more qubit of modulus on the same chip — and the gather runs
+blockwise (index blocks generated on the fly, branch-probability partial
+sums folded into the same pass), so the int32 index vector never
+materializes at full length: at M=30 a full table is 4 GiB, the
+difference between fitting a 16 GB chip and not.
 """
 
 from __future__ import annotations
@@ -46,6 +62,7 @@ from typing import Callable, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from quantumcomputer_tpu.algorithms import number_theory as nt
 from quantumcomputer_tpu.ops import gates as xops
@@ -55,52 +72,95 @@ log = get_logger("semiclassical")
 from quantumcomputer_tpu.sim import statevec as sv
 
 
-def _step_core(planar, M: int, rdtype, C_s, a_inv_s, theta, r, force):
-    """One semiclassical step: H on the control, controlled modular
-    multiply, deferred-phase rotation, H, measure-collapse-reset.
+# Index blocks of 2^22 rows (16 MB of int32) for the blockwise oracle
+# pass: large enough that the shift-add index chain amortizes, small
+# enough that the index vector never shows up in the HBM peak.
+_GATHER_BLOCK_LOG = 22
 
-    Pure PLANAR arithmetic throughout — no complex materialization.  The
-    control qubit c (= bit M, the top bit) splits the planar state into
-    (plane, c, work) halves; every op below is expressed on those halves
-    so the only full-state materializations are the oracle gather and the
-    collapsed output (peak matters: at M=28 the state is 4.3 GB).
 
-    Returns (bit int32, conditional branch probability, new planar with
-    the control reset to |0>)."""
-    dim = 2 << M
-    pv = planar.reshape(2, 2, 1 << M)
+def _compute_dtype(rdtype):
+    """All scalar/reduction arithmetic runs in at least f32: bf16 storage
+    (complex32) keeps amplitudes compact, but angles (cos/sin of a
+    pi*phi with L meaningful bits), draws, and 2^M-term probability sums
+    would be meaningless at 8 mantissa bits."""
+    return jnp.float32 if jnp.dtype(rdtype) == jnp.bfloat16 else jnp.dtype(rdtype)
+
+
+def _oracle_pass(w, M: int, rdtype, cdt, C_s, a_inv_s, ct, st):
+    """Pass 1 of a semiclassical step: a1 = e^{i theta} U (w/sqrt2) with
+    the branch-probability partial sums folded into the same sweep.
+
+    U is the work-register permutation of the controlled modular multiply
+    (j -> a*j mod C realized as a gather by the inverse map).  The gather
+    runs BLOCKWISE: each block's int32 indices are generated on device
+    (ops/gates.modmul_permute_onchip) and die with the block, and the
+    reduction consumes b0/b1 elementwise without materializing them — the
+    program's live set is w, a1, and one index block.
+
+    Returns (a1 planar (2, 2^M) rdtype, p0, p1) with p0/p1 accumulated in
+    cdt (f32 sums over bf16 storage are fused upcasts, not extra traffic).
+    """
     s2 = jnp.asarray(1.0 / math.sqrt(2.0), rdtype)
-    # |c> = H|0>: the state enters each step with c = 0 — implemented as
-    # the generic H butterfly so the program stays correct for any input.
-    a0 = (pv[:, 0] + pv[:, 1]) * s2
-    a1 = (pv[:, 0] - pv[:, 1]) * s2
-    # controlled modular multiply on the c=1 half only: (C, a_inv) are
-    # scalar runtime operands and the gather indices are generated ON
-    # DEVICE (ops/gates.modmul_inverse_indices_onchip) — no 2^M table is
-    # ever built on the host or shipped through the tunnel, which is what
-    # keeps large-M steps cheap (a table at M=28 is a 1 GiB upload).
-    ginv = xops.modmul_inverse_indices_onchip(C_s, a_inv_s, M)
-    a1 = a1[:, ginv]
-    # deferred iQFT phase e^{i theta} on the c=1 half
+    dim = 1 << M
+
+    def block(j0, blk: int):
+        idx = xops.modmul_permute_onchip(
+            a_inv_s, jnp.asarray(j0, jnp.int32) + lax.iota(jnp.int32, blk), C_s, M
+        )
+        g = w[:, idx] * s2  # == (w * s2)[:, ginv_block]: scale commutes exactly
+        a1 = jnp.stack([ct * g[0] - st * g[1], st * g[0] + ct * g[1]]).astype(rdtype)
+        a0 = lax.dynamic_slice_in_dim(w, j0, blk, axis=1) * s2
+        b0 = (a0 + a1) * s2
+        b1 = (a0 - a1) * s2
+        p0 = jnp.sum(b0[0].astype(cdt) ** 2 + b0[1].astype(cdt) ** 2)
+        p1 = jnp.sum(b1[0].astype(cdt) ** 2 + b1[1].astype(cdt) ** 2)
+        return a1, p0, p1
+
+    if M <= _GATHER_BLOCK_LOG:
+        return block(0, dim)
+
+    blk = 1 << _GATHER_BLOCK_LOG
+
+    def body(i, carry):
+        a1_full, p0, p1 = carry
+        a1_b, p0_b, p1_b = block(i * blk, blk)
+        return (
+            lax.dynamic_update_slice_in_dim(a1_full, a1_b, i * blk, axis=1),
+            p0 + p0_b, p1 + p1_b,
+        )
+
+    init = (jnp.zeros_like(w), jnp.zeros((), cdt), jnp.zeros((), cdt))
+    return lax.fori_loop(0, dim >> _GATHER_BLOCK_LOG, body, init)
+
+
+def _step_core(w, M: int, rdtype, C_s, a_inv_s, theta, r, force):
+    """One semiclassical step on the WORK register only (the control
+    qubit is implicit — module docstring): H on the control, controlled
+    modular multiply, deferred-phase rotation, H, measure-collapse-reset,
+    algebraically closed over w.
+
+    Pure PLANAR arithmetic throughout — no complex materialization.  Two
+    sweeps of w: the oracle/reduction pass (_oracle_pass) and the
+    collapse pass out = (w + (-1)^m e^{i theta} U w) / (2 sqrt(p_m)),
+    which reads w and a1 and writes the collapsed, renormalized, reset
+    state directly (peak matters: at M=30/bf16 the state is 4.3 GB).
+
+    Returns (bit int32, conditional branch probability in cdt, new w)."""
+    cdt = _compute_dtype(rdtype)
+    s2 = jnp.asarray(1.0 / math.sqrt(2.0), rdtype)
+    theta = jnp.asarray(theta, cdt)
     ct, st = jnp.cos(theta), jnp.sin(theta)
-    a1 = jnp.stack([ct * a1[0] - st * a1[1], st * a1[0] + ct * a1[1]])
-    # second H butterfly
-    b0 = (a0 + a1) * s2
-    b1 = (a0 - a1) * s2
-    # measure qubit c by inverse CDF over (p0, p1), collapse, renormalize,
-    # and RESET c to |0> in the same pass: the kept half moves to the
-    # c = 0 slot.
-    p0 = jnp.sum(b0[0] * b0[0] + b0[1] * b0[1])
-    p1 = jnp.sum(b1[0] * b1[0] + b1[1] * b1[1])
+    a1, p0, p1 = _oracle_pass(w, M, rdtype, cdt, C_s, a_inv_s, ct, st)
     total = p0 + p1  # 1 up to roundoff; strict states may differ
-    bit = (r * total >= p0).astype(jnp.int32)
+    bit = (jnp.asarray(r, cdt) * total >= p0).astype(jnp.int32)
     # force >= 0 walks that branch regardless of the draw (the exact
     # distribution-parity test hook; dead branches yield p_branch ~ 0 and
     # a meaningless collapsed state, by design).
     bit = jnp.where(force >= 0, force, bit)
     p_branch = jnp.where(bit == 1, p1, p0)
-    kept = jnp.where(bit == 1, b1, b0) / jnp.sqrt(p_branch).astype(rdtype)
-    out = jnp.stack([kept, jnp.zeros_like(kept)], axis=1).reshape(2, dim)
+    # (-1)^bit as an exact sign: a0 + sign*a1 is bitwise a0 +/- a1.
+    sign = (1 - 2 * bit).astype(rdtype)
+    out = (w * s2 + sign * a1) * s2 / jnp.sqrt(p_branch).astype(rdtype)
     return bit, p_branch / total, out
 
 
@@ -118,76 +178,86 @@ def _attempt_fn(L: int, M: int, rdtype) -> Callable:
     per measured bit (at M=28 through the axon tunnel, per-step dispatch
     was ~12 s/step; fused, the whole attempt is one dispatch).
 
-    (planar (2, 2^(M+1)), C scalar, a_inv (L,), r (L,), force (L,)) ->
-    (bits (L,) int32, conditional branch probs (L,), final planar).
+    (w planar (2, 2^M), C scalar, a_inv (L,), r (L,), force (L,)) ->
+    (bits (L,) int32, conditional branch probs (L,), final w).
 
-    The control qubit is bit M (the single counting qubit).  Each
-    conditional probability is the exact branch weight — the
-    distribution-parity tests multiply them back into joint weights."""
+    The control qubit is implicit (module docstring); the state carried
+    between iterations is the work register alone.  Each conditional
+    probability is the exact branch weight — the distribution-parity
+    tests multiply them back into joint weights."""
+    cdt = _compute_dtype(rdtype)
+
     def body(s, carry):
-        planar, phi, bits, probs, C_s, a_inv_arr, rs, forces = carry
-        theta = (jnp.pi * phi).astype(rdtype)
+        w, phi, bits, probs, C_s, a_inv_arr, rs, forces = carry
+        theta = (jnp.pi * phi).astype(cdt)
         bit, p_cond, out = _step_core(
-            planar, M, rdtype, C_s, a_inv_arr[s], theta, rs[s], forces[s]
+            w, M, rdtype, C_s, a_inv_arr[s], theta, rs[s], forces[s]
         )
-        phi = (phi + bit.astype(rdtype)) / 2
+        phi = (phi + bit.astype(cdt)) / 2
         return (
-            out, phi, bits.at[s].set(bit), probs.at[s].set(p_cond.astype(rdtype)),
+            out, phi, bits.at[s].set(bit), probs.at[s].set(p_cond.astype(cdt)),
             C_s, a_inv_arr, rs, forces,
         )
 
-    def attempt(planar, C_s, a_inv_arr, rs, forces):
+    def attempt(w, C_s, a_inv_arr, rs, forces):
         carry = (
-            planar, jnp.zeros((), rdtype),
-            jnp.zeros((L,), jnp.int32), jnp.zeros((L,), rdtype),
+            w, jnp.zeros((), cdt),
+            jnp.zeros((L,), jnp.int32), jnp.zeros((L,), cdt),
             C_s, a_inv_arr, rs, forces,
         )
-        planar, _, bits, probs, *_ = jax.lax.fori_loop(0, L, body, carry)
-        return bits, probs, planar
+        w, _, bits, probs, *_ = jax.lax.fori_loop(0, L, body, carry)
+        return bits, probs, w
 
     return jax.jit(attempt, donate_argnums=(0,))
 
 
 def _step_fn(M: int, rdtype) -> Callable:
-    """One semiclassical step as its own compiled program (the deferred
-    phase arrives as a host-computed operand).  This is the MEMORY-CEILING
-    form: a fori_loop program's carries double-buffer on TPU, so at the
-    largest M the fused attempt exceeds HBM where the step program still
-    fits — L host dispatches buy back the last qubit."""
+    """One semiclassical step as its own compiled program.  This is the
+    MEMORY-CEILING form: a fori_loop program's carries double-buffer on
+    TPU, so at the largest M the fused attempt exceeds HBM where the step
+    program still fits — L dispatches buy back the last qubit.
 
-    def step(planar, C_s, a_inv_s, theta, r, force):
-        return _step_core(planar, M, rdtype, C_s, a_inv_s, theta, r, force)
+    The deferred phase phi is a DEVICE scalar carried between dispatches
+    (same recurrence as the fused form), so the host never needs a step's
+    measured bit to build the next dispatch: all L steps are enqueued
+    asynchronously and the host blocks only on the final readout (or a
+    checkpoint snapshot).  Through the axon tunnel a host sync costs
+    seconds — the synchronous form paid it L times.
+
+    (w (2, 2^M), phi cdt scalar, C, a_inv, r, force) ->
+    (bit, p_cond, w', phi')."""
+    cdt = _compute_dtype(rdtype)
+
+    def step(w, phi, C_s, a_inv_s, r, force):
+        theta = (jnp.pi * phi).astype(cdt)
+        bit, p_cond, out = _step_core(w, M, rdtype, C_s, a_inv_s, theta, r, force)
+        return bit, p_cond, out, (phi + bit.astype(cdt)) / 2
 
     return jax.jit(step, donate_argnums=(0,))
 
 
-# Measured fused-attempt HBM footprint in units of one planar state: the
-# fori_loop carries double-buffer (2x), the gather reads/writes the c=1
-# halves while the butterfly temporaries live (~3x), plus the int32 index
-# vector (~0.5x).  MEASURED on a 16 GB v5e: the fused form runs at M=26
-# (1.07 GB state) and crashes the TPU worker at M=27 (2.15 GB) — so the
-# gate budgets 8 states: 8 x 2.15 GB > 14.5 GiB rejects M=27 while
-# 8 x 1.07 GB admits M=26, splitting the bisect exactly.
-_FUSED_STATES_HEADROOM = 8
+# HBM budgets in units of one (2, 2^M) WORK-register state (the control
+# qubit is implicit and the index blocks are 16 MB — neither shows up).
+# Fused: the fori_loop carry double-buffers (2x) while the gathered a1
+# and loop temporaries live (~2x).
+_FUSED_STATES_HEADROOM = 4
 
-# The per-step program holds in+out states across the dispatch boundary
-# (donation does not reduce peak through the AOT tunnel) plus ~1 state of
-# butterfly/gather halves: MEASURED working at M=28 on a 16 GB v5e
-# (3 x 4.3 GB = 12.9 GB of planned footprint), impossible at M=29.
+# Per-step: in + out live across the dispatch boundary (donation does not
+# reduce peak through the AOT tunnel) plus the gathered a1 (~1x).
 _STEP_STATES_HEADROOM = 3
 
 
 def fused_attempt_fits(M: int, rdtype) -> bool:
     from quantumcomputer_tpu.utils.memory import device_hbm_budget
 
-    state_bytes = 2 * (2 << M) * jnp.dtype(rdtype).itemsize
+    state_bytes = 2 * (1 << M) * jnp.dtype(rdtype).itemsize
     return _FUSED_STATES_HEADROOM * state_bytes <= device_hbm_budget()
 
 
 def step_program_fits(M: int, rdtype) -> bool:
     from quantumcomputer_tpu.utils.memory import device_hbm_budget
 
-    state_bytes = 2 * (2 << M) * jnp.dtype(rdtype).itemsize
+    state_bytes = 2 * (1 << M) * jnp.dtype(rdtype).itemsize
     return _STEP_STATES_HEADROOM * state_bytes <= device_hbm_budget()
 
 
@@ -214,7 +284,9 @@ def _attempt_fingerprint(C, a, L, M, rdtype, key, forces) -> str:
     draws derive deterministically from the key, so (args, key, forces)
     pin the whole measurement record."""
     h = hashlib.sha256()
-    h.update(f"semiclassical|{C}|{a}|{L}|{M}|{jnp.dtype(rdtype).name}".encode())
+    # "-work": the implicit-control layout — snapshots of the older
+    # (2, 2^(M+1)) explicit-control shape must never match.
+    h.update(f"semiclassical-work|{C}|{a}|{L}|{M}|{jnp.dtype(rdtype).name}".encode())
     h.update(np.asarray(key).tobytes())
     h.update(np.asarray(forces, np.int32).tobytes())
     return h.hexdigest()[:16]
@@ -251,13 +323,14 @@ def run_semiclassical(
     measured bits travel WITH the collapsed state; the reference's
     no-remeasure semantic, qc_shor.c:299-301, is what makes the pair
     inseparable).  Forces the per-step path: the fused attempt is a
-    single dispatch with no step boundary to snapshot — and it is exactly
-    the memory-ceiling per-step runs (M=27-28, ~10 minutes through the
-    dispatch tunnel) that need recovery."""
+    single dispatch with no step boundary to snapshot.  Each snapshot is
+    a host sync (state fetch) in an otherwise fully asynchronous dispatch
+    chain — checkpoint_every trades recovery granularity against sync
+    latency."""
     if (1 << M) < C:
         raise ValueError(f"2^M={1 << M} < C={C}: the modular-multiply gate is not unitary")
-    if M + 1 > 31:
-        raise ValueError(f"M+1={M + 1} > 31 qubits exceeds the int32 index budget")
+    if M > 30:
+        raise ValueError(f"M={M} > 30 exceeds the int32 index budget")
     if C >= (1 << 30):
         # ops/gates.modmul_onchip keeps intermediates < 2C: int32 needs C < 2^30.
         raise ValueError(f"C={C} >= 2^30 exceeds the int32 shift-add modular-arithmetic bound")
@@ -273,9 +346,11 @@ def run_semiclassical(
             from quantumcomputer_tpu.utils.memory import device_hbm_budget
 
             raise ValueError(
-                f"semiclassical state 2^{M + 1} amplitudes exceeds the device "
+                f"semiclassical work state 2^{M} amplitudes exceeds the device "
                 f"memory budget ({device_hbm_budget() >> 30} GiB) even for "
-                "per-step programs (M=28 is the 16 GB single-chip ceiling)"
+                "per-step programs (M=29 complex64 / M=30 complex32 is the "
+                "16 GB single-chip ceiling; --devices N or dtype='complex32' "
+                "raise it)"
             )
         fused = fused_attempt_fits(M, rdtype)
 
@@ -284,14 +359,16 @@ def run_semiclassical(
     a_invs = np.asarray(
         [pow(pow(a, 1 << (L - 1 - s), C), -1, C) for s in range(L)], np.int32
     )
-    rs = jax.random.uniform(key, (L,), dtype=rdtype)
+    cdt = _compute_dtype(rdtype)
+    rs = jax.random.uniform(key, (L,), dtype=cdt)
     forces = np.full((L,), -1, np.int32)
     if forced_bits is not None:
         forces = np.asarray(forced_bits, np.int32)
     C_s = jnp.asarray(C, jnp.int32)
 
-    # |0..01>: work register = 1, control = 0 (reset_register semantics).
-    planar = sv.initial_planar(M + 1, rdtype, 1)
+    # |1>: the work register alone (the control is implicit, always |0>
+    # at step boundaries — reset_register semantics, qc_shor.c:318-324).
+    planar = sv.initial_planar(M, rdtype, 1)
     if fused:
         ck = (L, M, jnp.dtype(rdtype).name)
         attempt = _cache.get(ck)
@@ -308,7 +385,6 @@ def run_semiclassical(
         if step is None:
             step = _cache[ck] = _step_fn(M, rdtype)
         bits, probs = [], []
-        phi = 0.0  # host float64: theta = pi * phi exactly as on device
         start_s = 0
         fp = None
         if checkpoint_dir is not None:
@@ -340,31 +416,42 @@ def run_semiclassical(
                     planar = loaded
                     bits = [int(b) for b in meta["bits"]]
                     probs = [float(p) for p in meta["probs"]]
-                    for m in bits:  # the phi recurrence is a pure function of the bits
-                        phi = (phi + m) / 2.0
                     start_s = seg
                     log.info("resuming semiclassical attempt at step %d/%d", seg, L)
                     break
             else:
                 if segs:
                     log.info("no snapshot matches this attempt: cold start")
+        # The deferred phase is a DEVICE scalar: replay the resumed bits'
+        # recurrence in cdt (bit-identical to what the device would hold),
+        # then chain all remaining dispatches WITHOUT host syncs — bits
+        # and probabilities are fetched once at the end.  Each snapshot is
+        # the only sync in a checkpointed run.
+        t = np.dtype(cdt).type
+        ph = t(0)
+        for m in bits:
+            ph = t((ph + t(m)) / t(2))
+        phi_d = jnp.asarray(ph, cdt)
+        bits_d: List[jax.Array] = []
+        probs_d: List[jax.Array] = []
         for s in range(start_s, L):
-            bit_d, p_d, planar = step(
-                planar, C_s, jnp.asarray(int(a_invs[s]), jnp.int32),
-                jnp.asarray(math.pi * phi, rdtype), rs[s], jnp.asarray(int(forces[s]), jnp.int32),
+            bit_d, p_d, planar, phi_d = step(
+                planar, phi_d, C_s, jnp.asarray(int(a_invs[s]), jnp.int32),
+                rs[s], jnp.asarray(int(forces[s]), jnp.int32),
             )
-            bit = int(bit_d)
-            phi = (phi + bit) / 2.0
-            bits.append(bit)
-            probs.append(float(p_d))
+            bits_d.append(bit_d)
+            probs_d.append(p_d)
             if checkpoint_dir is not None and (s + 1) % checkpoint_every == 0 and s + 1 < L:
                 from quantumcomputer_tpu.sim import checkpoint as ckpt
 
                 ckpt.save_state(
                     ckpt._segment_path(checkpoint_dir, s + 1), planar,
                     {"kind": "semiclassical", "fingerprint": fp, "step": s + 1,
-                     "bits": bits, "probs": probs},
+                     "bits": bits + [int(b) for b in bits_d],
+                     "probs": probs + [float(p) for p in probs_d]},
                 )
+        bits += [int(b) for b in bits_d]
+        probs += [float(p) for p in probs_d]
 
     # Bit-reversed readout (read_omega convention, qc_shor.c:868-883): the
     # first-measured bit (exponent L-1, physical N-1) is the LSB of x~.

@@ -337,9 +337,11 @@ def shors_algorithm(
     semiclassical=True replaces the L counting qubits with ONE reused,
     sequentially-measured qubit (Griffiths-Niu semiclassical iQFT; see
     algorithms/semiclassical.py): the state shrinks from 2^(L+M) to
-    2^(M+1) amplitudes with an IDENTICAL outcome distribution.  With a
-    mesh the work register is sharded (parallel/sharded_semiclassical.py)
-    and the modulus ceiling grows with chip count (M up to 30).
+    2^M amplitudes (the control qubit is implicit) with an IDENTICAL
+    outcome distribution.  With a mesh the work register is sharded
+    (parallel/sharded_semiclassical.py) and the modulus ceiling grows
+    with chip count (M up to 30); dtype='complex32' halves storage,
+    per-step HBM traffic, and ICI exchange bytes.
     """
     if C < 4 or L < 1 or M < 1:
         return ShorResult(outcome=Outcome.BAD_ARGUMENTS, C=C)
@@ -350,8 +352,11 @@ def shors_algorithm(
                 "strict_reference/engine arguments (mesh= shards the work "
                 "register, parallel/sharded_semiclassical.py)"
             )
-        if isinstance(dtype, str):
-            raise ValueError("semiclassical mode supports complex64/complex128")
+        if isinstance(dtype, str) and dtype not in ("complex32", "c32"):
+            # complex32 = bf16 planar storage with f32 angle/probability
+            # arithmetic (real_dtype_of handles the string); dd64 has no
+            # semiclassical engine.
+            raise ValueError("semiclassical mode supports complex32/complex64/complex128")
     if engine is not None and strict_reference and not getattr(engine, "strict_reference", False):
         # A caller-supplied engine carries its own oracle semantics; silently
         # ignoring the flag would fake a bug-compat comparison (reviewer r3).

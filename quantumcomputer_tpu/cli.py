@@ -80,8 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
         help=(
             "one-control-qubit period finding (Griffiths-Niu semiclassical "
             "inverse QFT): the L counting qubits collapse to ONE reused, "
-            "sequentially-measured qubit — the state is 2^(M+1) amplitudes "
-            "instead of 2^(L+M), with an identical outcome distribution"
+            "sequentially-measured qubit, kept implicit — the state is 2^M "
+            "amplitudes instead of 2^(L+M), with an identical outcome "
+            "distribution"
         ),
     )
     p.add_argument(
@@ -112,13 +113,13 @@ def validate(args: argparse.Namespace) -> Optional[str]:
     if args.dtype == "dd64" and args.layout != "standard":
         return "dd64 parity mode uses the standard layout."
     if args.semiclassical and (
-        args.layout != "standard" or args.strict_reference
-        or args.dtype in ("complex32", "dd64")
+        args.layout != "standard" or args.strict_reference or args.dtype == "dd64"
     ):
         return (
             "semiclassical mode is its own engine: no layouts, "
-            "strict-reference, or complex32/dd64 "
-            "(--devices N shards the work register)."
+            "strict-reference, or dd64 (complex32 IS supported — bf16 "
+            "storage, f32 angle/probability arithmetic; --devices N "
+            "shards the work register)."
         )
     if args.semiclassical and args.checkpoint_dir and args.devices > 1:
         return (
@@ -139,11 +140,12 @@ def validate(args: argparse.Namespace) -> Optional[str]:
     if args.a and not (1 < args.a < args.C - 1):
         return "Forced trial integer must satisfy 1 < a < C-1."
     if args.semiclassical:
-        # The state is 2^(M+1) amplitudes regardless of L: the full-register
-        # L+M bounds do not apply.  M+1 must fit the int32 index budget and
-        # L the float64 omega mantissa (x_tilde / 2^L is exact to L <= 52).
-        if args.M + 1 > 31:
-            return "semiclassical work register M + 1 > 31 qubits exceeds the int32 index budget."
+        # The state is 2^M amplitudes regardless of L (the control qubit is
+        # implicit): the full-register L+M bounds do not apply.  M must fit
+        # the int32 index budget and L the float64 omega mantissa
+        # (x_tilde / 2^L is exact to L <= 52).
+        if args.M > 30:
+            return "semiclassical work register M > 30 exceeds the int32 index budget."
         if args.L > 52:
             return "semiclassical L > 52 exceeds the float64 omega mantissa (x_tilde / 2^L)."
         if args.C >= (1 << 30):

@@ -11,17 +11,20 @@ every intermediate < 2C), i.e. 30-bit moduli — against the reference
 architecture's 2^(L+M) full-register state (qc_shor.c:68-73 documents its
 own 32-qubit ceiling; a 30-bit modulus there would need L+M ~ 90 qubits).
 
-Layout: the per-device shard is planar (2, 2, ls) = [plane, control,
-work-rows], with the work index w sharded over its LEADING bits (device
-e owns w in [e*ls, (e+1)*ls)) and the control qubit kept as a LOCAL array
-axis.  Under this layout every semiclassical primitive except the oracle
-is communication-free:
+Layout: the per-device shard is planar (2, ls) = [plane, work-rows],
+with the work index w sharded over its LEADING bits (device e owns w in
+[e*ls, (e+1)*ls)).  The control qubit is IMPLICIT, exactly as on the
+single chip (algorithms/semiclassical.py module docstring): it enters
+every step in |0> and is reset there, so one step is the closed form
+w' = (w + (-1)^m e^{i theta} U w) / (2 sqrt(p_m)) over the work register
+alone — half the per-chip footprint and traffic of carrying a control
+axis.  Every semiclassical primitive except the oracle is
+communication-free:
 
-  - H on the control: an elementwise butterfly between the two c-slices
-    of the local shard (no qubit bit maps to the device axis);
-  - the deferred-phase rotation: elementwise on the c=1 slice;
+  - the two H butterflies and the deferred-phase rotation: elementwise
+    combinations of the local w and (exchanged) U w shards;
   - measurement of the control: two local partial sums + one psum;
-  - collapse + renormalize + reset: one elementwise slice select.
+  - collapse + renormalize + reset: one elementwise output pass.
 
 The ONLY collective is the oracle's modular-multiply permutation
 y[w] = x[(b_inv * w) mod C], which scatters globally — a modular rotation
@@ -76,7 +79,10 @@ import numpy as np
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
-from quantumcomputer_tpu.algorithms.semiclassical import SemiclassicalRecord
+from quantumcomputer_tpu.algorithms.semiclassical import (
+    SemiclassicalRecord,
+    _compute_dtype,
+)
 from quantumcomputer_tpu.ops import gates as xops
 from quantumcomputer_tpu.parallel.mesh import AXIS, mesh_degree
 from quantumcomputer_tpu.sim import statevec as sv
@@ -224,60 +230,69 @@ def _attempt_fn(L: int, M: int, d: int, rdtype, cap: int, mesh):
     (bits (L,) int32, conditional probs (L,), overflow int32)."""
     ls = 1 << (M - d)
     s2 = jnp.asarray(1.0 / math.sqrt(2.0), rdtype)
+    cdt = _compute_dtype(rdtype)
 
     def body(s, carry):
         x, phi, bits, probs, oflow, C_s, a_pows, a_invs, rs, forces = carry
         me = lax.axis_index(AXIS)
-        theta = (jnp.pi * phi).astype(rdtype)
-        # H on the control: elementwise across the local c axis.
-        a0 = (x[:, 0] + x[:, 1]) * s2
-        a1 = (x[:, 0] - x[:, 1]) * s2
-        # Controlled modular multiply on the c=1 half — the one collective.
-        # Multiplier 1 (ord(a) | exponent) is the identity: skip, both
-        # because the exchange is pointless and because its "bin load"
-        # would be the whole shard (capacity excludes such steps).
+        theta = (jnp.pi * phi).astype(cdt)
+        # H on the control (implicit, enters in |0>): both branches are
+        # x/sqrt2; only the c=1 branch feeds the oracle.
+        a0 = x * s2
+        # Controlled modular multiply on the c=1 branch — the one
+        # collective.  The exchange moves rdtype amplitudes: at complex32
+        # the wire carries HALF the ICI bytes of complex64.  Multiplier 1
+        # (ord(a) | exponent) is the identity: skip, both because the
+        # exchange is pointless and because its "bin load" would be the
+        # whole shard (capacity excludes such steps).
         a1, of = lax.cond(
             a_pows[s] == 1,
             lambda operand: (operand, jnp.zeros((), jnp.int32)),
             lambda operand: _oracle_exchange(
                 operand, a_pows[s], a_invs[s], C_s, me, M=M, d=d, cap=cap
             ),
-            a1,
+            a0,
         )
         oflow = oflow + of
-        # Deferred iQFT phase e^{i theta} on the c=1 half.
+        # Deferred iQFT phase e^{i theta} on the c=1 branch: angle math in
+        # cdt (f32 for bf16 storage), result stored back in rdtype.
         ct, st = jnp.cos(theta), jnp.sin(theta)
-        a1 = jnp.stack([ct * a1[0] - st * a1[1], st * a1[0] + ct * a1[1]])
-        # Second H butterfly.
+        a1 = jnp.stack([ct * a1[0] - st * a1[1], st * a1[0] + ct * a1[1]]).astype(rdtype)
+        # Second H butterfly — consumed elementwise by the reductions and
+        # the collapse pass; b0/b1 are never the carried state.
         b0 = (a0 + a1) * s2
         b1 = (a0 - a1) * s2
-        # Measure the control: local partial sums + one psum per branch.
-        p0 = lax.psum(jnp.sum(b0[0] * b0[0] + b0[1] * b0[1]), AXIS)
-        p1 = lax.psum(jnp.sum(b1[0] * b1[0] + b1[1] * b1[1]), AXIS)
+        # Measure the control: local partial sums + one psum per branch
+        # (accumulated in cdt: 2^M-term sums at 8 mantissa bits would be
+        # meaningless).
+        p0 = lax.psum(jnp.sum(b0[0].astype(cdt) ** 2 + b0[1].astype(cdt) ** 2), AXIS)
+        p1 = lax.psum(jnp.sum(b1[0].astype(cdt) ** 2 + b1[1].astype(cdt) ** 2), AXIS)
         total = p0 + p1
         bit = (rs[s] * total >= p0).astype(jnp.int32)
         bit = jnp.where(forces[s] >= 0, forces[s], bit)
         p_branch = jnp.where(bit == 1, p1, p0)
         # Collapse, renormalize, and reset c to |0> in one elementwise pass
-        # (reference measure/collapse/no-remeasure semantics per bit).
-        kept = jnp.where(bit == 1, b1, b0) / jnp.sqrt(p_branch).astype(rdtype)
-        x = jnp.stack([kept, jnp.zeros_like(kept)], axis=1)
-        phi = (phi + bit.astype(rdtype)) / 2
+        # (reference measure/collapse/no-remeasure semantics per bit):
+        # (-1)^bit as an exact sign keeps a0 + sign*a1 bitwise a0 +/- a1.
+        sign = (1 - 2 * bit).astype(rdtype)
+        x = (a0 + sign * a1) * s2 / jnp.sqrt(p_branch).astype(rdtype)
+        phi = (phi + bit.astype(cdt)) / 2
         return (
             x, phi, bits.at[s].set(bit),
-            probs.at[s].set((p_branch / total).astype(rdtype)),
+            probs.at[s].set((p_branch / total).astype(cdt)),
             oflow, C_s, a_pows, a_invs, rs, forces,
         )
 
     def attempt(C_s, a_pows, a_invs, rs, forces):
         me = lax.axis_index(AXIS)
-        # |0..01>: work register = 1 (device 0, local row 1), control = 0 —
-        # reset_register semantics, built in the (plane, c, w) layout.
+        # |1>: work register = 1 (device 0, local row 1); the control is
+        # implicit — reset_register semantics, built in the (plane, w)
+        # layout.
         row = ((me == 0) & (lax.iota(jnp.int32, ls) == 1)).astype(rdtype)
-        x = jnp.zeros((2, 2, ls), rdtype).at[0, 0].set(row)
+        x = jnp.zeros((2, ls), rdtype).at[0].set(row)
         carry = (
-            x, jnp.zeros((), rdtype),
-            jnp.zeros((L,), jnp.int32), jnp.zeros((L,), rdtype),
+            x, jnp.zeros((), cdt),
+            jnp.zeros((L,), jnp.int32), jnp.zeros((L,), cdt),
             jnp.zeros((), jnp.int32), C_s, a_pows, a_invs, rs, forces,
         )
         _, _, bits, probs, oflow, *_ = lax.fori_loop(0, L, body, carry)
@@ -335,7 +350,7 @@ def run_semiclassical_sharded(
     a_pows = np.asarray([pow(a, 1 << (L - 1 - s), C) for s in range(L)], np.int32)
     a_invs = np.asarray([pow(int(p), -1, C) for p in a_pows], np.int32)
     cap = exchange_capacity(a_pows, C, M, d)
-    rs = jax.random.uniform(key, (L,), dtype=rdtype)
+    rs = jax.random.uniform(key, (L,), dtype=_compute_dtype(rdtype))
     forces = np.full((L,), -1, np.int32)
     if forced_bits is not None:
         forces = np.asarray(forced_bits, np.int32)

@@ -157,25 +157,29 @@ def test_per_step_path_matches_fused():
 
 def test_fused_auto_selection_honours_memory_budget(monkeypatch):
     """Auto mode must fall back to per-step dispatch when the fused
-    attempt's ~5-state footprint exceeds the device budget (the measured
-    M=28-on-v5e crash)."""
+    attempt's footprint exceeds the device budget (the v5e fused-attempt
+    crash that calibrated the headroom constants)."""
     from quantumcomputer_tpu.algorithms import semiclassical as sc
 
-    state_bytes = 2 * (2 << 5) * 4
-    monkeypatch.setenv("QC_TPU_HBM_BYTES", str(8 * state_bytes))
+    state_bytes = 2 * (1 << 5) * 4  # one (2, 2^M) work-register state
+    monkeypatch.setenv("QC_TPU_HBM_BYTES", str(sc._FUSED_STATES_HEADROOM * state_bytes))
     assert sc.fused_attempt_fits(5, jnp.float32)
-    monkeypatch.setenv("QC_TPU_HBM_BYTES", str(8 * state_bytes - 1))
+    monkeypatch.setenv("QC_TPU_HBM_BYTES", str(sc._FUSED_STATES_HEADROOM * state_bytes - 1))
     assert not sc.fused_attempt_fits(5, jnp.float32)
-    # a 16 GB v5e budget (the measured ladder): fused through M=26,
-    # per-step at M=27-28, refused at M=29
+    # a 16 GB v5e budget: with the implicit-control work-register state,
+    # fused through M=28 (c64) / M=29 (c32); per-step through M=29 (c64) /
+    # M=30 (c32) — the full int32 modulus bound on one chip.
     monkeypatch.setenv("QC_TPU_HBM_BYTES", str(int(14.5 * (1 << 30))))
-    assert sc.fused_attempt_fits(26, jnp.float32)
-    assert not sc.fused_attempt_fits(27, jnp.float32)
-    assert sc.step_program_fits(28, jnp.float32)
-    assert not sc.step_program_fits(29, jnp.float32)
-    # the auto path surfaces the ceiling as a clear error (M=4 state is
-    # 256 bytes; a budget under the 3-state per-step floor must refuse)
-    monkeypatch.setenv("QC_TPU_HBM_BYTES", str(3 * 256 - 1))
+    assert sc.fused_attempt_fits(28, jnp.float32)
+    assert not sc.fused_attempt_fits(29, jnp.float32)
+    assert sc.step_program_fits(29, jnp.float32)
+    assert not sc.step_program_fits(30, jnp.float32)
+    assert sc.fused_attempt_fits(29, jnp.bfloat16)
+    assert not sc.fused_attempt_fits(30, jnp.bfloat16)
+    assert sc.step_program_fits(30, jnp.bfloat16)
+    # the auto path surfaces the ceiling as a clear error (M=4 work state
+    # is 128 bytes; a budget under the 3-state per-step floor must refuse)
+    monkeypatch.setenv("QC_TPU_HBM_BYTES", str(3 * 128 - 1))
     with pytest.raises(ValueError, match="memory budget"):
         sc.run_semiclassical(15, 7, 3, 4, jax.random.PRNGKey(0))
 
@@ -229,9 +233,13 @@ def test_semiclassical_checkpoint_kill_and_resume(tmp_path):
         sc._step_fn = real_step_fn
 
 
-def test_semiclassical_checkpoint_corrupt_snapshot_logs_and_restarts(tmp_path, caplog):
+def test_semiclassical_checkpoint_corrupt_snapshot_logs_and_restarts(tmp_path):
     """A corrupted snapshot is skipped WITH a log line (never silently
-    treated as a cold start) and the attempt still completes correctly."""
+    treated as a cold start) and the attempt still completes correctly.
+
+    Captured with a handler attached directly to the package logger:
+    the CLI's configure() sets propagate=False once any CLI test has
+    run, so caplog (which listens on the root logger) would miss it."""
     import logging
 
     C, a, L, M = 15, 7, 5, 4
@@ -239,9 +247,23 @@ def test_semiclassical_checkpoint_corrupt_snapshot_logs_and_restarts(tmp_path, c
     ckdir = tmp_path / "ck"
     ckdir.mkdir()
     (ckdir / "segment_00004.npz").write_bytes(b"not a real npz")
-    with caplog.at_level(logging.WARNING, logger="quantumcomputer_tpu.semiclassical"):
+    records = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    logger = logging.getLogger("quantumcomputer_tpu.semiclassical")
+    handler = _Capture(level=logging.WARNING)
+    logger.addHandler(handler)
+    old_level = logger.level
+    logger.setLevel(logging.WARNING)
+    try:
         rec = run_semiclassical(C, a, L, M, key, checkpoint_dir=str(ckdir), _cache={})
-    assert any("unreadable" in r.message for r in caplog.records)
+    finally:
+        logger.removeHandler(handler)
+        logger.setLevel(old_level)
+    assert any("unreadable" in r.getMessage() for r in records)
     ref = run_semiclassical(C, a, L, M, key, fused=False)
     assert rec.bits == ref.bits
 
@@ -330,3 +352,60 @@ def test_cli_semiclassical_sharded(capsys):
     assert rc == 0
     assert "Factors of 15 found: (5, 3)." in out
     assert "Sharding state vector over 4 device(s)." in out
+
+
+def test_blockwise_gather_path_matches_direct(monkeypatch):
+    """With _GATHER_BLOCK_LOG forced below M, the fori_loop blockwise
+    oracle pass (the large-M memory form: index blocks generated on the
+    fly, reductions folded in) must reproduce the single-block path —
+    the blocks decompose an exact permutation plus elementwise math."""
+    from quantumcomputer_tpu.algorithms import semiclassical as sc
+
+    C, a, L, M = 33, 29, 4, 6
+    key = jax.random.PRNGKey(7)
+    ref = run_semiclassical(C, a, L, M, key, fused=False, _cache={})
+    monkeypatch.setattr(sc, "_GATHER_BLOCK_LOG", 3)
+    blk = run_semiclassical(C, a, L, M, key, fused=False, _cache={})
+    assert blk.bits == ref.bits
+    np.testing.assert_allclose(blk.branch_probs, ref.branch_probs, rtol=1e-5)
+    fused = run_semiclassical(C, a, L, M, key, fused=True, _cache={})
+    assert fused.bits == ref.bits
+    np.testing.assert_allclose(fused.branch_probs, ref.branch_probs, rtol=1e-5)
+
+
+def test_complex32_branch_distribution_parity():
+    """complex32 (bf16 storage, f32 angle/probability arithmetic): every
+    branch's joint probability matches the full-register distribution to
+    bf16 storage tolerance, and branches compose to a distribution."""
+    C, a, L, M = 15, 7, 3, 4
+    p_xt = _full_register_omega_distribution(C, a, L, M)
+    total = 0.0
+    for branch in range(1 << L):
+        forced = [(branch >> k) & 1 for k in range(L)]
+        rec = run_semiclassical(
+            C, a, L, M, jax.random.PRNGKey(0), dtype="complex32", forced_bits=forced
+        )
+        p = 1.0
+        for cond in rec.branch_probs:
+            if not np.isfinite(cond) or cond < 1e-6:
+                p = 0.0
+                break
+            p *= float(cond)
+        assert abs(p - p_xt[branch]) < 3e-2, (branch, p, p_xt[branch])
+        total += p
+    assert abs(total - 1.0) < 5e-2
+
+
+def test_complex32_semiclassical_end_to_end():
+    """The complex32 engine still recovers the period through the full
+    CF pipeline (the point: half the HBM of c64 at the same M)."""
+    found = 0
+    for seed in range(8):
+        period, rec = find_period_semiclassical(
+            15, 7, 3, 4, jax.random.PRNGKey(seed), dtype="complex32"
+        )
+        assert len(rec.bits) == 3
+        if period is not None:
+            assert period == 4
+            found += 1
+    assert found >= 3

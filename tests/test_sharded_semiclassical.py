@@ -175,3 +175,37 @@ def test_sharded_bounds():
         run_semiclassical_sharded(15, 5, 4, 4, key, mesh)
     with pytest.raises(ValueError, match="too small"):
         run_semiclassical_sharded(5, 2, 4, 3, key, build_mesh(8))
+
+
+def test_sharded_complex32_matches_single_chip():
+    """complex32 on the mesh: the exchange moves bf16 amplitudes (half the
+    ICI bytes of c64) while angles/probability psums run in f32 — same
+    bits as the single-chip complex32 engine under the same key."""
+    mesh = build_mesh(4)
+    C, a, L, M = 21, 2, 6, 5
+    for seed in (0, 5):
+        key = jax.random.PRNGKey(seed)
+        single = run_semiclassical(C, a, L, M, key, dtype="complex32", fused=False)
+        shard = run_semiclassical_sharded(C, a, L, M, key, mesh, dtype="complex32")
+        assert shard.bits == single.bits
+        np.testing.assert_allclose(
+            shard.branch_probs, single.branch_probs, atol=1e-4
+        )
+
+
+def test_sharded_exchange_dtype_is_bf16_at_complex32():
+    """The one all_to_all must carry bf16 at complex32 — asserted on the
+    LOWERED StableHLO (platform lowering may widen collectives later)."""
+    import re
+
+    from quantumcomputer_tpu.parallel.sharded_semiclassical import _attempt_fn
+
+    mesh = build_mesh(8)
+    fn = _attempt_fn(6, 10, 3, jnp.bfloat16, 64, mesh)
+    txt = fn.lower(
+        jnp.int32(1019), jnp.zeros((6,), jnp.int32), jnp.zeros((6,), jnp.int32),
+        jnp.zeros((6,), jnp.float32), jnp.zeros((6,), jnp.int32),
+    ).as_text()
+    m = re.findall(r'"tpu.all_to_all"[^\n]*|stablehlo\.custom_call[^\n]*all_to_all[^\n]*|%\d+ = [^\n]*all_to_all[^\n]*', txt)
+    assert m, "no all_to_all found in lowered module"
+    assert any("bf16" in line for line in m), m
