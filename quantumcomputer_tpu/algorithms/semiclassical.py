@@ -338,6 +338,21 @@ def run_semiclassical(
         raise ValueError(f"L={L} > 52 exceeds the float64 omega mantissa (x_tilde / 2^L)")
     if math.gcd(a, C) != 1:
         raise ValueError(f"a={a} not coprime to C={C}: gate is not a permutation")
+    if isinstance(dtype, str) and dtype == "dd64":
+        # f64-grade parity mode: host-synchronous per-step driver with its
+        # own (4, 2^M) dd-planar state (algorithms/semiclassical_dd.py).
+        if checkpoint_dir is not None:
+            raise ValueError("dd64 semiclassical has no checkpointing (parity mode)")
+        # dd bytes/amp == complex128's (four f32 planes): gate the per-step
+        # footprint the same way.
+        if not step_program_fits(M, jnp.dtype(jnp.float64)):
+            raise ValueError(
+                f"dd64 semiclassical work state 2^{M} amplitudes (16 B each) "
+                "exceeds the device memory budget for per-step programs"
+            )
+        from quantumcomputer_tpu.algorithms.semiclassical_dd import run_semiclassical_dd
+
+        return run_semiclassical_dd(C, a, L, M, key, forced_bits=forced_bits)
     rdtype = sv.real_dtype_of(dtype)
     if checkpoint_dir is not None:
         fused = False  # snapshots need step boundaries (docstring)
@@ -489,6 +504,8 @@ def find_period_semiclassical(
                 "checkpoint_dir is single-chip only: the sharded attempt is "
                 "one fused dispatch with no step boundary to snapshot"
             )
+        if isinstance(dtype, str) and dtype == "dd64":
+            raise ValueError("dd64 semiclassical is single-chip (parity mode)")
         from quantumcomputer_tpu.parallel.sharded_semiclassical import (
             run_semiclassical_sharded,
         )

@@ -352,11 +352,18 @@ def shors_algorithm(
                 "strict_reference/engine arguments (mesh= shards the work "
                 "register, parallel/sharded_semiclassical.py)"
             )
-        if isinstance(dtype, str) and dtype not in ("complex32", "c32"):
+        if isinstance(dtype, str) and dtype not in ("complex32", "c32", "dd64"):
             # complex32 = bf16 planar storage with f32 angle/probability
-            # arithmetic (real_dtype_of handles the string); dd64 has no
-            # semiclassical engine.
-            raise ValueError("semiclassical mode supports complex32/complex64/complex128")
+            # arithmetic (real_dtype_of handles the string); dd64 routes to
+            # the host-synchronous parity driver (semiclassical_dd.py).
+            raise ValueError(
+                "semiclassical mode supports complex32/complex64/complex128/dd64"
+            )
+        if isinstance(dtype, str) and dtype == "dd64" and mesh is not None:
+            raise ValueError(
+                "dd64 semiclassical is single-chip (parity mode); use "
+                "complex32/complex64 on a mesh"
+            )
     if engine is not None and strict_reference and not getattr(engine, "strict_reference", False):
         # A caller-supplied engine carries its own oracle semantics; silently
         # ignoring the flag would fake a bug-compat comparison (reviewer r3).

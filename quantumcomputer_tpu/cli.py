@@ -112,15 +112,16 @@ def validate(args: argparse.Namespace) -> Optional[str]:
         return "Number to be factorised C is invalid (must be > 3)."
     if args.dtype == "dd64" and args.layout != "standard":
         return "dd64 parity mode uses the standard layout."
-    if args.semiclassical and (
-        args.layout != "standard" or args.strict_reference or args.dtype == "dd64"
-    ):
+    if args.semiclassical and (args.layout != "standard" or args.strict_reference):
         return (
-            "semiclassical mode is its own engine: no layouts, "
-            "strict-reference, or dd64 (complex32 IS supported — bf16 "
-            "storage, f32 angle/probability arithmetic; --devices N "
-            "shards the work register)."
+            "semiclassical mode is its own engine: no layouts or "
+            "strict-reference (complex32 and dd64 ARE supported; "
+            "--devices N shards the work register)."
         )
+    if args.semiclassical and args.dtype == "dd64" and args.devices > 1:
+        return "dd64 semiclassical is single-chip (parity mode)."
+    if args.semiclassical and args.dtype == "dd64" and args.checkpoint_dir:
+        return "dd64 semiclassical has no checkpointing (parity mode)."
     if args.semiclassical and args.checkpoint_dir and args.devices > 1:
         return (
             "semiclassical checkpointing is single-chip only (the sharded "
