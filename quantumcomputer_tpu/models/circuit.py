@@ -121,6 +121,24 @@ def U2Q(q_hi: int, q_lo: int, matrix: np.ndarray) -> Gate:
     return Gate("u2q", (q_hi, q_lo), matrix=_tup(np.asarray(matrix, dtype=np.complex128)))
 
 
+def MCPHASE(controls, theta: float) -> Gate:
+    """Multi-controlled phase: e^{i theta} exactly where EVERY control bit
+    is 1.  Diagonal on any number of qubits — one masked elementwise pass,
+    never a dense matrix (the reference builds a 2^N x 2^N matrix even for
+    its 2-qubit controlled phase, qc_shor.c:513-565).  The primitive that
+    makes generic algorithms (Grover oracles/diffusion, multi-controlled
+    rotations) expressible in the circuit IR."""
+    qs = tuple(sorted(int(q) for q in controls))
+    if len(qs) < 1 or len(qs) != len(set(qs)):
+        raise ValueError(f"MCPHASE needs >= 1 distinct control qubits, got {controls}")
+    return Gate("mcphase", qs, (float(theta),))
+
+
+def MCZ(*controls: int) -> Gate:
+    """Multi-controlled Z: phase-flip the all-ones subspace of `controls`."""
+    return MCPHASE(controls, math.pi)
+
+
 def CAMODC(C: int, atox: int, control: int) -> Gate:
     """Controlled a^x mod C permutation gate (qc_shor.c:595-660)."""
     return Gate("camodc", (control,), meta=(int(C), int(atox)))
@@ -144,7 +162,7 @@ def dagger_gate(g: Gate, M: int = 0) -> Tuple[Gate, ...]:
     name = g.name
     if name in ("h", "x", "y", "z", "cnot", "swap", "cz"):
         return (g,)  # self-adjoint
-    if name in ("phase", "rx", "ry", "rz"):
+    if name in ("phase", "rx", "ry", "rz", "mcphase"):
         return (Gate(name, g.qubits, (-g.params[0],)),)
     if name == "cphase":
         return (Gate(name, g.qubits, (-g.params[0],)),)

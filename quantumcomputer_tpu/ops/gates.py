@@ -185,6 +185,23 @@ def apply_c_phase(state: jax.Array, c_q: int, t_q: int, theta: float) -> jax.Arr
     return apply_diag_2q(state, diag, q_hi, q_lo)
 
 
+def apply_mcphase(state: jax.Array, controls, theta: float) -> jax.Array:
+    """Multi-controlled phase: multiply by e^{i theta} where every control
+    bit is 1 (MCZ at theta = pi).  Diagonal on any control count — one
+    masked elementwise pass over the state; no matrix ever exists (vs the
+    reference's dense per-gate builds, qc_shor.c:513-565).  int32 indexing
+    is safe through the single-chip ceiling: iota values reach dim-1 =
+    2^31 - 1 at n = 31."""
+    dim = state.shape[0]
+    mask = 0
+    for q in controls:
+        mask |= 1 << int(q)
+    idx = lax.iota(jnp.int32, dim)
+    hit = (idx & jnp.int32(mask)) == jnp.int32(mask)
+    ph = jnp.asarray(np.exp(1j * float(theta)), state.dtype)
+    return jnp.where(hit, state * ph, state)
+
+
 def apply_diag_1q(state: jax.Array, diag2: jax.Array, q: int) -> jax.Array:
     """Apply a diagonal 2-vector on qubit q (phase/S/T/Z gates)."""
     dim = state.shape[0]

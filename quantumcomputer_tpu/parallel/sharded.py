@@ -285,6 +285,32 @@ def apply_gate_sharded_planes(re, im, g: Gate, *, n: int, M: int, d: int, me, ba
         di2 = jnp.where(b == 0, jnp.asarray(d4[[0, 2]].imag), jnp.asarray(d4[[1, 3]].imag))
         return _apply_diag_1q_planes(re, im, dr2, di2, q_hi)
 
+    if name == "mcphase":
+        # Diagonal everywhere: global control bits are a per-device scalar
+        # condition (communication-free), local bits a masked elementwise
+        # rotation with the blend computed in the accumulation dtype.
+        theta = float(g.params[0])
+        mask = 0
+        cond = None
+        for q in g.qubits:
+            if is_global(q):
+                b = _device_bit(me, q - n_local) == 1
+                cond = b if cond is None else (cond & b)
+            else:
+                mask |= 1 << q
+        idx = lax.iota(jnp.int32, re.shape[-1])
+        hit = (idx & jnp.int32(mask)) == jnp.int32(mask)
+        if cond is not None:
+            hit = hit & cond
+        cdt = _acc_dtype(re.dtype)
+        c = jnp.asarray(np.cos(theta), cdt)
+        s = jnp.asarray(np.sin(theta), cdt)
+        reF, imF = re.astype(cdt), im.astype(cdt)
+        return (
+            jnp.where(hit, c * reF - s * imF, reF).astype(re.dtype),
+            jnp.where(hit, c * imF + s * reF, imF).astype(re.dtype),
+        )
+
     if name in ("camodc", "camodc_slot"):
         c_q = g.qubits[0]
         assert M <= n_local, "M register must be shard-local"
@@ -736,6 +762,26 @@ def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str =
         v0 = jnp.asarray(d4[[0, 2]], z.dtype)
         v1 = jnp.asarray(d4[[1, 3]], z.dtype)
         return xops.apply_diag_1q(z, jnp.where(b == 0, v0, v1), q_hi)
+
+    if name == "mcphase":
+        # Diagonal on every control: global bits collapse to a per-device
+        # scalar condition (no communication), local bits to a masked
+        # elementwise pass — same policy as the oracle's global controls.
+        theta = float(g.params[0])
+        mask = 0
+        cond = None
+        for q in g.qubits:
+            if is_global(q):
+                b = _device_bit(me, q - n_local) == 1
+                cond = b if cond is None else (cond & b)
+            else:
+                mask |= 1 << q
+        idx = lax.iota(jnp.int32, z.shape[0])
+        hit = (idx & jnp.int32(mask)) == jnp.int32(mask)
+        if cond is not None:
+            hit = hit & cond
+        ph = jnp.asarray(np.exp(1j * theta), z.dtype)
+        return jnp.where(hit, z * ph, z)
 
     if name in ("cnot", "swap", "u2q"):
         m4 = gate_matrix_2q(g)

@@ -85,6 +85,8 @@ def apply_gate(state: jax.Array, g: Gate, M: int, backend: str = "xla", tables=(
         m = gate_matrix_2q(g)
         q_hi, q_lo = g.qubits if g.qubits[0] > g.qubits[1] else (g.qubits[1], g.qubits[0])
         return xops.apply_diag_2q(state, jnp.asarray(np.diagonal(m)), q_hi, q_lo)
+    if name == "mcphase":
+        return xops.apply_mcphase(state, g.qubits, g.params[0])
     if name in ("cnot", "swap", "u2q"):
         m = gate_matrix_2q(g)
         q_hi, q_lo = g.qubits
