@@ -278,6 +278,19 @@ class SemiclassicalRecord:
             p *= float(b)
         return p
 
+    @classmethod
+    def from_bits(cls, bits: List[int], branch_probs: List[float]) -> "SemiclassicalRecord":
+        """Assemble a record from the measurement-order bits: the readout is
+        bit-REVERSED (read_omega convention, qc_shor.c:868-883) — the
+        first-measured bit (exponent L-1, physical N-1) is the LSB of x~.
+        The single home of that convention for every semiclassical engine
+        (full-precision, dd64, sharded)."""
+        x_tilde = 0
+        for pos, m in enumerate(bits):
+            x_tilde |= m << pos
+        omega = x_tilde / float(1 << len(bits))
+        return cls(bits, branch_probs, x_tilde, omega)
+
 
 def _attempt_fingerprint(C, a, L, M, rdtype, key, forces) -> str:
     """Identity of one semiclassical attempt for checkpoint matching: the
@@ -287,6 +300,10 @@ def _attempt_fingerprint(C, a, L, M, rdtype, key, forces) -> str:
     # "-work": the implicit-control layout — snapshots of the older
     # (2, 2^(M+1)) explicit-control shape must never match.
     h.update(f"semiclassical-work|{C}|{a}|{L}|{M}|{jnp.dtype(rdtype).name}".encode())
+    # Typed PRNG keys (jax.random.key) refuse np.asarray — hash the raw
+    # key data; legacy uint32 keys pass through key_data-equivalent.
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)
     h.update(np.asarray(key).tobytes())
     h.update(np.asarray(forces, np.int32).tobytes())
     return h.hexdigest()[:16]
@@ -338,6 +355,13 @@ def run_semiclassical(
         raise ValueError(f"L={L} > 52 exceeds the float64 omega mantissa (x_tilde / 2^L)")
     if math.gcd(a, C) != 1:
         raise ValueError(f"a={a} not coprime to C={C}: gate is not a permutation")
+    if forced_bits is not None and len(forced_bits) != L:
+        # The fused path indexes forces[s] inside a fori_loop, where an
+        # out-of-bounds gather CLAMPS instead of raising — a short list
+        # would silently force the tail steps to its last entry.
+        raise ValueError(
+            f"forced_bits has {len(forced_bits)} entries; expected L={L}"
+        )
     if isinstance(dtype, str) and dtype == "dd64":
         # f64-grade parity mode: host-synchronous per-step driver with its
         # own (4, 2^M) dd-planar state (algorithms/semiclassical_dd.py).
@@ -402,28 +426,24 @@ def run_semiclassical(
         bits, probs = [], []
         start_s = 0
         fp = None
+        attempt_dir = None
         if checkpoint_dir is not None:
-            from quantumcomputer_tpu.sim import checkpoint as ckpt
-
-            fp = _attempt_fingerprint(C, a, L, M, rdtype, key, forces)
-            # Newest snapshot MATCHING this attempt: a trial loop leaves
-            # stale higher-numbered segments from earlier attempts (other
-            # keys), which must not shadow this attempt's own progress.
             import os
 
-            segs: List[int] = []
-            if os.path.isdir(checkpoint_dir):
-                for f in os.listdir(checkpoint_dir):
-                    if f.startswith("segment_") and f.endswith(".npz"):
-                        try:
-                            segs.append(int(f[len("segment_"):-len(".npz")]))
-                        except ValueError:
-                            pass
-            for seg in sorted(segs, reverse=True):
+            from quantumcomputer_tpu.sim import checkpoint as ckpt
+
+            # One subdirectory PER ATTEMPT (keyed by the fingerprint), like
+            # find_period's C{C}_a{a} layout: a trial loop's earlier
+            # attempts neither shadow this one's segments nor accumulate —
+            # each attempt removes its own subdir on completion.
+            fp = _attempt_fingerprint(C, a, L, M, rdtype, key, forces)
+            attempt_dir = os.path.join(checkpoint_dir, f"sc_{fp}")
+            segs = ckpt.all_segments(attempt_dir)
+            for seg in reversed(segs):
                 if seg >= L:
                     continue
                 try:
-                    loaded, meta = ckpt.load_state(ckpt._segment_path(checkpoint_dir, seg))
+                    loaded, meta = ckpt.load_state(ckpt._segment_path(attempt_dir, seg))
                 except Exception as e:
                     log.warning("semiclassical snapshot %d unreadable (%s): skipped", seg, e)
                     continue
@@ -456,25 +476,23 @@ def run_semiclassical(
             )
             bits_d.append(bit_d)
             probs_d.append(p_d)
-            if checkpoint_dir is not None and (s + 1) % checkpoint_every == 0 and s + 1 < L:
+            if attempt_dir is not None and (s + 1) % checkpoint_every == 0 and s + 1 < L:
                 from quantumcomputer_tpu.sim import checkpoint as ckpt
 
                 ckpt.save_state(
-                    ckpt._segment_path(checkpoint_dir, s + 1), planar,
+                    ckpt._segment_path(attempt_dir, s + 1), planar,
                     {"kind": "semiclassical", "fingerprint": fp, "step": s + 1,
                      "bits": bits + [int(b) for b in bits_d],
                      "probs": probs + [float(p) for p in probs_d]},
                 )
         bits += [int(b) for b in bits_d]
         probs += [float(p) for p in probs_d]
+        if attempt_dir is not None:
+            import shutil
 
-    # Bit-reversed readout (read_omega convention, qc_shor.c:868-883): the
-    # first-measured bit (exponent L-1, physical N-1) is the LSB of x~.
-    x_tilde = 0
-    for pos, m in enumerate(bits):
-        x_tilde |= m << pos
-    omega = x_tilde / float(1 << L)
-    return SemiclassicalRecord(bits, probs, x_tilde, omega)
+            shutil.rmtree(attempt_dir, ignore_errors=True)  # attempt complete
+
+    return SemiclassicalRecord.from_bits(bits, probs)
 
 
 def find_period_semiclassical(

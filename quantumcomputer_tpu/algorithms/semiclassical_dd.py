@@ -204,8 +204,4 @@ def run_semiclassical_dd(
         probs.append(p_branch / total if total > 0.0 else math.nan)
         phi = (phi + bit) / 2.0
 
-    x_tilde = 0
-    for pos, m in enumerate(bits):
-        x_tilde |= m << pos
-    omega = x_tilde / float(1 << L)
-    return SemiclassicalRecord(bits, probs, x_tilde, omega)
+    return SemiclassicalRecord.from_bits(bits, probs)

@@ -147,6 +147,14 @@ def validate(args: argparse.Namespace) -> Optional[str]:
         # (x_tilde / 2^L is exact to L <= 52).
         if args.M > 30:
             return "semiclassical work register M > 30 exceeds the int32 index budget."
+        if (1 << args.M) < args.C:
+            # run_semiclassical would raise the same fact as a ValueError;
+            # catch it here for the clean 'Error:' exit every other bad
+            # argument gets (no warn-and-wrap mode exists on this engine).
+            return (
+                f"semiclassical work register 2^M={1 << args.M} < C={args.C}: "
+                "the modular-multiply gate is not unitary (M must satisfy 2^M >= C)."
+            )
         if args.L > 52:
             return "semiclassical L > 52 exceeds the float64 omega mantissa (x_tilde / 2^L)."
         if args.C >= (1 << 30):

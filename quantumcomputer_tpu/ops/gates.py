@@ -348,16 +348,6 @@ def modmul_inverse_indices_onchip(C: jax.Array, a_inv: jax.Array, M: int) -> jax
     return modmul_permute_onchip(a_inv, lax.iota(jnp.int32, 1 << M), C, M)
 
 
-def apply_c_amodc_scalars(
-    state: jax.Array, C: jax.Array, a_inv: jax.Array, c_q: int, M: int
-) -> jax.Array:
-    """apply_c_amodc with (C, a_inv) as TRACED SCALARS: the gather indices
-    are generated on device (modmul_inverse_indices_onchip), so one
-    compiled program serves every modulus with the same (c_q, M) and the
-    only host->device traffic is two int32 scalars."""
-    return apply_c_amodc_dyn(state, modmul_inverse_indices_onchip(C, a_inv, M), c_q, M)
-
-
 def apply_c_amodc(state: jax.Array, C: int, atox: int, c_q: int, M: int) -> jax.Array:
     """Controlled a^x mod C gate (qc_shor.c:595-660) as a blockwise gather.
 

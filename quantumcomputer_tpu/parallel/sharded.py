@@ -497,7 +497,7 @@ def apply_circuit_sharded_planes(
     return ((re, im), norms) if trace_norms else (re, im)
 
 
-def two_level_pick(probs, scaled_r):
+def two_level_pick(probs, scaled_r, scale_by_total: bool = False):
     """THE shared sharded inverse-CDF pick (equivalent to the reference's
     global serial scan, qc_shor.c:272-306): device-level pick over
     all-gathered shard totals, then in-shard pick.  Used by the complex,
@@ -505,16 +505,21 @@ def two_level_pick(probs, scaled_r):
     the measurement semantics cannot silently diverge.
 
     `scaled_r` is the caller's draw on the caller's probability scale (the
-    complex engines pass the raw uniform — their states are normalized;
-    the dd engine scales by its total).  Returns the measured GLOBAL index
-    as an int32 (device, local) PAIR: the full index dev*ls + loc can
-    exceed int32 at n = 32 and TPU has no x64, so the two components
+    complex engines pass the raw uniform — their states are normalized).
+    `scale_by_total=True` instead scales a raw uniform by the GLOBAL
+    probability total here, from the totals this pick already gathers —
+    one collective instead of a caller-side psum plus the gather (the dd
+    engine's statistical-accuracy scaling).  Returns the measured GLOBAL
+    index as an int32 (device, local) PAIR: the full index dev*ls + loc
+    can exceed int32 at n = 32 and TPU has no x64, so the two components
     compose on the HOST (Python ints are arbitrary-precision) — see
     tests/test_index_width.py."""
     me = lax.axis_index(AXIS)
     ls = probs.shape[-1]
     totals = lax.all_gather(jnp.sum(probs), AXIS)  # (D,)
     cum_dev = jnp.cumsum(totals)
+    if scale_by_total:
+        scaled_r = scaled_r * cum_dev[-1]
     dev = jnp.minimum(jnp.searchsorted(cum_dev, scaled_r, side="left"), totals.shape[0] - 1)
     offset = cum_dev[dev] - totals[dev]
     local_cum = jnp.cumsum(probs)
@@ -527,10 +532,12 @@ def two_level_pick(probs, scaled_r):
     return dev.astype(jnp.int32), loc
 
 
-def _measure_index_planes(re, im, key, n: int):
+def _measure_index_planes(re, im, key):
     """Measurement body for the complex/complex32 mesh engines: f32-
     accumulated probabilities from re/im planes (no stacked copy), raw
-    uniform draw (states are normalized), shared two-level pick."""
+    uniform draw (states are normalized), shared two-level pick.  The
+    index math is (device, local)-split throughout — no global-width
+    parameter is needed."""
     acc = _acc_dtype(re.dtype)
     probs = re.astype(acc) ** 2 + im.astype(acc) ** 2
     r = jax.random.uniform(key, dtype=acc)  # same key -> same r on all shards
@@ -544,12 +551,12 @@ def _collapse_planes(dev, loc, me, ls: int, dtype):
     return jnp.stack([onehot, jnp.zeros_like(onehot)])
 
 
-def _measure_local(planar, key, n: int, rdtype):
-    """Measurement + collapse from a local planar shard (rdtype kept for
-    API compatibility; draws/accumulation follow the plane dtype)."""
+def _measure_local(planar, key):
+    """Measurement + collapse from a local planar shard (draws and
+    accumulation follow the plane dtype)."""
     me = lax.axis_index(AXIS)
     ls = planar.shape[-1]
-    dev, loc = _measure_index_planes(planar[0], planar[1], key, n)
+    dev, loc = _measure_index_planes(planar[0], planar[1], key)
     return dev, loc, _collapse_planes(dev, loc, me, ls, planar.dtype)
 
 
@@ -1111,11 +1118,8 @@ class ShardedStateVectorEngine:
     # -- measurement ----------------------------------------------------------
 
     def _measure_fn(self):
-        n = self.register.n
-        rdtype = self.real_dtype
-
         def body(planar, key):
-            return _measure_local(planar, key, n, rdtype)
+            return _measure_local(planar, key)
 
         smapped = jax.shard_map(
             body,
@@ -1205,7 +1209,7 @@ class ShardedStateVectorEngine:
                     # stacked (2, ls) copy while the state is live (the
                     # program truly holds ONE sharded state).
                     re, im = jnp.real(z), jnp.imag(z)
-                return _measure_index_planes(re, im, k, n)
+                return _measure_index_planes(re, im, k)
 
             smapped = jax.shard_map(
                 body, mesh=self.mesh, in_specs=(P(), P()), out_specs=(P(), P()), check_vma=False
@@ -1245,7 +1249,7 @@ class ShardedStateVectorEngine:
                         n=n, M=M, d=d, me=me, backend=backend,
                     )
                     re, im = jnp.real(z), jnp.imag(z)
-                dev, loc = _measure_index_planes(re, im, k, n)
+                dev, loc = _measure_index_planes(re, im, k)
                 return dev, loc, _collapse_planes(dev, loc, me, ls, rdtype)
 
             smapped = jax.shard_map(

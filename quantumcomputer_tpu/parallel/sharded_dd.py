@@ -391,9 +391,10 @@ def _measure_dd_sharded(planar4, key):
     me = lax.axis_index(AXIS)
     ls = planar4.shape[-1]
     probs = (planar4[0] + planar4[1]) ** 2 + (planar4[2] + planar4[3]) ** 2
-    total = lax.psum(jnp.sum(probs), AXIS)
-    r = jax.random.uniform(key, dtype=probs.dtype) * total
-    dev, loc = two_level_pick(probs, r)
+    r = jax.random.uniform(key, dtype=probs.dtype)
+    # scale_by_total reuses the totals the pick gathers anyway — no
+    # separate psum (and no psum-tree vs cumsum-order ulp mismatch).
+    dev, loc = two_level_pick(probs, r, scale_by_total=True)
     onehot = ((me == dev) & (lax.iota(jnp.int32, ls) == loc)).astype(jnp.float32)
     zeros = jnp.zeros_like(onehot)
     return dev, loc, jnp.stack([onehot, zeros, zeros, zeros])

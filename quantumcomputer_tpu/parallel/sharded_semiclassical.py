@@ -353,6 +353,12 @@ def run_semiclassical_sharded(
     rs = jax.random.uniform(key, (L,), dtype=_compute_dtype(rdtype))
     forces = np.full((L,), -1, np.int32)
     if forced_bits is not None:
+        if len(forced_bits) != L:
+            # forces[s] is gathered inside the fused fori_loop, where an
+            # out-of-bounds index CLAMPS instead of raising.
+            raise ValueError(
+                f"forced_bits has {len(forced_bits)} entries; expected L={L}"
+            )
         forces = np.asarray(forced_bits, np.int32)
 
     ck = (L, M, d, cap, jnp.dtype(rdtype).name, id(mesh))
@@ -373,10 +379,4 @@ def run_semiclassical_sharded(
         )
     bits = [int(b) for b in np.asarray(bits_d)]
     probs = [float(p) for p in np.asarray(probs_d)]
-
-    # Bit-reversed readout (read_omega convention, qc_shor.c:868-883).
-    x_tilde = 0
-    for pos, m in enumerate(bits):
-        x_tilde |= m << pos
-    omega = x_tilde / float(1 << L)
-    return SemiclassicalRecord(bits, probs, x_tilde, omega)
+    return SemiclassicalRecord.from_bits(bits, probs)

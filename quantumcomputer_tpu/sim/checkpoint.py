@@ -74,9 +74,12 @@ def _segment_path(directory: str, seg: int) -> str:
     return os.path.join(directory, f"segment_{seg:05d}.npz")
 
 
-def latest_segment(directory: str) -> Optional[int]:
+def all_segments(directory: str) -> list:
+    """Segment numbers present in `directory`, ascending (the one parser of
+    the segment_NNNNN.npz naming scheme — keep in lockstep with
+    _segment_path)."""
     if not os.path.isdir(directory):
-        return None
+        return []
     segs = []
     for f in os.listdir(directory):
         if f.startswith("segment_") and f.endswith(".npz"):
@@ -84,7 +87,12 @@ def latest_segment(directory: str) -> Optional[int]:
                 segs.append(int(f[len("segment_"):-len(".npz")]))
             except ValueError:
                 pass
-    return max(segs) if segs else None
+    return sorted(segs)
+
+
+def latest_segment(directory: str) -> Optional[int]:
+    segs = all_segments(directory)
+    return segs[-1] if segs else None
 
 
 def run_with_checkpoints(

@@ -117,6 +117,58 @@ def test_semiclassical_bounds():
         run_semiclassical(15, 7, 53, 4, jax.random.PRNGKey(0))
 
 
+def test_forced_bits_length_mismatch_raises():
+    """forced_bits shorter (or longer) than L must raise: inside the fused
+    fori_loop an out-of-bounds forces[s] gather CLAMPS to the last entry —
+    a short list would silently force the tail steps instead of erroring.
+    All engines (fused, per-step, sharded) share the same contract."""
+    with pytest.raises(ValueError, match="forced_bits"):
+        run_semiclassical(15, 7, 4, 4, jax.random.PRNGKey(0), forced_bits=[1, 0, 1])
+    with pytest.raises(ValueError, match="forced_bits"):
+        run_semiclassical(
+            15, 7, 4, 4, jax.random.PRNGKey(0), forced_bits=[0] * 5, fused=False
+        )
+    from quantumcomputer_tpu.parallel.mesh import build_mesh
+    from quantumcomputer_tpu.parallel.sharded_semiclassical import (
+        run_semiclassical_sharded,
+    )
+
+    mesh = build_mesh(2)
+    with pytest.raises(ValueError, match="forced_bits"):
+        run_semiclassical_sharded(
+            15, 7, 4, 4, jax.random.PRNGKey(0), mesh, forced_bits=[1]
+        )
+
+
+def test_semiclassical_checkpoint_typed_prng_key(tmp_path):
+    """jax.random.key (typed PRNG keys) must work WITH checkpointing: the
+    fingerprint hashes the raw key data (np.asarray on a typed key raises
+    TypeError), and the record must match the legacy-key run bit for bit
+    (same key data -> same draws)."""
+    C, a, L, M = 15, 7, 5, 4
+    rec_typed = run_semiclassical(
+        C, a, L, M, jax.random.key(7), checkpoint_dir=str(tmp_path / "ck"), _cache={}
+    )
+    rec_legacy = run_semiclassical(C, a, L, M, jax.random.PRNGKey(7), fused=False)
+    assert rec_typed.bits == rec_legacy.bits
+    assert rec_typed.x_tilde == rec_legacy.x_tilde
+
+
+def test_semiclassical_checkpoint_dir_cleaned_after_attempt(tmp_path):
+    """A completed attempt removes its own per-attempt snapshot subdir, so
+    a trial loop's checkpoint_dir does not grow without bound (each
+    snapshot is a full 2^M-amplitude state)."""
+    import os
+
+    ckdir = tmp_path / "ck"
+    run_semiclassical(
+        21, 2, 8, 5, jax.random.PRNGKey(3),
+        checkpoint_dir=str(ckdir), checkpoint_every=2, _cache={},
+    )
+    leftovers = [d for d in os.listdir(ckdir)] if ckdir.is_dir() else []
+    assert leftovers == []
+
+
 def test_modmul_indices_onchip_matches_host_table():
     """The device-side shift-add index generator must equal the int64 host
     table for every modulus class (odd/even a_inv, C near 2^M, tiny C)."""
@@ -242,11 +294,19 @@ def test_semiclassical_checkpoint_corrupt_snapshot_logs_and_restarts(tmp_path):
     run, so caplog (which listens on the root logger) would miss it."""
     import logging
 
+    from quantumcomputer_tpu.algorithms import semiclassical as sc
+
     C, a, L, M = 15, 7, 5, 4
     key = jax.random.PRNGKey(0)
     ckdir = tmp_path / "ck"
-    ckdir.mkdir()
-    (ckdir / "segment_00004.npz").write_bytes(b"not a real npz")
+    # Snapshots live in a per-attempt subdir keyed by the fingerprint
+    # (sc_<fp>) — plant the corrupt file where this attempt will scan.
+    fp = sc._attempt_fingerprint(
+        C, a, L, M, jnp.float32, key, np.full((L,), -1, np.int32)
+    )
+    attempt_dir = ckdir / f"sc_{fp}"
+    attempt_dir.mkdir(parents=True)
+    (attempt_dir / "segment_00004.npz").write_bytes(b"not a real npz")
     records = []
 
     class _Capture(logging.Handler):
@@ -314,6 +374,14 @@ def test_cli_semiclassical_bounds():
         ["-C", "15", "-L", "53", "-M", "4", "--semiclassical"]
     )
     assert "mantissa" in validate(big_l)
+    # Undersized work register: validate() must catch 2^M < C so the CLI
+    # exits with the clean 'Error:' path instead of a raw traceback from
+    # run_semiclassical (the full-register mode warns instead; this
+    # engine has no warn-and-wrap form).
+    small_m = build_parser().parse_args(
+        ["-C", "33", "-L", "11", "-M", "5", "--semiclassical"]
+    )
+    assert "not unitary" in validate(small_m)
 
 
 def test_shors_algorithm_semiclassical_mode():
