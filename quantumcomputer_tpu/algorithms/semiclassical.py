@@ -147,10 +147,19 @@ def _step_core(w, M: int, rdtype, C_s, a_inv_s, theta, r, force):
 
     Returns (bit int32, conditional branch probability in cdt, new w)."""
     cdt = _compute_dtype(rdtype)
-    s2 = jnp.asarray(1.0 / math.sqrt(2.0), rdtype)
     theta = jnp.asarray(theta, cdt)
     ct, st = jnp.cos(theta), jnp.sin(theta)
     a1, p0, p1 = _oracle_pass(w, M, rdtype, cdt, C_s, a_inv_s, ct, st)
+    return collapse_from_a1(w, a1, p0, p1, r, force, rdtype, cdt)
+
+
+def collapse_from_a1(w, a1, p0, p1, r, force, rdtype, cdt):
+    """Measure-collapse-reset of the implicit control qubit given the
+    rotated branch a1 = e^{i theta} U (w/sqrt2) and the two branch weights
+    (module docstring closed form).  Shared by the Shor oracle step above
+    and the generic semiclassical QPE (algorithms/qpe.py), whose U is an
+    arbitrary circuit rather than the modular-multiply gather."""
+    s2 = jnp.asarray(1.0 / math.sqrt(2.0), rdtype)
     total = p0 + p1  # 1 up to roundoff; strict states may differ
     bit = (jnp.asarray(r, cdt) * total >= p0).astype(jnp.int32)
     # force >= 0 walks that branch regardless of the draw (the exact
