@@ -197,10 +197,37 @@ def bench_semiclassical(M: int = 28, reps: int = 3):
     return max((t10 - t2) / 8, 1e-12), t10
 
 
+def _backend_init_or_die(timeout_s: float = 420.0):
+    """First device contact with a hard deadline: when the axon tunnel is
+    down, even jax.devices() blocks indefinitely (observed >300 s) — fail
+    fast with a diagnostic instead of hanging the driver's bench run.
+    420 s covers the legitimate 60-130 s first-contact overhead."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(
+                f"bench: TPU backend init exceeded {timeout_s:.0f}s "
+                "(tunnel down?); aborting without a measurement",
+                file=sys.stderr,
+            )
+            os._exit(1)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    devs = jax.devices()
+    done.set()
+    return devs
+
+
 def main():
     from quantumcomputer_tpu.utils.compile_cache import enable as _cc
 
     _cc()
+    _backend_init_or_die()
     kind, bw_gbps = detect_bandwidth()
     n = pick_n()
     on_tpu = jax.devices()[0].platform == "tpu"
