@@ -275,7 +275,18 @@ def find_period(
             layout = getattr(engine, "layout", "standard")
             template = shor_circuit_template(reg.L, reg.M, layout)
             tables = shor_oracle_tables(C, a, reg.L, reg.M)
-            idx = engine.run_and_measure_index_with_tables(template, tables, key)
+            d = getattr(engine, "d", 0)
+            if layout == "m_high" and 0 < d <= reg.M:
+                # Mesh m_high: bind packed routing operands so the
+                # compile-once template keeps the packed ~(D-1)/D-shard
+                # ICI volume instead of the D-round rotation fallback
+                # (parallel/sharded.packed_slot_routes).
+                from quantumcomputer_tpu.parallel.sharded import packed_slot_routes
+
+                routes = packed_slot_routes(C, a, reg.L, reg.M, d)
+                idx = engine.run_and_measure_index_with_tables(template, tables, key, routes=routes)
+            else:
+                idx = engine.run_and_measure_index_with_tables(template, tables, key)
         elif hasattr(engine, "run_and_measure_index"):
             idx = engine.run_and_measure_index(static_circuit(), key)
         else:

@@ -232,7 +232,7 @@ def _rotate_gather_rows_planes(xr, xi, srow_loc, sdev_loc, deltas, me, D: int):
     return accr, acci
 
 
-def apply_gate_sharded_planes(re, im, g: Gate, *, n: int, M: int, d: int, me, backend: str = "xla", tables=()):
+def apply_gate_sharded_planes(re, im, g: Gate, *, n: int, M: int, d: int, me, backend: str = "xla", tables=(), routes=()):
     """Planar-pair twin of apply_gate_sharded: dispatch one gate on local
     (2^(n-d),) re/im planes.  Shard-local gates reuse the single-chip planes
     dispatch (Pallas first); gates on globally-sharded qubits use the
@@ -333,8 +333,9 @@ def apply_gate_sharded_planes(re, im, g: Gate, *, n: int, M: int, d: int, me, ba
     if name in ("camodc_high", "camodc_high_slot"):
         # m_high oracle, planes form (cf. the complex branches above): the
         # static form uses the packed-row exchange (~1R+1W + ~one shard of
-        # ICI); the slot form's table is traced, so it keeps the D-round
-        # rotation (the compile-once tradeoff).
+        # ICI); the slot form uses the same packed traffic with TRACED
+        # routing operands when `routes` are bound (packed_slot_routes),
+        # else the D-round rotation (table-only compile-once fallback).
         if d == 0:
             return apply_gate_planes(re, im, g, M, tables=tables)
         c_phys = g.qubits[0]
@@ -351,12 +352,24 @@ def apply_gate_sharded_planes(re, im, g: Gate, *, n: int, M: int, d: int, me, ba
             assert d <= m_reg, "m_high sharding needs the global bits inside the M register"
             rest = 1 << (n - m_reg)
             R = (1 << m_reg) >> d
-            ginv = tables[slot]
-            sdev_loc = lax.dynamic_slice_in_dim(ginv // R, me * R, R)
-            srow_loc = lax.dynamic_slice_in_dim(ginv % R, me * R, R)
             xr = re.reshape(R, rest)
             xi = im.reshape(R, rest)
-            accr, acci = _rotate_gather_rows_planes(xr, xi, srow_loc, sdev_loc, range(D), me, D)
+            if routes and routes[slot] is not None:
+                # Hybrid packed form: traced routing operands, static round
+                # structure (packed_slot_routes) — compile-once AND packed.
+                local_tab, send_tab, recv_tab = routes[slot]
+                accr, acci = _apply_rows_packed_traced(
+                    (xr, xi),
+                    jnp.take(local_tab, me, axis=0),
+                    jnp.take(send_tab, me, axis=0),
+                    jnp.take(recv_tab, me, axis=0),
+                    D,
+                )
+            else:
+                ginv = tables[slot]
+                sdev_loc = lax.dynamic_slice_in_dim(ginv // R, me * R, R)
+                srow_loc = lax.dynamic_slice_in_dim(ginv % R, me * R, R)
+                accr, acci = _rotate_gather_rows_planes(xr, xi, srow_loc, sdev_loc, range(D), me, D)
         col = lax.iota(jnp.int32, rest)
         ctrl = (((col >> c_phys) & 1) == 1)[None, :]
         return (
@@ -432,13 +445,13 @@ def apply_gate_sharded_planes(re, im, g: Gate, *, n: int, M: int, d: int, me, ba
     # cover everything).
     cdt = _acc_dtype(re.dtype)
     z = lax.complex(re.astype(cdt), im.astype(cdt))
-    z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables)
+    z = apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables, routes=routes)
     return jnp.real(z).astype(re.dtype), jnp.imag(z).astype(re.dtype)
 
 
 def apply_circuit_sharded_planes(
     re, im, circuit: Circuit, *, n: int, M: int, d: int, me, backend: str,
-    fuse: bool = True, trace_norms: bool = False, tables=(),
+    fuse: bool = True, trace_norms: bool = False, tables=(), routes=(),
 ):
     """Planar-pair twin of apply_circuit_sharded (the bf16 'complex32' mesh
     path): shard-local runs go through the fused multi-gate Pallas planner,
@@ -466,7 +479,7 @@ def apply_circuit_sharded_planes(
     n_local = n - d
     if backend != "pallas" or not fuse or n_local < 14:
         for g in circuit:
-            re, im = step_done(*apply_gate_sharded_planes(re, im, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables))
+            re, im = step_done(*apply_gate_sharded_planes(re, im, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables, routes=routes))
         return ((re, im), norms) if trace_norms else (re, im)
 
     from quantumcomputer_tpu.ops import pallas_fused as pf
@@ -483,7 +496,7 @@ def apply_circuit_sharded_planes(
                 if seg[0] == "fused":
                     r, i_ = step_done(*pf.apply_fused(r, i_, seg[1], seg[2], n_local, M))
                 else:
-                    r, i_ = step_done(*apply_gate_sharded_planes(r, i_, seg[1], n=n, M=M, d=d, me=me, backend=backend, tables=tables))
+                    r, i_ = step_done(*apply_gate_sharded_planes(r, i_, seg[1], n=n, M=M, d=d, me=me, backend=backend, tables=tables, routes=routes))
             run = []
         return r, i_
 
@@ -492,7 +505,7 @@ def apply_circuit_sharded_planes(
             run.append(g)
         else:
             re, im = flush(re, im)
-            re, im = step_done(*apply_gate_sharded_planes(re, im, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables))
+            re, im = step_done(*apply_gate_sharded_planes(re, im, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables, routes=routes))
     re, im = flush(re, im)
     return ((re, im), norms) if trace_norms else (re, im)
 
@@ -562,7 +575,7 @@ def _measure_local(planar, key):
 
 def apply_circuit_sharded(
     z, circuit: Circuit, *, n: int, M: int, d: int, me, backend: str,
-    fuse: bool = True, trace_norms: bool = False, tables=(),
+    fuse: bool = True, trace_norms: bool = False, tables=(), routes=(),
 ):
     """Apply a circuit to the local shard.  With the pallas backend, maximal
     runs of gates whose qubits are ALL shard-local go through the fused
@@ -595,7 +608,7 @@ def apply_circuit_sharded(
     n_local = n - d
     if backend != "pallas" or not fuse or n_local < 14:
         for g in circuit:
-            z = step_done(apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables))
+            z = step_done(apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables, routes=routes))
         return (z, norms) if trace_norms else z
 
     from quantumcomputer_tpu.ops import pallas_fused as pf
@@ -612,7 +625,7 @@ def apply_circuit_sharded(
                 if seg[0] == "fused":
                     zz = step_done(pf.apply_segment(zz, seg[1], seg[2], M))
                 else:
-                    zz = step_done(apply_gate_sharded(zz, seg[1], n=n, M=M, d=d, me=me, backend=backend, tables=tables))
+                    zz = step_done(apply_gate_sharded(zz, seg[1], n=n, M=M, d=d, me=me, backend=backend, tables=tables, routes=routes))
             run = []
         return zz
 
@@ -621,7 +634,7 @@ def apply_circuit_sharded(
             run.append(g)
         else:
             z = flush(z)
-            z = step_done(apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables))
+            z = step_done(apply_gate_sharded(z, g, n=n, M=M, d=d, me=me, backend=backend, tables=tables, routes=routes))
     z = flush(z)
     return (z, norms) if trace_norms else z
 
@@ -699,6 +712,77 @@ def _apply_rows_packed(planes, C: int, atox: int, m_reg: int, d: int, me):
     return outs
 
 
+@lru_cache(maxsize=64)
+def packed_slot_routes(C: int, a: int, L: int, m_reg: int, d: int):
+    """Packed routing OPERANDS for the slot (compile-once) m_high mesh
+    oracle (ROADMAP r3 item 3 — the hybrid): the round structure (all D-1
+    offsets, a shared padded row count K_pad) is static, while the row
+    index tables are traced operands.  One program therefore serves every
+    trial integer whose schedule fits the same K_pad bucket — the
+    compile-once property of the slot form WITH (near-)packed traffic:
+    (D-1) * K_pad shipped rows vs the rotation form's (D-1) full shards.
+
+    K_pad is the max per-(device, offset) row count across ALL L slot
+    permutations (a^(2^j) mod C, j < L), rounded up to a power of two, so
+    the route-class key is just K_pad: different `a` values usually rebind
+    tables into the SAME compiled program (jit re-traces only on a shape
+    change).  For the near-uniform modular spread K_pad ~ R/D, giving
+    ~(D-1)/D shards of total ICI volume — same as the static packed
+    schedule up to the power-of-two padding.
+
+    Returns a tuple of L per-slot entries (local_idx (D, R), send_idx
+    (D, D-1, K_pad), recv_dst (D, D-1, K_pad)), conventions as in
+    _packed_exchange_schedule (send padding gathers row 0; recv padding
+    points at row R -> dropped by scatter mode='drop')."""
+    from quantumcomputer_tpu.ops.gates import modmul_inverse_permutation
+
+    D = 1 << d
+    R = (1 << m_reg) >> d
+    rows = np.arange(D * R, dtype=np.int64)
+    dst_dev = rows // R
+
+    srcs = [
+        np.asarray(modmul_inverse_permutation(C, pow(a, 1 << j, C), m_reg), np.int64)
+        for j in range(L)
+    ]
+    k_need = 1
+    for src in srcs:
+        delta_of = (dst_dev - src // R) % D
+        for delta in range(1, D):
+            hit = delta_of == delta
+            k_need = max(k_need, int(np.max(np.sum(hit.reshape(D, R), axis=1), initial=0)))
+    k_pad = 1 << (k_need - 1).bit_length()  # route-class bucket (<= R: R is 2^k)
+
+    routes = []
+    for src in srcs:
+        delta_of = (dst_dev - src // R) % D
+        local_idx = np.where(delta_of == 0, src % R, rows % R).reshape(D, R).astype(np.int32)
+        send_idx = np.zeros((D, D - 1, k_pad), np.int32)
+        recv_dst = np.full((D, D - 1, k_pad), R, np.int32)
+        for delta in range(1, D):
+            for k in range(D):  # receiver
+                g = np.nonzero(delta_of[k * R:(k + 1) * R] == delta)[0]
+                p = (k - delta) % D  # sender
+                send_idx[p, delta - 1, : g.size] = (src[k * R + g] % R).astype(np.int32)
+                recv_dst[k, delta - 1, : g.size] = g.astype(np.int32)
+        routes.append((local_idx, send_idx, recv_dst))
+    return tuple(routes)
+
+
+def _apply_rows_packed_traced(planes, local_me, send_me, recv_me, D: int):
+    """Traced-operand twin of _apply_rows_packed for SLOT oracle gates:
+    `local_me` (R,), `send_me`/`recv_me` (D-1, K_pad) are this device's
+    rows of a packed_slot_routes entry (traced, bound at dispatch).  The
+    loop structure is static — D-1 offsets, K_pad rows each — so the
+    compiled program is reused across trial integers."""
+    outs = [jnp.take(x, local_me, axis=0) for x in planes]
+    for delta in range(1, D):
+        bufs = tuple(jnp.take(x, send_me[delta - 1], axis=0) for x in planes)
+        rbufs = lax.ppermute(bufs, AXIS, [(p, (p + delta) % D) for p in range(D)])
+        outs = [o.at[recv_me[delta - 1]].set(rb, mode="drop") for o, rb in zip(outs, rbufs)]
+    return outs
+
+
 def _rotate_gather_rows(x, srow_loc, sdev_loc, deltas, me, D: int):
     """Shared device-exchange rotation for the m_high oracle forms: for
     each offset in `deltas`, ship every device's block to device+delta and
@@ -716,7 +800,7 @@ def _rotate_gather_rows(x, srow_loc, sdev_loc, deltas, me, D: int):
     return acc
 
 
-def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str = "xla", tables=()):
+def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str = "xla", tables=(), routes=()):
     """Dispatch one gate on the local shard (complex, flat 2^(n-d)).
     `tables` carries runtime permutation operands for SLOT oracle gates
     (the compile-once trial-loop form; models/shor_circuit)."""
@@ -834,22 +918,31 @@ def apply_gate_sharded(z, g: Gate, *, n: int, M: int, d: int, me, backend: str =
 
     if name == "camodc_high_slot":
         # m_high slot oracle on the mesh: like camodc_high below, but the
-        # permutation table is a TRACED operand, so the (src, dst) device
-        # schedule cannot be pruned at trace time — all D-1 rotation rounds
-        # run (the compile-once tradeoff; the static form keeps its pruned
-        # schedule for forced single-`a` runs).
+        # permutation is a TRACED operand.  With `routes` bound
+        # (packed_slot_routes) the exchange uses the packed static round
+        # structure with traced index tables — compile-once AND packed;
+        # with tables only, the (src, dst) device schedule cannot be pruned
+        # at trace time, so all D-1 rotation rounds run (the fallback).
         slot, m_reg = g.meta
         c_phys = g.qubits[0]
         assert d <= m_reg, "m_high sharding needs the global bits inside the M register"
         rest = 1 << (n - m_reg)
         R = (1 << m_reg) >> d
-        ginv = tables[slot]
-        sdev_tab = ginv // R
-        srow_tab = ginv % R
         x = z.reshape(R, rest)
-        sdev_loc = lax.dynamic_slice_in_dim(sdev_tab, me * R, R)
-        srow_loc = lax.dynamic_slice_in_dim(srow_tab, me * R, R)
-        acc = _rotate_gather_rows(x, srow_loc, sdev_loc, range(D), me, D)
+        if routes and routes[slot] is not None:
+            local_tab, send_tab, recv_tab = routes[slot]
+            (acc,) = _apply_rows_packed_traced(
+                (x,),
+                jnp.take(local_tab, me, axis=0),
+                jnp.take(send_tab, me, axis=0),
+                jnp.take(recv_tab, me, axis=0),
+                D,
+            )
+        else:
+            ginv = tables[slot]
+            sdev_loc = lax.dynamic_slice_in_dim(ginv // R, me * R, R)
+            srow_loc = lax.dynamic_slice_in_dim(ginv % R, me * R, R)
+            acc = _rotate_gather_rows(x, srow_loc, sdev_loc, range(D), me, D)
         col = lax.iota(jnp.int32, rest)
         ctrl = ((col >> c_phys) & 1) == 1
         return jnp.where(ctrl[None, :], acc, x).reshape(z.shape)
@@ -1176,12 +1269,27 @@ class ShardedStateVectorEngine:
         # leaves reach the jaxpr -> identical compiled program).
         return self.run_and_measure_index_with_tables(circuit, (), key)
 
-    def run_and_measure_index_with_tables(self, circuit: Circuit, tables, key: jax.Array) -> int:
+    def run_and_measure_index_with_tables(
+        self, circuit: Circuit, tables, key: jax.Array, routes=None
+    ) -> int:
         """run_and_measure_index for TEMPLATE circuits with SLOT oracle
         gates: the permutation tables are replicated program OPERANDS, so
         ONE shard_map program serves every trial integer (the mesh form of
-        the compile-once trial loop; see StateVectorEngine)."""
-        ck = (circuit, "__run_measure_idx_dyn__", len(tables))
+        the compile-once trial loop; see StateVectorEngine).
+
+        `routes` (optional, packed_slot_routes output) binds packed m_high
+        exchange operands: the program keeps the packed ~(D-1)/D-shard ICI
+        volume of the static oracle while remaining reusable across every
+        trial integer in the same K_pad route-class (the padded row-count
+        bucket is the only shape the program depends on)."""
+        routes = tuple(routes) if routes else ()
+        # Route shapes are part of the program: K_pad (the route-class
+        # bucket) changes operand shapes, so it keys the cache alongside
+        # the slot count.
+        rshape = tuple(
+            None if r is None else tuple(np.asarray(t).shape for t in r) for r in routes
+        )
+        ck = (circuit, "__run_measure_idx_dyn__", len(tables), rshape)
         fn = self._run_cache.get(ck)
         if fn is None:
             n, M, d, backend = self.register.n, self.m_eff, self.d, self.backend
@@ -1190,7 +1298,7 @@ class ShardedStateVectorEngine:
             ls = (1 << n) // D
             r0 = self.reset_index
 
-            def body(tabs, k):
+            def body(tabs, rts, k):
                 me = lax.axis_index(AXIS)
                 # |0..01> reset via int32-safe (device, local) split compare.
                 r0_dev, r0_loc = r0 // ls, r0 % ls
@@ -1198,12 +1306,12 @@ class ShardedStateVectorEngine:
                 if rdtype == jnp.bfloat16:
                     re, im = apply_circuit_sharded_planes(
                         onehot, jnp.zeros_like(onehot), circuit,
-                        n=n, M=M, d=d, me=me, backend=backend, tables=tabs,
+                        n=n, M=M, d=d, me=me, backend=backend, tables=tabs, routes=rts,
                     )
                 else:
                     z = apply_circuit_sharded(
                         lax.complex(onehot, jnp.zeros_like(onehot)), circuit,
-                        n=n, M=M, d=d, me=me, backend=backend, tables=tabs,
+                        n=n, M=M, d=d, me=me, backend=backend, tables=tabs, routes=rts,
                     )
                     # Measure from the re/im planes directly — never a
                     # stacked (2, ls) copy while the state is live (the
@@ -1212,12 +1320,16 @@ class ShardedStateVectorEngine:
                 return _measure_index_planes(re, im, k)
 
             smapped = jax.shard_map(
-                body, mesh=self.mesh, in_specs=(P(), P()), out_specs=(P(), P()), check_vma=False
+                body, mesh=self.mesh, in_specs=(P(), P(), P()), out_specs=(P(), P()), check_vma=False
             )
             fn = jax.jit(smapped)
             self._run_cache[ck] = fn
         tabs = tuple(jnp.asarray(np.asarray(t), jnp.int32) for t in tables)
-        dev, loc = fn(tabs, key)
+        rts = tuple(
+            None if r is None else tuple(jnp.asarray(np.asarray(t), jnp.int32) for t in r)
+            for r in routes
+        )
+        dev, loc = fn(tabs, rts, key)
         return self._global_index(int(dev), int(loc))
 
     def run_and_measure(self, circuit: Circuit, key: jax.Array) -> Tuple[int, jax.Array]:

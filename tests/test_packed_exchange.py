@@ -100,3 +100,169 @@ def test_packed_oracle_parity_1e12():
         s = single.to_numpy(single.run(circ))
         m = multi.to_numpy(multi.run(circ))
         np.testing.assert_allclose(s, m, atol=1e-12)
+
+
+# ---- Hybrid packed SLOT routes (ROADMAP r3 item 3) ----------------------
+
+
+@pytest.mark.parametrize("C,a,L,m_reg,d", [(33, 29, 4, 6, 3), (13, 6, 3, 4, 2), (97, 13, 5, 7, 3)])
+def test_slot_routes_reconstruct_permutation(C, a, L, m_reg, d):
+    """Replaying each slot's packed route tables on host must reproduce
+    that slot's inverse permutation exactly."""
+    from quantumcomputer_tpu.parallel.sharded import packed_slot_routes
+
+    D = 1 << d
+    R = (1 << m_reg) >> d
+    routes = packed_slot_routes(C, a, L, m_reg, d)
+    assert len(routes) == L
+    for j, (local_idx, send_idx, recv_dst) in enumerate(routes):
+        src = np.asarray(modmul_inverse_permutation(C, pow(a, 1 << j, C), m_reg), np.int64)
+        x = np.arange(D * R).reshape(D, R)
+        out = np.empty_like(x)
+        for k in range(D):
+            out[k] = x[k][local_idx[k]]
+        for delta in range(1, D):
+            for p in range(D):  # sender
+                k = (p + delta) % D
+                buf = x[p][send_idx[p, delta - 1]]
+                keep = recv_dst[k, delta - 1] < R
+                out[k][recv_dst[k, delta - 1][keep]] = buf[keep]
+        np.testing.assert_array_equal(out.ravel(), src, err_msg=f"slot {j}")
+
+
+def test_slot_routes_shapes_share_kpad():
+    """All slots share ONE power-of-two K_pad (the route-class key), and
+    the padded volume stays near the packed ideal (< 2 shards total)."""
+    from quantumcomputer_tpu.parallel.sharded import packed_slot_routes
+
+    # Realistic shard geometry (R >> D): padding is amortized there; tiny
+    # shards (R ~ D) pay a larger padding factor but move trivial bytes.
+    C, a, L, m_reg, d = 997, 7, 4, 10, 3
+    D, R = 1 << d, (1 << m_reg) >> d
+    routes = packed_slot_routes(C, a, L, m_reg, d)
+    kpads = {r[1].shape[2] for r in routes}
+    assert len(kpads) == 1
+    (k_pad,) = kpads
+    assert k_pad & (k_pad - 1) == 0
+    assert (D - 1) * k_pad <= 2 * R  # near-uniform spread => ~R*(D-1)/D
+
+
+def test_slot_packed_template_parity():
+    """Template trial program WITH routes == rotation fallback == static
+    circuit, for the measured index at fixed key (the values are moved,
+    never recomputed, so all three agree exactly)."""
+    from quantumcomputer_tpu.models.shor_circuit import (
+        shor_circuit_mhigh,
+        shor_circuit_template,
+        shor_oracle_tables,
+    )
+    from quantumcomputer_tpu.parallel.sharded import packed_slot_routes
+
+    C, a, L, M, d = 33, 29, 6, 6, 3
+    mesh = build_mesh(num_devices=1 << d)
+    key = jax.random.PRNGKey(7)
+    for dtype in (jnp.complex64, "complex32"):
+        eng = ShardedStateVectorEngine(
+            Register(L=L, M=M), dtype=dtype, mesh=mesh, layout="m_high"
+        )
+        template = shor_circuit_template(L, M, "m_high")
+        tables = shor_oracle_tables(C, a, L, M)
+        routes = packed_slot_routes(C, a, L, M, d)
+        idx_packed = eng.run_and_measure_index_with_tables(template, tables, key, routes=routes)
+        idx_rot = eng.run_and_measure_index_with_tables(template, tables, key)
+        idx_static = eng.run_and_measure_index(shor_circuit_mhigh(C, a, L, M), key)
+        assert idx_packed == idx_rot == idx_static, dtype
+
+
+def test_slot_packed_route_class_reuse():
+    """Two trial integers in the same K_pad bucket must reuse ONE compiled
+    template program (the compile-once property survives the packed form)."""
+    from quantumcomputer_tpu.models.shor_circuit import (
+        shor_circuit_template,
+        shor_oracle_tables,
+    )
+    from quantumcomputer_tpu.parallel.sharded import packed_slot_routes
+
+    C, L, M, d = 33, 4, 6, 2
+    mesh = build_mesh(num_devices=1 << d)
+    eng = ShardedStateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, mesh=mesh, layout="m_high")
+    template = shor_circuit_template(L, M, "m_high")
+    key = jax.random.PRNGKey(0)
+
+    routes = {a: packed_slot_routes(C, a, L, M, d) for a in (29, 7)}
+    k_pads = {r[0][1].shape[2] for r in routes.values()}
+    assert len(k_pads) == 1, "test premise: both trial integers share a route-class"
+
+    for a in (29, 7):
+        eng.run_and_measure_index_with_tables(
+            template, shor_oracle_tables(C, a, L, M), key, routes=routes[a]
+        )
+    dyn_keys = [k for k in eng._run_cache if "__run_measure_idx_dyn__" in k]
+    assert len(dyn_keys) == 1, dyn_keys
+
+
+def test_slot_packed_collectives_are_packed():
+    """Lowered-program contract: with routes bound, every collective
+    operand is a K_pad-row packed buffer — total shipped rows ~(D-1)*K_pad,
+    a fraction of the rotation fallback's (D-1) full shards."""
+    import re as _re
+
+    from quantumcomputer_tpu.models.shor_circuit import (
+        shor_circuit_template,
+        shor_oracle_tables,
+    )
+    from quantumcomputer_tpu.parallel.sharded import packed_slot_routes
+
+    C, a, L, M, d = 33, 29, 1, 6, 3
+    D, R = 1 << d, (1 << M) >> d
+    mesh = build_mesh(num_devices=D)
+    eng = ShardedStateVectorEngine(Register(L=L, M=M), dtype=jnp.complex64, mesh=mesh, layout="m_high")
+    template = (Gate("camodc_high_slot", (0,), meta=(0, M)),)
+    tables = shor_oracle_tables(C, a, L, M)
+    routes = packed_slot_routes(C, a, L, M, d)
+    k_pad = routes[0][1].shape[2]
+
+    def lowered_rows(rts):
+        n, m_eff = eng.register.n, eng.m_eff
+        from quantumcomputer_tpu.parallel.sharded import AXIS, apply_gate_sharded
+
+        def body(tabs, rt):
+            import jax.numpy as jnp2
+            from jax import lax as lax2
+
+            me = lax2.axis_index(AXIS)
+            ls = (1 << n) // D
+            z = (lax2.iota(jnp.int32, ls) == 1).astype(jnp.complex64)
+            return apply_gate_sharded(
+                z, template[0], n=n, M=m_eff, d=d, me=me, backend=eng.backend,
+                tables=tabs, routes=rt,
+            )
+
+        from jax.sharding import PartitionSpec as P2
+
+        smapped = jax.shard_map(
+            body, mesh=eng.mesh, in_specs=(P2(), P2()), out_specs=P2(AXIS), check_vma=False
+        )
+        tabs = tuple(jnp.asarray(np.asarray(t), jnp.int32) for t in tables)
+        txt = jax.jit(smapped).lower(tabs, rts).as_text()
+        pat = _re.compile(r'"stablehlo\.collective_permute"\(%[\w.]+\) .*?\(tensor<(\d+)x')
+        return [int(m.group(1)) for m in pat.finditer(txt)]
+
+    rts = tuple(tuple(jnp.asarray(t, jnp.int32) for t in r) for r in routes)
+    packed_rows = lowered_rows(rts)
+    rot_rows = lowered_rows(())
+    assert packed_rows and all(r == k_pad for r in packed_rows), (packed_rows, k_pad)
+    assert sum(packed_rows) == (D - 1) * k_pad
+    assert sum(rot_rows) == (D - 1) * R  # the fallback ships full shards
+    assert sum(packed_rows) < sum(rot_rows)
+
+
+def test_slot_packed_trial_loop_e2e():
+    """shors_algorithm on the m_high mesh (unforced trial loop) routes
+    through the packed template and still factors."""
+    from quantumcomputer_tpu.algorithms.shor import shors_algorithm
+
+    mesh = build_mesh(num_devices=4)
+    eng = ShardedStateVectorEngine(Register(L=6, M=6), dtype=jnp.complex64, mesh=mesh, layout="m_high")
+    res = shors_algorithm(C=33, L=6, M=6, seed=5, engine=eng)
+    assert res.ok and sorted(res.factors) == [3, 11]

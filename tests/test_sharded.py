@@ -335,6 +335,6 @@ def test_sharded_template_oracle_matches_static():
             assert idx_dyn == idx_static, f"{layout} a={a}"
         dyn_keys = [
             k for k in eng._run_cache
-            if isinstance(k, tuple) and "__run_measure_idx_dyn__" in k and k[-1] > 0
+            if isinstance(k, tuple) and "__run_measure_idx_dyn__" in k and k[2] > 0
         ]
         assert len(dyn_keys) == 1
