@@ -15,8 +15,21 @@ import subprocess
 import threading
 from typing import List, Optional
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(os.path.dirname(_PKG_DIR), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libqc_classical.so")
+
+
+def _find_lib() -> Optional[str]:
+    """Locate the shared library in either layout: installed wheels carry
+    quantumcomputer_tpu/libqc_classical.so (built by setup.py); the dev
+    checkout keeps native/libqc_classical.so next to the Makefile."""
+    import glob as _glob
+
+    for cand in _glob.glob(os.path.join(_PKG_DIR, "libqc_classical*.so")) + [_LIB_PATH]:
+        if os.path.exists(cand):
+            return cand
+    return None
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -44,10 +57,14 @@ def load() -> Optional[ctypes.CDLL]:
         _tried = True
         if os.environ.get("QC_TPU_DISABLE_NATIVE"):
             return None
-        if not os.path.exists(_LIB_PATH) and not _build():
-            return None
+        path = _find_lib()
+        if path is None:
+            # Dev layout only: compile via the in-repo Makefile on first use.
+            if not (os.path.isdir(_NATIVE_DIR) and _build()):
+                return None
+            path = _LIB_PATH
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(path)
         except OSError:
             return None
         lib.qc_gcd.restype = ctypes.c_uint64
