@@ -7,6 +7,10 @@ mesh at scale); gates apply as strided-axis contractions, fused diagonals,
 and permutation gathers — never as materialized 2^N x 2^N matrices.
 """
 
+from quantumcomputer_tpu.algorithms.amplitude_estimation import amplitude_estimate  # noqa: F401
+from quantumcomputer_tpu.algorithms.grover import grover_circuit, grover_search  # noqa: F401
+from quantumcomputer_tpu.algorithms.qpe import estimate_phase  # noqa: F401
+from quantumcomputer_tpu.algorithms.semiclassical import run_semiclassical  # noqa: F401
 from quantumcomputer_tpu.algorithms.shor import (  # noqa: F401
     Outcome,
     ShorResult,
@@ -18,6 +22,7 @@ from quantumcomputer_tpu.models import circuit  # noqa: F401
 from quantumcomputer_tpu.models.shor_circuit import shor_circuit, shor_circuit_reference  # noqa: F401
 from quantumcomputer_tpu.parallel.mesh import build_mesh  # noqa: F401
 from quantumcomputer_tpu.parallel.sharded import ShardedStateVectorEngine  # noqa: F401
+from quantumcomputer_tpu.sim.dd_engine import DDStateVectorEngine  # noqa: F401
 from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine  # noqa: F401
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

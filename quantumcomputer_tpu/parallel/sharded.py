@@ -474,7 +474,9 @@ def apply_circuit_sharded_planes(
                 and g.meta[0] * (1 << g.meta[2]) < (1 << 31)
             )
 
-        circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible)
+        # min_run = D: below that, packed singles beat the ladder's
+        # (D-1) full-shard rotation rounds (see fuse_oracle_ladders).
+        circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible, min_run=1 << d)
 
     n_local = n - d
     if backend != "pallas" or not fuse or n_local < 14:
@@ -593,8 +595,10 @@ def apply_circuit_sharded(
         return zz
 
     if fuse:
-        # m_high oracle runs fuse into composed ladders: ONE ppermute
-        # rotation instead of one per gate (K-fold less ICI volume).
+        # m_high oracle runs fuse into composed ladders — but only runs of
+        # K >= D: the ladder pays (D-1) full-shard ppermute rounds while K
+        # packed singles pay ~K*(D-1)/D shards (fusing shorter runs moves
+        # MORE bytes; see fuse_oracle_ladders min_run).
         from quantumcomputer_tpu.sim.engine import fuse_oracle_ladders
 
         def _eligible(g: Gate) -> bool:
@@ -603,7 +607,7 @@ def apply_circuit_sharded(
                 and g.meta[0] * (1 << g.meta[2]) < (1 << 31)  # int32 combo*f bound
             )
 
-        circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible)
+        circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible, min_run=1 << d)
 
     n_local = n - d
     if backend != "pallas" or not fuse or n_local < 14:

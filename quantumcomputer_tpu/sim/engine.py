@@ -156,9 +156,11 @@ def apply_gate_planes(re: jax.Array, im: jax.Array, g: Gate, M: int, tables=()) 
 MAX_LADDER_RUN = 8  # 2^K combo-table entries; also the DMA kernel's cap
 
 
-def fuse_oracle_ladders(circuit: Circuit, M: int, eligible=None, max_run: int = MAX_LADDER_RUN) -> Circuit:
-    """Rewrite maximal runs of >= 2 modular-multiply gates (same C, same
-    work register) into single composed-ladder gates.
+def fuse_oracle_ladders(
+    circuit: Circuit, M: int, eligible=None, max_run: int = MAX_LADDER_RUN, min_run: int = 2
+) -> Circuit:
+    """Rewrite maximal runs of >= min_run modular-multiply gates (same C,
+    same work register) into single composed-ladder gates.
 
     The gates all multiply the work register by constants mod C, so they
     COMMUTE and a run of K composes into one permutation whose multiplier
@@ -169,7 +171,13 @@ def fuse_oracle_ladders(circuit: Circuit, M: int, eligible=None, max_run: int = 
     `eligible(gate)` (optional) limits which gates may join a run — used by
     the pallas path to fuse only runs its DMA ladder kernel accepts (the
     XLA gather realization of a composed ladder materializes a full-state
-    index tensor and is catastrophically slow on TPU at scale)."""
+    index tensor and is catastrophically slow on TPU at scale).
+
+    `min_run` raises the fusion threshold: the MESH appliers pass the
+    device count D, because a fused m_high ladder pays (D-1) full-shard
+    ppermute rounds while K packed singles pay ~K*(D-1)/D shards of ICI —
+    fusing below K = D moves MORE bytes than not fusing (ROADMAP item 2;
+    ties at K = D go to the ladder: fewer dispatches)."""
     out: list = []
     gates = list(circuit)
     i = 0
@@ -193,7 +201,7 @@ def fuse_oracle_ladders(circuit: Circuit, M: int, eligible=None, max_run: int = 
                     break  # repeated control: composition is still valid only
                            # for distinct control bits (one bit per factor)
                 j += 1
-            if j - i >= 2 and C * C < (1 << 31):
+            if j - i >= max(2, min_run) and C * C < (1 << 31):
                 run = gates[i:j]
                 name = "camodc_ladder_high" if g.name == "camodc_high" else "camodc_ladder"
                 out.append(

@@ -161,3 +161,73 @@ def norm_trace(engine, circuit: Circuit) -> NormTrace:
     import numpy as np
 
     return NormTrace(deviations=[float(v - 1.0) for v in np.asarray(norms)])
+
+
+# ---- ICI / collective accounting (mesh programs) -------------------------
+
+_COLLECTIVE_KINDS = (
+    "collective_permute",
+    "all_to_all",
+    "all_gather",
+    "all_reduce",
+    "reduce_scatter",
+)
+
+_MLIR_ITEMSIZE = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2,
+    "i64": 8, "ui64": 8, "i32": 4, "ui32": 4,
+    "i16": 2, "ui16": 2, "i8": 1, "ui8": 1, "i1": 1,
+    "complex<f32>": 8, "complex<f64>": 16,
+}
+
+
+@dataclass
+class CollectiveOp:
+    """One collective in a lowered (StableHLO) mesh program."""
+
+    kind: str            # e.g. "collective_permute"
+    shape: Tuple[int, ...]
+    dtype: str           # MLIR element type, e.g. "bf16"
+
+    @property
+    def bytes(self) -> int:
+        n = 1
+        for s in self.shape:
+            n *= s
+        return n * _MLIR_ITEMSIZE.get(self.dtype, 4)
+
+
+def collective_stats(stablehlo_text: str) -> List[CollectiveOp]:
+    """Parse a lowered mesh program (``jax.jit(fn).lower(...).as_text()``)
+    into its collectives — one entry per OPERAND tensor (pytree collectives
+    like plane-pair ppermutes yield one entry per plane).
+
+    This is the static ICI-volume ledger the mesh design is tuned against
+    (packed oracle exchanges, plane-pair bf16 collectives, ladder-fusion
+    gating): assert on it in tests, or diff it across layouts when tuning.
+    Parse the LOWERED StableHLO, not compiled HLO — XLA:CPU promotes bf16
+    collectives to f32 (a platform artifact that would skew byte counts)."""
+    import re as _re
+
+    ops: List[CollectiveOp] = []
+    name = _re.compile(r'"(?:stablehlo|tpu)\.(' + "|".join(_COLLECTIVE_KINDS) + r')"')
+    # The op's trailing function signature `: (operand types) -> results`.
+    # Attribute dicts also contain `: tensor<...>` (dense attrs) but never
+    # `: (`, and region bodies print ops in pretty form (no parenthesized
+    # signature), so the first `: (` after the op name is the right one.
+    sig = _re.compile(r":\s*\(([^)]*)\)\s*->")
+    ten = _re.compile(r"tensor<((?:\d+x)*)((?:complex<[^>]+>)|[a-z][a-z0-9]*)>")
+    for m in name.finditer(stablehlo_text):
+        s = sig.search(stablehlo_text, m.end())
+        if s is None:
+            continue
+        for t in ten.finditer(s.group(1)):
+            dims = tuple(int(x) for x in t.group(1).split("x") if x)
+            ops.append(CollectiveOp(m.group(1), dims, t.group(2)))
+    return ops
+
+
+def collective_bytes(stablehlo_text: str, kind: Optional[str] = None) -> int:
+    """Total bytes crossing the mesh in one program execution (per device,
+    counting each collective's operand once), optionally for one op kind."""
+    return sum(o.bytes for o in collective_stats(stablehlo_text) if kind is None or o.kind == kind)

@@ -38,3 +38,24 @@ def test_pyproject_declares_entry_point():
     text = open(os.path.join(root, "pyproject.toml")).read()
     assert 'qc-tpu = "quantumcomputer_tpu.cli:main"' in text
     assert 'libqc_classical*.so' in text  # wheel ships the ctypes library
+
+
+def test_version_single_source():
+    import quantumcomputer_tpu
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(root, "pyproject.toml")).read()
+    assert f'version = "{quantumcomputer_tpu.__version__}"' in text
+
+
+def test_top_level_exports():
+    import quantumcomputer_tpu as q
+
+    for name in (
+        "Register", "StateVectorEngine", "ShardedStateVectorEngine",
+        "DDStateVectorEngine", "build_mesh", "shor_circuit",
+        "shors_algorithm", "find_period", "read_omega", "Outcome",
+        "ShorResult", "grover_search", "grover_circuit", "estimate_phase",
+        "amplitude_estimate", "run_semiclassical", "circuit",
+    ):
+        assert hasattr(q, name), name

@@ -64,7 +64,7 @@ def test_mesh_oracle_collectives_are_packed():
     operands are packed row buffers summing to < one shard — NOT the
     (D-1) full-shard rotations of the old form — and exactly one
     full-shard row gather remains (the local-source pass)."""
-    import re as _re
+    from quantumcomputer_tpu.utils.profiling import collective_stats
 
     L, M, d = 6, 6, 3
     C, atox = 33, 29
@@ -77,9 +77,7 @@ def test_mesh_oracle_collectives_are_packed():
     txt = eng._compiled_run(circ).lower(planar).as_text()
 
     R = (1 << M) >> d
-    rest = 1 << (L + M - M)
-    pat = _re.compile(r'"stablehlo\.collective_permute"\(%[\w.]+\) .*?\(tensor<(\d+)x(\d+)x')
-    rows_shipped = [int(m.group(1)) for m in pat.finditer(txt)]
+    rows_shipped = [o.shape[0] for o in collective_stats(txt) if o.kind == "collective_permute"]
     assert rows_shipped, "no collectives found in lowered program"
     assert all(r < R for r in rows_shipped), (rows_shipped, R)
     assert sum(rows_shipped) <= 1.5 * R
@@ -205,7 +203,7 @@ def test_slot_packed_collectives_are_packed():
     """Lowered-program contract: with routes bound, every collective
     operand is a K_pad-row packed buffer — total shipped rows ~(D-1)*K_pad,
     a fraction of the rotation fallback's (D-1) full shards."""
-    import re as _re
+    from quantumcomputer_tpu.utils.profiling import collective_stats
 
     from quantumcomputer_tpu.models.shor_circuit import (
         shor_circuit_template,
@@ -245,8 +243,7 @@ def test_slot_packed_collectives_are_packed():
         )
         tabs = tuple(jnp.asarray(np.asarray(t), jnp.int32) for t in tables)
         txt = jax.jit(smapped).lower(tabs, rts).as_text()
-        pat = _re.compile(r'"stablehlo\.collective_permute"\(%[\w.]+\) .*?\(tensor<(\d+)x')
-        return [int(m.group(1)) for m in pat.finditer(txt)]
+        return [o.shape[0] for o in collective_stats(txt) if o.kind == "collective_permute"]
 
     rts = tuple(tuple(jnp.asarray(t, jnp.int32) for t in r) for r in routes)
     packed_rows = lowered_rows(rts)
@@ -266,3 +263,52 @@ def test_slot_packed_trial_loop_e2e():
     eng = ShardedStateVectorEngine(Register(L=6, M=6), dtype=jnp.complex64, mesh=mesh, layout="m_high")
     res = shors_algorithm(C=33, L=6, M=6, seed=5, engine=eng)
     assert res.ok and sorted(res.factors) == [3, 11]
+
+
+def test_mesh_ladder_fusion_gated_on_device_count():
+    """ROADMAP item 2: a fused m_high ladder pays (D-1) FULL-shard ppermute
+    rounds; K packed singles pay ~K*(D-1)/D shards.  The mesh applier must
+    therefore fuse only runs of K >= D — asserted here on the lowered
+    collective volume for K=3, D=4: the singles form ships less than the
+    rotation the ladder would have used."""
+    from quantumcomputer_tpu.utils.profiling import collective_stats
+
+    from jax import lax
+    from jax.sharding import PartitionSpec as P2
+
+    from quantumcomputer_tpu.parallel.sharded import AXIS, apply_circuit_sharded
+    from quantumcomputer_tpu.sim.engine import fuse_oracle_ladders
+
+    # R >> D so per-offset padding is amortized (the real regime).
+    C, M, L, d = 997, 10, 3, 2
+    D, n = 1 << d, M + L
+    R = (1 << M) >> d
+    gates = tuple(
+        Gate("camodc_high", (j,), meta=(C, pow(7, 1 << j, C), M)) for j in range(L)
+    )
+
+    # The fusion pass itself: K=3 < D=4 stays singles; K=4 >= D fuses.
+    assert all(g.name == "camodc_high" for g in fuse_oracle_ladders(gates, M, min_run=D))
+    gates4 = tuple(
+        Gate("camodc_high", (j,), meta=(C, pow(7, 1 << j, C), M)) for j in range(4)
+    )
+    fused4 = fuse_oracle_ladders(gates4, M, min_run=D)
+    assert [g.name for g in fused4] == ["camodc_ladder_high"]
+
+    # Lowered-volume contract for the applied circuit (fuse=True applies
+    # min_run=D internally): total ppermute rows < the (D-1)*R full-shard
+    # rotation a K=3 ladder would pay.
+    mesh = build_mesh(num_devices=D)
+
+    def body():
+        me = lax.axis_index(AXIS)
+        ls = (1 << n) // D
+        z = (lax.iota(jnp.int32, ls) == 1).astype(jnp.complex64)
+        return apply_circuit_sharded(z, gates, n=n, M=M, d=d, me=me, backend="xla")
+
+    txt = jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(), out_specs=P2(AXIS), check_vma=False)
+    ).lower().as_text()
+    rows = [o.shape[0] for o in collective_stats(txt) if o.kind == "collective_permute"]
+    assert rows, "no collectives found"
+    assert sum(rows) < (D - 1) * R, (rows, (D - 1) * R)

@@ -59,3 +59,58 @@ def test_norm_trace_fig2_regression():
     assert tr.max_deviation < 1e-13
     d = tr.to_dict()
     assert d["max_deviation"] == tr.max_deviation
+
+
+def test_collective_stats_parses_real_mesh_program():
+    """collective_stats reads the lowered StableHLO of a real shard_map
+    program: per-operand entries (pytree ppermutes give one per plane),
+    correct shapes/dtypes/byte counts, region ops (all_reduce) included."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.sharding import PartitionSpec as P
+
+    from quantumcomputer_tpu.parallel.mesh import build_mesh
+    from quantumcomputer_tpu.parallel.sharded import AXIS
+    from quantumcomputer_tpu.utils.profiling import collective_bytes, collective_stats
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs 4 virtual devices")
+    mesh = build_mesh(num_devices=4)
+    ring = [(p, (p + 1) % 4) for p in range(4)]
+
+    def body():
+        me = lax.axis_index(AXIS)
+        y = lax.ppermute(jnp.ones((8, 16), jnp.float32) * me, AXIS, ring)
+        # DISTINCT plane constants: identical operands would be CSE'd into
+        # one collective and undercount the pair.
+        planes = (jnp.ones((4, 2), jnp.bfloat16) * me, jnp.full((4, 2), 2, jnp.bfloat16) * me)
+        pb = lax.ppermute(planes, AXIS, ring)
+        s = lax.psum(jnp.sum(y), AXIS)
+        return s + jnp.sum((pb[0] + pb[1]).astype(jnp.float32))
+
+    txt = jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(), out_specs=P(), check_vma=False)
+    ).lower().as_text()
+
+    ops = collective_stats(txt)
+    perms = [o for o in ops if o.kind == "collective_permute"]
+    assert sorted(o.bytes for o in perms) == [16, 16, 512]  # 2 bf16 planes + 1 f32
+    assert {o.dtype for o in perms} == {"f32", "bf16"}
+    assert any(o.kind == "all_reduce" for o in ops)
+    assert collective_bytes(txt, "collective_permute") == 544
+
+
+def test_collective_stats_ignores_attribute_colons():
+    """Attribute dicts contain `: tensor<...>` (dense attrs) — the parser
+    must take the trailing function signature, not the attribute type."""
+    from quantumcomputer_tpu.utils.profiling import collective_stats
+
+    txt = (
+        '%9 = "stablehlo.collective_permute"(%8) <{source_target_pairs = '
+        "dense<[[0, 1]]> : tensor<1x2xi64>}> : (tensor<32x4xbf16>) -> tensor<32x4xbf16>"
+    )
+    (op,) = collective_stats(txt)
+    assert op.shape == (32, 4) and op.dtype == "bf16" and op.bytes == 256
