@@ -210,11 +210,16 @@ def _backend_init_or_die(timeout_s: float = 420.0):
 
     def watchdog():
         if not done.wait(timeout_s):
-            print(
-                f"bench: TPU backend init exceeded {timeout_s:.0f}s "
-                "(tunnel down?); aborting without a measurement",
-                file=sys.stderr,
+            msg = (
+                f"TPU backend init exceeded {timeout_s:.0f}s (tunnel down?); "
+                "aborted without a measurement"
             )
+            print(f"bench: {msg}", file=sys.stderr)
+            # Still emit the one-JSON-line contract so the driver records a
+            # parseable diagnostic instead of empty output: value 0 with an
+            # explicit error marker, never a fabricated measurement.
+            print(json.dumps({"metric": "error", "value": 0, "unit": "none",
+                              "vs_baseline": 0, "error": msg}), flush=True)
             os._exit(1)
 
     threading.Thread(target=watchdog, daemon=True).start()

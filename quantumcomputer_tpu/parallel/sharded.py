@@ -1125,6 +1125,15 @@ class ShardedStateVectorEngine:
 
         return init()
 
+    def zero_state(self) -> jax.Array:
+        n, rdtype = self.register.n, self.real_dtype
+
+        @partial(jax.jit, out_shardings=self.sharding)
+        def init():
+            return sv.zero_planar(n, rdtype)
+
+        return init()
+
     # -- execution ----------------------------------------------------------
 
     def _compiled_run(self, circuit: Circuit) -> Callable:

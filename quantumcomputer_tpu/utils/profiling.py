@@ -231,3 +231,36 @@ def collective_bytes(stablehlo_text: str, kind: Optional[str] = None) -> int:
     """Total bytes crossing the mesh in one program execution (per device,
     counting each collective's operand once), optionally for one op kind."""
     return sum(o.bytes for o in collective_stats(stablehlo_text) if kind is None or o.kind == kind)
+
+
+def mesh_collective_report(engine, circuit: Circuit) -> dict:
+    """Static ICI traffic of one `engine.run(circuit)` execution, per
+    device: ``{kind: {"count", "bytes"}, "total_bytes": N}``.
+
+    Lowers the sharded program ABSTRACTLY (no device execution, no state
+    allocation — safe at any n) and parses the StableHLO with
+    `collective_stats`.  Use it to compare layouts/dtypes/fusion settings
+    before paying a compile: e.g. complex32 halves `total_bytes` vs
+    complex64, and the packed m_high oracle ships ~1/D of the rotation
+    fallback's rows.  Mesh engines only (single-chip programs have no
+    collectives)."""
+    mesh = getattr(engine, "mesh", None)
+    if mesh is None:
+        raise ValueError("mesh_collective_report needs a sharded engine (no mesh found)")
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n = engine.register.n
+    aval = jax.ShapeDtypeStruct(
+        (2, 1 << n), engine.real_dtype,
+        sharding=NamedSharding(mesh, PartitionSpec(None, mesh.axis_names[0])),
+    )
+    txt = engine._compiled_run(circuit).lower(aval).as_text()
+    report: dict = {}
+    total = 0
+    for op in collective_stats(txt):
+        ent = report.setdefault(op.kind, {"count": 0, "bytes": 0})
+        ent["count"] += 1
+        ent["bytes"] += op.bytes
+        total += op.bytes
+    report["total_bytes"] = total
+    return report

@@ -103,6 +103,34 @@ def test_collective_stats_parses_real_mesh_program():
     assert collective_bytes(txt, "collective_permute") == 544
 
 
+def test_mesh_collective_report():
+    """The abstract-lowering report: c32 ships HALF the c64 ICI bytes on
+    the same m_high circuit (plane-pair bf16 collectives), with no device
+    execution; single-chip engines are rejected."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from quantumcomputer_tpu import Register, ShardedStateVectorEngine, StateVectorEngine, build_mesh
+    from quantumcomputer_tpu.models.shor_circuit import shor_circuit_mhigh
+    from quantumcomputer_tpu.utils.profiling import mesh_collective_report
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = build_mesh(num_devices=4)
+    circ = shor_circuit_mhigh(33, 29, 6, 6)
+    reg = Register(L=6, M=6)
+    e64 = ShardedStateVectorEngine(reg, dtype=jnp.complex64, mesh=mesh, layout="m_high")
+    e32 = ShardedStateVectorEngine(reg, dtype="complex32", mesh=mesh, layout="m_high", backend="pallas")
+    r64 = mesh_collective_report(e64, circ)
+    r32 = mesh_collective_report(e32, circ)
+    assert r64["total_bytes"] > 0 and "collective_permute" in r64
+    assert r32["total_bytes"] * 2 == r64["total_bytes"]
+    assert sum(v["bytes"] for k, v in r64.items() if k != "total_bytes") == r64["total_bytes"]
+    with pytest.raises(ValueError):
+        mesh_collective_report(StateVectorEngine(reg), circ)
+
+
 def test_collective_stats_ignores_attribute_colons():
     """Attribute dicts contain `: tensor<...>` (dense attrs) — the parser
     must take the trailing function signature, not the attribute type."""
