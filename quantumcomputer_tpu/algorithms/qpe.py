@@ -38,7 +38,6 @@ from quantumcomputer_tpu.algorithms.semiclassical import (
     _compute_dtype,
     collapse_from_a1,
 )
-from quantumcomputer_tpu.algorithms.shor import read_omega
 from quantumcomputer_tpu.models.circuit import Circuit, Gate, H, IQFT_STAGE
 from quantumcomputer_tpu.sim import statevec as sv
 
@@ -114,11 +113,32 @@ def estimate_phase(
         from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
 
         engine = StateVectorEngine(Register(L=t, M=M), dtype=dtype)
+    else:
+        # The circuit hard-codes the standard geometry: work at bits
+        # [0, M), counting at [M, M+t), iQFT stages at the M boundary.  A
+        # mismatched register or an m_high-layout engine would run without
+        # error and return a silently wrong phase — reject instead.
+        reg = engine.register
+        if (reg.L, reg.M) != (t, M):
+            raise ValueError(
+                f"engine register (L={reg.L}, M={reg.M}) does not match QPE geometry (t={t}, M={M})"
+            )
+        if getattr(engine, "layout", "standard") != "standard":
+            raise ValueError(
+                "QPE circuits assume layout='standard' (work register at bits [0, M)); "
+                f"got layout={engine.layout!r}"
+            )
     circ = qpe_circuit(controlled_powers, t, M, prep)
     state = engine.run(circ)
     idx, _ = engine.measure(state, key)
     idx = engine.logical_index(int(idx))
-    x_tilde = int(round(read_omega(idx, t, M) * (1 << t)))
+    # Bit-reversed counting-register readout as EXACT integer arithmetic
+    # (the same reversal read_omega performs, qc_shor.c:868-883, minus the
+    # float division — x/raw carry no float dependence).
+    counting = idx >> M
+    x_tilde = 0
+    for i in range(t):
+        x_tilde = (x_tilde << 1) | ((counting >> i) & 1)
     return QPEResult(x=_negate_readout(x_tilde, t), t=t, raw=x_tilde)
 
 
@@ -127,7 +147,19 @@ def _blend_fn(rdtype, _cache: dict = {}) -> Callable:
     Uw = U^(2^j) w: rotate by the deferred phase, fold the two branch
     weights, and collapse — the same closed form as the Shor oracle step
     (semiclassical.collapse_from_a1), with a generic U in place of the
-    modular-multiply gather."""
+    modular-multiply gather.
+
+    The rotate/fold/probability numerics here MUST stay in lockstep with
+    semiclassical._oracle_pass (which fuses the same algebra into its
+    blockwise gather — it cannot be shared as code): the cdt upcast
+    points, the s2 factors, and the phi recurrence are what the
+    distribution-parity tests (test_qpe.py) pin against the full-register
+    engine.  Touch both together.
+
+    The deferred phase phi is a DEVICE scalar threaded through the calls
+    (mirroring semiclassical._step_fn), so a t-step loop chains dispatches
+    with NO host round-trips — bits/probabilities are fetched once at the
+    end (on tunneled runtimes a per-step sync costs more than the step)."""
     key = jnp.dtype(rdtype).name
     fn = _cache.get(key)
     if fn is not None:
@@ -135,8 +167,8 @@ def _blend_fn(rdtype, _cache: dict = {}) -> Callable:
     cdt = _compute_dtype(rdtype)
     s2 = jnp.asarray(1.0 / math.sqrt(2.0), rdtype)
 
-    def blend(w, Uw, theta, r, force):
-        theta = jnp.asarray(theta, cdt)
+    def blend(w, Uw, phi, r, force):
+        theta = (jnp.pi * phi).astype(cdt)
         ct, st = jnp.cos(theta), jnp.sin(theta)
         g = Uw * s2
         a1 = jnp.stack([ct * g[0] - st * g[1], st * g[0] + ct * g[1]]).astype(rdtype)
@@ -145,7 +177,8 @@ def _blend_fn(rdtype, _cache: dict = {}) -> Callable:
         b1 = (a0 - a1) * s2
         p0 = jnp.sum(b0[0].astype(cdt) ** 2 + b0[1].astype(cdt) ** 2)
         p1 = jnp.sum(b1[0].astype(cdt) ** 2 + b1[1].astype(cdt) ** 2)
-        return collapse_from_a1(w, a1, p0, p1, r, force, rdtype, cdt)
+        bit, p_cond, out = collapse_from_a1(w, a1, p0, p1, r, force, rdtype, cdt)
+        return bit, p_cond, out, (phi + bit.astype(cdt)) / 2
 
     fn = _cache[key] = jax.jit(blend, donate_argnums=(0,))
     return fn
@@ -187,22 +220,24 @@ def run_semiclassical_qpe(
     blend = _blend_fn(rdtype)
     rs = jax.random.uniform(key, (t,), dtype=cdt)
 
-    bits: List[int] = []
-    probs: List[float] = []
-    phi = 0.0  # exact in f64: phi accumulates <= t <= 52 bits
+    # phi lives on device (cdt scalar) so the whole t-step loop chains
+    # dispatches without a single host sync; bits/probs fetch at the end.
+    phi_d = jnp.asarray(0, cdt)
+    bits_d: List[jax.Array] = []
+    probs_d: List[jax.Array] = []
     for s in range(t):
         circ = tuple(powers(t - 1 - s))
         # eng.run DONATES its input state — feed it a copy, the blend
         # still needs w for the a0 branch.
         Uw = eng.run(circ, w + 0) if circ else w + 0
         force = -1 if forced_bits is None else int(forced_bits[s])
-        bit_d, p_d, w = blend(
-            w, Uw, math.pi * phi, rs[s], jnp.asarray(force, jnp.int32)
+        bit_d, p_d, w, phi_d = blend(
+            w, Uw, phi_d, rs[s], jnp.asarray(force, jnp.int32)
         )
-        b = int(bit_d)
-        bits.append(b)
-        probs.append(float(p_d))
-        phi = (phi + b) / 2.0
+        bits_d.append(bit_d)
+        probs_d.append(p_d)
+    bits = [int(b) for b in bits_d]
+    probs = [float(p) for p in probs_d]
     rec = SemiclassicalRecord.from_bits(bits, probs)
     return QPEResult(
         x=_negate_readout(rec.x_tilde, t), t=t, raw=rec.x_tilde, record=rec

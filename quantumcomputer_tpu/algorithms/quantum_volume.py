@@ -93,7 +93,7 @@ class QVResult:
     hops: List[float]          # measured heavy-output probability per circuit
     ideal_hops: List[float]    # ideal heavy-output weight per circuit
     mean_hop: float
-    lower_2sigma: float        # mean - 2 * binomial sigma over all shots
+    lower_2sigma: float        # mean - 2*sqrt(p(1-p)/num_circuits), the paper's bound
     passed: bool               # lower_2sigma > 2/3
     quantum_volume: int        # 2^m if passed else 0
 
@@ -143,8 +143,12 @@ def run_quantum_volume(
         hops.append(float(np.mean(heavy[samples])))
 
     mean_hop = float(np.mean(hops))
-    n_total = num_circuits * shots
-    sigma = float(np.sqrt(max(mean_hop * (1.0 - mean_hop), 1e-12) / n_total))
+    # The paper's confidence bound, nh - 2*sqrt(nh*(ns - nh/nc)), reduces
+    # to sigma^2 = p(1-p)/nc on the pooled HOP: the unit of independence
+    # is the CIRCUIT, not the shot (heavy weights vary circuit-to-circuit,
+    # so shots within one circuit are correlated).  Dividing by nc*shots
+    # would certify a pass ~sqrt(shots) too eagerly.
+    sigma = float(np.sqrt(max(mean_hop * (1.0 - mean_hop), 1e-12) / num_circuits))
     lower = mean_hop - 2.0 * sigma
     passed = lower > 2.0 / 3.0
     return QVResult(

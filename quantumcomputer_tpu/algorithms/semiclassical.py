@@ -87,7 +87,12 @@ def _compute_dtype(rdtype):
 
 
 def _oracle_pass(w, M: int, rdtype, cdt, C_s, a_inv_s, ct, st):
-    """Pass 1 of a semiclassical step: a1 = e^{i theta} U (w/sqrt2) with
+    """NOTE: the rotate/fold/probability numerics here are duplicated (by
+    necessity — they fuse into the blockwise gather) in qpe._blend_fn for
+    the generic-U form; keep the cdt upcast points and s2 factors in
+    lockstep or the distribution-parity tests diverge.
+
+    Pass 1 of a semiclassical step: a1 = e^{i theta} U (w/sqrt2) with
     the branch-probability partial sums folded into the same sweep.
 
     U is the work-register permutation of the controlled modular multiply

@@ -65,7 +65,11 @@ def time_circuit(engine, circuit: Circuit, iters: int = 3, state: Optional[jax.A
     """Best-of-iters wall-clock of one compiled circuit execution, with a
     host round-trip barrier.  The barrier adds one reduction pass + RTT;
     subtract a measured empty baseline for precise per-gate numbers
-    (see bench.py's two-block-size slope method)."""
+    (see bench.py's two-block-size slope method).
+
+    A caller-supplied `state` is DONATED to the first engine.run (the
+    engine's standard semantics) — it is invalid afterwards; pass a copy
+    if you still need it."""
     if state is None:
         state = engine.initial_state()
     state = engine.run(circuit, state)
@@ -115,20 +119,28 @@ def phase_profile(engine, phases, iters: int = 3) -> List[PhaseTiming]:
     prefix: list = []
     prev = base
     for label, gates in phases:
+        gates = tuple(gates)  # before extend: a one-shot iterable would be spent
         prefix.extend(gates)
         t = time_circuit(engine, tuple(prefix), iters=iters)
-        out.append(PhaseTiming(label, len(tuple(gates)), max(t - prev, 0.0)))
+        out.append(PhaseTiming(label, len(gates), max(t - prev, 0.0)))
         prev = t
     return out
 
 
 @contextlib.contextmanager
 def trace(path: str):
-    """jax.profiler trace wrapper (view with TensorBoard / xprof)."""
+    """jax.profiler trace wrapper (view with TensorBoard / xprof).
+
+    Start failures (unwritable path, a trace already active) degrade to
+    running the body untraced — but LOUDLY, via a logged warning: a
+    silently empty trace directory is worse than no wrapper."""
+    from quantumcomputer_tpu.utils.logging import get_logger
+
     try:
         jax.profiler.start_trace(path)
         started = True
-    except Exception:
+    except Exception as e:
+        get_logger("profiling").warning("jax.profiler.start_trace(%r) failed: %s — body runs untraced", path, e)
         started = False
     try:
         yield
@@ -136,8 +148,8 @@ def trace(path: str):
         if started:
             try:
                 jax.profiler.stop_trace()
-            except Exception:
-                pass
+            except Exception as e:
+                get_logger("profiling").warning("jax.profiler.stop_trace failed: %s", e)
 
 
 @dataclass

@@ -199,3 +199,21 @@ def test_forced_bits_length_mismatch_raises():
         run_semiclassical_qpe(
             _phase_u(0.25), 4, 1, jax.random.PRNGKey(0), forced_bits=[1, 0]
         )
+
+
+def test_engine_geometry_validation():
+    """A mismatched register or a non-standard layout must raise, not
+    silently return a wrong phase (the circuit hard-codes work at [0, M),
+    counting at [M, M+t))."""
+    from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
+
+    with pytest.raises(ValueError, match="does not match QPE geometry"):
+        estimate_phase(
+            _phase_cu(0.25), 3, 2, jax.random.PRNGKey(0),
+            engine=StateVectorEngine(Register(L=4, M=2)),
+        )
+    with pytest.raises(ValueError, match="layout"):
+        estimate_phase(
+            _phase_cu(0.25), 3, 2, jax.random.PRNGKey(0),
+            engine=StateVectorEngine(Register(L=3, M=2), layout="m_high"),
+        )

@@ -57,14 +57,27 @@ def test_engine_parity_vs_oracle():
 
 
 def test_qv_passes_single_chip():
+    # The paper's bound has sigma^2 = p(1-p)/num_circuits (the circuit is
+    # the independent unit), so certification needs enough CIRCUITS:
+    # ~0.85 - 2*sqrt(0.85*0.15/40) ~ 0.74 > 2/3.
     eng = StateVectorEngine(Register(L=4, M=0), dtype=jnp.complex64)
-    res = run_quantum_volume(4, eng, num_circuits=10, shots=200, seed=1)
+    res = run_quantum_volume(4, eng, num_circuits=40, shots=100, seed=1)
     assert res.passed and res.quantum_volume == 16
     assert 0.7 < res.mean_hop < 1.0
     # measured HOP tracks the ideal heavy weight circuit-by-circuit
     assert np.abs(np.array(res.hops) - np.array(res.ideal_hops)).mean() < 0.1
     d = res.to_dict()
     assert d["quantum_volume"] == 16 and d["passed"] is True
+
+
+def test_qv_sigma_is_per_circuit():
+    """Regression for the pass criterion: few circuits must NOT certify,
+    however many shots — sigma pools over circuits, not shots."""
+    eng = StateVectorEngine(Register(L=3, M=0), dtype=jnp.complex64)
+    res = run_quantum_volume(3, eng, num_circuits=4, shots=400, seed=7)
+    expect = res.mean_hop - 2.0 * np.sqrt(res.mean_hop * (1 - res.mean_hop) / 4)
+    assert abs(res.lower_2sigma - expect) < 1e-12
+    assert res.lower_2sigma < res.mean_hop - 0.05  # wide bound with nc=4
 
 
 def test_qv_passes_sharded():
@@ -74,7 +87,7 @@ def test_qv_passes_sharded():
 
     mesh = build_mesh(num_devices=4)
     eng = ShardedStateVectorEngine(Register(L=4, M=0), dtype=jnp.complex64, mesh=mesh)
-    res = run_quantum_volume(4, eng, num_circuits=6, shots=100, seed=2)
+    res = run_quantum_volume(4, eng, num_circuits=30, shots=60, seed=2)
     assert res.passed and res.quantum_volume == 16
 
 
