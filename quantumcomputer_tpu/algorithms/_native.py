@@ -26,10 +26,16 @@ def _find_lib() -> Optional[str]:
     checkout keeps native/libqc_classical.so next to the Makefile."""
     import glob as _glob
 
-    for cand in _glob.glob(os.path.join(_PKG_DIR, "libqc_classical*.so")) + [_LIB_PATH]:
-        if os.path.exists(cand):
-            return cand
-    return None
+    cands = [
+        c
+        for c in _glob.glob(os.path.join(_PKG_DIR, "libqc_classical*.so")) + [_LIB_PATH]
+        if os.path.exists(c)
+    ]
+    if not cands:
+        return None
+    # Newest build wins: an editable install leaves a package-local copy
+    # that would otherwise shadow a freshly rebuilt native/ library.
+    return max(cands, key=os.path.getmtime)
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
@@ -65,70 +71,87 @@ def load() -> Optional[ctypes.CDLL]:
             path = _LIB_PATH
         try:
             lib = ctypes.CDLL(path)
-        except OSError:
+            _bind(lib)
+        except (OSError, AttributeError):
+            # AttributeError: a stale library predating newer symbols —
+            # degrade to pure Python rather than crash at first use.
             return None
-        lib.qc_gcd.restype = ctypes.c_uint64
-        lib.qc_gcd.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
-        lib.qc_modpow.restype = ctypes.c_uint64
-        lib.qc_modpow.argtypes = [ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64]
-        lib.qc_cf_denominators.restype = None
-        lib.qc_cf_denominators.argtypes = [ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_uint64)]
-        lib.qc_find_period.restype = ctypes.c_int64
-        lib.qc_find_period.argtypes = [
-            ctypes.c_double,
-            ctypes.c_uint64,
-            ctypes.c_uint64,
-            ctypes.c_int,
-            ctypes.c_int,
-        ]
-        lib.qc_mult_order.restype = ctypes.c_uint64
-        lib.qc_mult_order.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
-        lib.qc_modinv.restype = ctypes.c_uint64
-        lib.qc_modinv.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
-        lib.qc_cycle_schedule.restype = None
-        lib.qc_cycle_schedule.argtypes = [
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.qc_combo_multipliers.restype = ctypes.c_int
-        lib.qc_combo_multipliers.argtypes = [
-            ctypes.c_uint64,
-            ctypes.POINTER(ctypes.c_uint64),
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint64),
-        ]
         _lib = lib
         return _lib
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    lib.qc_gcd.restype = ctypes.c_uint64
+    lib.qc_gcd.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
+    lib.qc_modpow.restype = ctypes.c_uint64
+    lib.qc_modpow.argtypes = [ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64]
+    lib.qc_cf_denominators.restype = None
+    lib.qc_cf_denominators.argtypes = [ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_uint64)]
+    lib.qc_find_period.restype = ctypes.c_int64
+    lib.qc_find_period.argtypes = [
+        ctypes.c_double,
+        ctypes.c_uint64,
+        ctypes.c_uint64,
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.qc_mult_order.restype = ctypes.c_uint64
+    lib.qc_mult_order.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
+    lib.qc_modinv.restype = ctypes.c_uint64
+    lib.qc_modinv.argtypes = [ctypes.c_uint64, ctypes.c_uint64]
+    lib.qc_cycle_schedule.restype = None
+    lib.qc_cycle_schedule.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.qc_combo_multipliers.restype = ctypes.c_int
+    lib.qc_combo_multipliers.argtypes = [
+        ctypes.c_uint64,
+        ctypes.POINTER(ctypes.c_uint64),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint64),
+    ]
 
 
 def available() -> bool:
     return load() is not None
 
 
+def _lib_or_raise() -> ctypes.CDLL:
+    lib = load()
+    if lib is None:
+        raise RuntimeError(
+            "native classical layer unavailable (no compiler/library; or "
+            "QC_TPU_DISABLE_NATIVE set) — check _native.available() first, "
+            "or use the pure-Python twins in algorithms/number_theory.py"
+        )
+    return lib
+
+
 def gcd(a: int, b: int) -> int:
-    return int(load().qc_gcd(a, b))
+    return int(_lib_or_raise().qc_gcd(a, b))
 
 
 def modpow(base: int, exp: int, mod: int) -> int:
-    return int(load().qc_modpow(base, exp, mod))
+    return int(_lib_or_raise().qc_modpow(base, exp, mod))
 
 
 def continued_fraction_denominators(omega: float, num_fractions: int) -> List[int]:
     buf = (ctypes.c_uint64 * num_fractions)()
-    load().qc_cf_denominators(omega, num_fractions, buf)
+    _lib_or_raise().qc_cf_denominators(omega, num_fractions, buf)
     return list(buf)
 
 
 def find_period_from_omega(omega: float, a: int, C: int, num_fractions: int, trials: int) -> Optional[int]:
-    p = int(load().qc_find_period(omega, a, C, num_fractions, trials))
+    p = int(_lib_or_raise().qc_find_period(omega, a, C, num_fractions, trials))
     return p if p > 0 else None
 
 
 def multiplicative_order(a: int, C: int) -> Optional[int]:
-    p = int(load().qc_mult_order(a, C))
+    p = int(_lib_or_raise().qc_mult_order(a, C))
     return p if p > 0 else None
 
 
@@ -143,7 +166,7 @@ def cycle_schedule(ginv):
     src_row = np.empty(rows, np.int32)
     prev_kind = np.empty(rows, np.int32)
     p = ctypes.POINTER(ctypes.c_int32)
-    load().qc_cycle_schedule(
+    _lib_or_raise().qc_cycle_schedule(
         g.ctypes.data_as(p), rows,
         out_row.ctypes.data_as(p), src_row.ctypes.data_as(p), prev_kind.ctypes.data_as(p),
     )
@@ -159,5 +182,5 @@ def combo_multipliers(C: int, A_list):
     a = np.ascontiguousarray(A_list, np.uint64)
     out = np.empty(1 << K, np.uint64)
     p64 = ctypes.POINTER(ctypes.c_uint64)
-    rc = load().qc_combo_multipliers(C, a.ctypes.data_as(p64), K, out.ctypes.data_as(p64))
+    rc = _lib_or_raise().qc_combo_multipliers(C, a.ctypes.data_as(p64), K, out.ctypes.data_as(p64))
     return out if rc == 0 else None

@@ -81,11 +81,10 @@ def grover_search(
 
         engine = StateVectorEngine(Register(L=n, M=0), dtype=jnp.complex64)
     # The engines reset to the Shor convention |0..01> (qc_shor.c:318-324);
-    # Grover is defined from |0..0>, so flip the reset bits first.
-    r0 = int(getattr(engine, "reset_index", 1))
-    pre = tuple(X(q) for q in range(n) if (r0 >> q) & 1)
-    circ = pre + grover_circuit(n, marked, iterations)
-    state = engine.run(circ)
+    # Grover is defined from |0..0> — start from zero_state(), which is
+    # layout-proof (no reset-bit decoding).
+    circ = grover_circuit(n, marked, iterations)
+    state = engine.run(circ, engine.zero_state())
     amp = engine.to_numpy(state)[marked]
     p_success = float(abs(amp) ** 2)
     idx, _ = engine.measure(state, key)

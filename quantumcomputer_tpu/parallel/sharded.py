@@ -449,6 +449,22 @@ def apply_gate_sharded_planes(re, im, g: Gate, *, n: int, M: int, d: int, me, ba
     return jnp.real(z).astype(re.dtype), jnp.imag(z).astype(re.dtype)
 
 
+def _fuse_mhigh_ladders(circuit, M: int, d: int):
+    """Fuse m_high oracle runs into composed ladders — but ONLY runs of
+    K >= D = 2^d: a fused ladder pays (D-1) full-shard ppermute rounds
+    while K packed singles pay ~K*(D-1)/D shards, so fusing shorter runs
+    moves MORE bytes (fuse_oracle_ladders min_run; ROADMAP item 2).
+    Eligibility keeps combo*f inside int32 (the kernels' index bound).
+    Shared by the complex and bf16-planes appliers so the two dtype modes
+    always fuse identical circuits."""
+    from quantumcomputer_tpu.sim.engine import fuse_oracle_ladders
+
+    def _eligible(g: Gate) -> bool:
+        return g.name == "camodc_high" and g.meta[0] * (1 << g.meta[2]) < (1 << 31)
+
+    return fuse_oracle_ladders(circuit, M, eligible=_eligible, min_run=1 << d)
+
+
 def apply_circuit_sharded_planes(
     re, im, circuit: Circuit, *, n: int, M: int, d: int, me, backend: str,
     fuse: bool = True, trace_norms: bool = False, tables=(), routes=(),
@@ -466,17 +482,7 @@ def apply_circuit_sharded_planes(
         return r, i_
 
     if fuse:
-        from quantumcomputer_tpu.sim.engine import fuse_oracle_ladders
-
-        def _eligible(g: Gate) -> bool:
-            return (
-                g.name == "camodc_high"
-                and g.meta[0] * (1 << g.meta[2]) < (1 << 31)
-            )
-
-        # min_run = D: below that, packed singles beat the ladder's
-        # (D-1) full-shard rotation rounds (see fuse_oracle_ladders).
-        circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible, min_run=1 << d)
+        circuit = _fuse_mhigh_ladders(circuit, M, d)
 
     n_local = n - d
     if backend != "pallas" or not fuse or n_local < 14:
@@ -595,19 +601,7 @@ def apply_circuit_sharded(
         return zz
 
     if fuse:
-        # m_high oracle runs fuse into composed ladders — but only runs of
-        # K >= D: the ladder pays (D-1) full-shard ppermute rounds while K
-        # packed singles pay ~K*(D-1)/D shards (fusing shorter runs moves
-        # MORE bytes; see fuse_oracle_ladders min_run).
-        from quantumcomputer_tpu.sim.engine import fuse_oracle_ladders
-
-        def _eligible(g: Gate) -> bool:
-            return (
-                g.name == "camodc_high"
-                and g.meta[0] * (1 << g.meta[2]) < (1 << 31)  # int32 combo*f bound
-            )
-
-        circuit = fuse_oracle_ladders(circuit, M, eligible=_eligible, min_run=1 << d)
+        circuit = _fuse_mhigh_ladders(circuit, M, d)
 
     n_local = n - d
     if backend != "pallas" or not fuse or n_local < 14:
@@ -646,6 +640,26 @@ def apply_circuit_sharded(
 from functools import lru_cache
 
 
+def _fill_offset_routes(src, delta_of, D: int, R: int, delta: int, send_idx, recv_dst):
+    """Fill one offset's packed send/recv tables IN PLACE ((D, K) views).
+    The ONE home of the routing convention — send padding gathers row 0,
+    recv padding points at row R (dropped by scatter mode='drop'), sender
+    p = (receiver - delta) % D, rows ordered as the receiver expects —
+    shared by the static schedule and the slot-route builder so the two
+    packed forms cannot silently diverge."""
+    for k in range(D):  # receiver
+        g = np.nonzero(delta_of[k * R:(k + 1) * R] == delta)[0]  # local dst rows
+        p = (k - delta) % D  # sender
+        send_idx[p, : g.size] = (src[k * R + g] % R).astype(np.int32)
+        recv_dst[k, : g.size] = g.astype(np.int32)
+
+
+def _local_source_rows(src, delta_of, D: int, R: int, rows):
+    """local_idx[k][r]: shard-local source row when it lives on k, else r
+    (identity placeholder, overwritten by the exchange scatter)."""
+    return np.where(delta_of == 0, src % R, rows % R).reshape(D, R).astype(np.int32)
+
+
 @lru_cache(maxsize=256)
 def _packed_exchange_schedule(C: int, atox: int, m_reg: int, d: int):
     """Static routing tables for the m_high oracle row exchange
@@ -676,7 +690,7 @@ def _packed_exchange_schedule(C: int, atox: int, m_reg: int, d: int):
     dst_dev = rows // R
     delta_of = (dst_dev - src_dev) % D
 
-    local_idx = np.where(delta_of == 0, src % R, rows % R).reshape(D, R).astype(np.int32)
+    local_idx = _local_source_rows(src, delta_of, D, R, rows)
 
     schedule = []
     for delta in range(1, D):
@@ -687,11 +701,7 @@ def _packed_exchange_schedule(C: int, atox: int, m_reg: int, d: int):
             continue
         send_idx = np.zeros((D, K), np.int32)
         recv_dst = np.full((D, K), R, np.int32)  # R = out-of-bounds -> dropped
-        for k in range(D):  # receiver
-            g = np.nonzero(delta_of[k * R:(k + 1) * R] == delta)[0]  # local dst rows
-            p = (k - delta) % D  # sender
-            send_idx[p, : g.size] = (src[k * R + g] % R).astype(np.int32)
-            recv_dst[k, : g.size] = g.astype(np.int32)
+        _fill_offset_routes(src, delta_of, D, R, delta, send_idx, recv_dst)
         schedule.append((delta, send_idx, recv_dst))
     return local_idx, tuple(schedule)
 
@@ -716,7 +726,7 @@ def _apply_rows_packed(planes, C: int, atox: int, m_reg: int, d: int, me):
     return outs
 
 
-@lru_cache(maxsize=64)
+@lru_cache(maxsize=8)
 def packed_slot_routes(C: int, a: int, L: int, m_reg: int, d: int):
     """Packed routing OPERANDS for the slot (compile-once) m_high mesh
     oracle (ROADMAP r3 item 3 — the hybrid): the round structure (all D-1
@@ -760,15 +770,13 @@ def packed_slot_routes(C: int, a: int, L: int, m_reg: int, d: int):
     routes = []
     for src in srcs:
         delta_of = (dst_dev - src // R) % D
-        local_idx = np.where(delta_of == 0, src % R, rows % R).reshape(D, R).astype(np.int32)
+        local_idx = _local_source_rows(src, delta_of, D, R, rows)
         send_idx = np.zeros((D, D - 1, k_pad), np.int32)
         recv_dst = np.full((D, D - 1, k_pad), R, np.int32)
         for delta in range(1, D):
-            for k in range(D):  # receiver
-                g = np.nonzero(delta_of[k * R:(k + 1) * R] == delta)[0]
-                p = (k - delta) % D  # sender
-                send_idx[p, delta - 1, : g.size] = (src[k * R + g] % R).astype(np.int32)
-                recv_dst[k, delta - 1, : g.size] = g.astype(np.int32)
+            _fill_offset_routes(
+                src, delta_of, D, R, delta, send_idx[:, delta - 1], recv_dst[:, delta - 1]
+            )
         routes.append((local_idx, send_idx, recv_dst))
     return tuple(routes)
 
@@ -1401,28 +1409,16 @@ class ShardedStateVectorEngine:
         (same two-level inverse-CDF as measure())."""
         fn = self._run_cache.get(("__sample__", shots))
         if fn is None:
-            n = self.register.n
             rdtype = self.real_dtype
 
             def body(planar, k):
-                me = lax.axis_index(AXIS)
-                ls = planar.shape[-1]
                 probs = sv.probabilities(planar)  # f32-accumulated for bf16
                 rs = jax.random.uniform(k, (shots,), dtype=_acc_dtype(rdtype))  # same on all shards
-                totals = lax.all_gather(jnp.sum(probs), AXIS)  # (D,)
-                cum_dev = jnp.cumsum(totals)
-                scaled = rs * cum_dev[-1]
-                dev = jnp.minimum(jnp.searchsorted(cum_dev, scaled, side="left"), totals.shape[0] - 1)
-                offset = cum_dev[dev] - totals[dev]
-                local_cum = jnp.cumsum(probs)
-                li = jnp.minimum(
-                    jnp.searchsorted(local_cum, scaled - offset, side="left"), ls - 1
-                )
-                # dev is identical on all shards; only the owning shard's
-                # local pick survives the psum.  (device, local) int32
-                # pairs compose on the host — int32-safe at any n.
-                loc = lax.psum(jnp.where(dev == me, li.astype(jnp.int32), 0), AXIS)
-                return dev.astype(jnp.int32), loc
+                # The shared pick handles the (shots,) vector draw; scaling
+                # by the global total normalizes bf16 probability drift.
+                # (device, local) int32 pairs compose on the host —
+                # int32-safe at any n.
+                return two_level_pick(probs, rs, scale_by_total=True)
 
             smapped = jax.shard_map(
                 body, mesh=self.mesh, in_specs=(P(None, AXIS), P()), out_specs=(P(), P()),
