@@ -198,34 +198,18 @@ def bench_semiclassical(M: int = 28, reps: int = 3):
 
 
 def _backend_init_or_die(timeout_s: float = 420.0):
-    """First device contact with a hard deadline: when the axon tunnel is
-    down, even jax.devices() blocks indefinitely (observed >300 s) — fail
-    fast with a diagnostic instead of hanging the driver's bench run.
-    420 s covers the legitimate 60-130 s first-contact overhead."""
-    import os
-    import sys
-    import threading
+    """First device contact with a hard deadline (utils/backend): when the
+    axon tunnel is down even jax.devices() blocks indefinitely — fail fast,
+    and still emit the one-JSON-line contract so the driver records a
+    parseable diagnostic (value 0 + explicit error marker, never a
+    fabricated measurement)."""
+    from quantumcomputer_tpu.utils.backend import devices_or_die
 
-    done = threading.Event()
+    def emit_error_json(msg: str) -> None:
+        print(json.dumps({"metric": "error", "value": 0, "unit": "none",
+                          "vs_baseline": 0, "error": msg}), flush=True)
 
-    def watchdog():
-        if not done.wait(timeout_s):
-            msg = (
-                f"TPU backend init exceeded {timeout_s:.0f}s (tunnel down?); "
-                "aborted without a measurement"
-            )
-            print(f"bench: {msg}", file=sys.stderr)
-            # Still emit the one-JSON-line contract so the driver records a
-            # parseable diagnostic instead of empty output: value 0 with an
-            # explicit error marker, never a fabricated measurement.
-            print(json.dumps({"metric": "error", "value": 0, "unit": "none",
-                              "vs_baseline": 0, "error": msg}), flush=True)
-            os._exit(1)
-
-    threading.Thread(target=watchdog, daemon=True).start()
-    devs = jax.devices()
-    done.set()
-    return devs
+    return devices_or_die(timeout_s, on_timeout=emit_error_json)
 
 
 def main():

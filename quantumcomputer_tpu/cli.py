@@ -132,7 +132,9 @@ def validate(args: argparse.Namespace) -> Optional[str]:
         or args.dtype in ("complex32", "dd64")
     ):
         return "strict-reference mode is single-chip, standard layout, xla backend, complex64/128."
-    if args.dtype == "complex32" and args.backend == "xla":
+    if args.dtype == "complex32" and args.backend == "xla" and not args.semiclassical:
+        # Semiclassical mode has no backend knob (the engine is its own
+        # planar program suite) and supports complex32 natively.
         return "complex32 requires the pallas backend (no 32-bit complex dtype exists)."
     if args.L <= 0:
         return "L is invalid (must be positive)."
@@ -204,11 +206,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
         print(" --- complex128 parity mode runs on CPU (TPU has no float64 hardware).")
         jax.config.update("jax_platforms", "cpu")
 
+    from quantumcomputer_tpu.utils.backend import apply_platform_override, devices_or_die
+
+    apply_platform_override()  # QC_TPU_PLATFORM=cpu escape hatch
     backend = args.backend
     if backend == "auto":
-        import jax
-
-        backend = "pallas" if any(d.platform == "tpu" for d in jax.devices()) else "xla"
+        # devices_or_die: a dead TPU tunnel blocks jax.devices() forever —
+        # bound the first contact instead of hanging the CLI (bench.py has
+        # the same guard).
+        backend = "pallas" if any(d.platform == "tpu" for d in devices_or_die()) else "xla"
     if args.dtype == "complex32":
         backend = "pallas"  # no 32-bit complex dtype; off-TPU runs interpret-mode kernels
     if args.strict_reference:

@@ -310,6 +310,25 @@ def _attempt_fn(L: int, M: int, d: int, rdtype, cap: int, mesh):
 
 # -- host driver ------------------------------------------------------------
 
+# Per-chip peak of the fused sharded attempt, in local-shard units: the
+# (2, ls) shard, the rotated branch a1, the all_to_all send+recv exchange
+# buffers (~1 shard each at the balanced capacity), and fori_loop carry
+# double-buffering.  Conservative (validated against the single-chip
+# _FUSED_STATES_HEADROOM=4 + exchange; unmeasured on real multi-chip).
+_SHARD_STATES_HEADROOM = 6
+
+
+def sharded_attempt_fits(M: int, rdtype, d: int) -> bool:
+    """Does one fused sharded attempt at M work-qubits fit a 2^d-device
+    mesh of this chip?  Mirrors semiclassical.fused_attempt_fits for the
+    mesh: the budget check the driver runs BEFORE dispatch, so an
+    oversized shard raises a descriptive ValueError instead of an opaque
+    RESOURCE_EXHAUSTED mid-attempt."""
+    from quantumcomputer_tpu.utils.memory import device_hbm_budget
+
+    shard_bytes = 2 * (1 << (M - d)) * jnp.dtype(rdtype).itemsize
+    return _SHARD_STATES_HEADROOM * shard_bytes <= device_hbm_budget()
+
 
 def run_semiclassical_sharded(
     C: int,
@@ -343,6 +362,16 @@ def run_semiclassical_sharded(
     if M - d < 1:
         raise ValueError(f"M={M} too small for 2^{d} devices (no local work rows)")
     rdtype = sv.real_dtype_of(dtype)
+    if not sharded_attempt_fits(M, rdtype, d):
+        from quantumcomputer_tpu.utils.memory import device_hbm_budget
+
+        raise ValueError(
+            f"M={M} at {jnp.dtype(rdtype).name} needs ~"
+            f"{_SHARD_STATES_HEADROOM * 2 * (1 << (M - d)) * jnp.dtype(rdtype).itemsize / 2**30:.1f} GiB "
+            f"per chip (shard + exchange buffers + fori_loop double-buffer) — "
+            f"exceeds the {device_hbm_budget() / 2**30:.1f} GiB device budget. "
+            f"Use more devices, complex32, or a smaller M."
+        )
 
     # Step s applies the controlled a^(2^(L-1-s)) mod C multiply; the
     # multipliers, inverses, and exact exchange capacity are the only host
@@ -361,9 +390,17 @@ def run_semiclassical_sharded(
             )
         forces = np.asarray(forced_bits, np.int32)
 
-    ck = (L, M, d, cap, jnp.dtype(rdtype).name, id(mesh))
+    # Key by mesh CONTENT (device ids + axes), not id(mesh): a process that
+    # builds a fresh Mesh per call would otherwise accumulate one pinned
+    # (mesh, compiled program) pair per invocation forever; identical
+    # meshes legitimately share the compiled program.  Bounded as a
+    # backstop against many distinct geometries in one process.
+    mesh_key = (tuple(dev.id for dev in mesh.devices.flat), mesh.axis_names)
+    ck = (L, M, d, cap, jnp.dtype(rdtype).name, mesh_key)
     fn = _cache.get(ck)
     if fn is None:
+        if len(_cache) >= 32:
+            _cache.pop(next(iter(_cache)))  # FIFO evict
         fn = _cache[ck] = _attempt_fn(L, M, d, rdtype, cap, mesh)
 
     bits_d, probs_d, oflow = fn(

@@ -110,13 +110,21 @@ def run_with_checkpoints(
     segments = [circuit[i : i + segment_gates] for i in range(0, len(circuit), segment_gates)]
     start_seg = 0
     if resume:
-        last = latest_segment(directory)
-        # last == len(segments) means every segment (including the final
+        # Scan from the NEWEST segment down to the first VALID one (the
+        # semiclassical resume's strategy): a single stale higher-numbered
+        # snapshot — e.g. left by a longer run that shared the directory —
+        # must not permanently disable resume (it used to: only the highest
+        # number was tried, so every rerun cold-started and a preemption
+        # interval shorter than a full run could livelock the job).
+        # seg == len(segments) means every segment (including the final
         # one) is already snapshotted: load it and skip the loop entirely.
-        if last is not None and 0 < last <= len(segments):
+        expected_planes = 4 if getattr(engine, "backend", "") == "dd" else 2
+        for seg in reversed(all_segments(directory)):
+            if not (0 < seg <= len(segments)):
+                continue
             try:
                 sharding = getattr(engine, "sharding", None)
-                st, meta = load_state(_segment_path(directory, last), sharding)
+                st, meta = load_state(_segment_path(directory, seg), sharding)
                 # segment index alone is ambiguous across segmentations
                 # (segment k == "k*segment_gates gates applied"), so a
                 # snapshot taken under a different segment_gates would map
@@ -124,10 +132,9 @@ def run_with_checkpoints(
                 # dd engines carry four planes; complex engines two.  A
                 # plane-count mismatch (e.g. an old 2-plane snapshot fed to
                 # a dd64 resume) must cold-start, not corrupt.
-                expected_planes = 4 if getattr(engine, "backend", "") == "dd" else 2
                 if (
                     meta.get("fingerprint") == fp
-                    and meta.get("segment") == last
+                    and meta.get("segment") == seg
                     and meta.get("segment_gates") == segment_gates
                     and st.shape[0] == expected_planes
                     # Plane dtype must match the engine: resuming an f32
@@ -137,21 +144,20 @@ def run_with_checkpoints(
                     and st.dtype == getattr(engine, "real_dtype", st.dtype)
                 ):
                     state = st
-                    start_seg = last
-                else:
-                    log.warning(
-                        "checkpoint %s rejected (fingerprint/segmentation/"
-                        "dtype mismatch); restarting from gate 0",
-                        _segment_path(directory, last),
-                    )
+                    start_seg = seg
+                    break
+                log.warning(
+                    "checkpoint %s rejected (fingerprint/segmentation/"
+                    "dtype mismatch); trying older segments",
+                    _segment_path(directory, seg),
+                )
             except Exception as e:  # corrupt/unreadable snapshot
                 # A silent cold restart is indistinguishable from a resume
                 # on a long run — surface the reason (VERDICT r2, weak #7).
                 log.warning(
-                    "failed to load checkpoint %s (%s: %s); restarting from gate 0",
-                    _segment_path(directory, last), type(e).__name__, e,
+                    "failed to load checkpoint %s (%s: %s); trying older segments",
+                    _segment_path(directory, seg), type(e).__name__, e,
                 )
-                start_seg = 0
     if state is None:
         state = engine.initial_state()
     for seg in range(start_seg, len(segments)):

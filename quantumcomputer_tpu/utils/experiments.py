@@ -47,7 +47,10 @@ def omega_histogram(
     hist: Counter = Counter()
     for _ in range(runs):
         key, sub = jax.random.split(key)
-        idx, _ = engine.run_and_measure(circuit, sub)
+        # Scalar-output form: the collapsed state is never used here, and
+        # the state-passing run_and_measure needs TWO live state buffers —
+        # this one fits at the single-chip memory ceiling.
+        idx = int(engine.run_and_measure_index(circuit, sub))
         if mhigh:
             idx = engine.logical_index(idx)
         hist[read_omega(idx, L, M)] += 1
@@ -62,6 +65,16 @@ def norm_deviation_trace(C: int, a: int, L: int, M: int, engine: Optional[StateV
     from quantumcomputer_tpu.utils.profiling import norm_trace
 
     if engine is None:
+        if not jax.config.jax_enable_x64:
+            # Without x64 every array creation silently downcasts to f32
+            # and the "double-precision" trace would report f32 noise
+            # (~1e-7) instead of the documented ~1e-15.  The CLI enables
+            # x64 for its complex128 path; do the same here, scoped.
+            from jax.experimental import enable_x64
+
+            with enable_x64():
+                engine = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+                return norm_trace(engine, shor_circuit_reference(C, a, L, M))
         engine = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
     return norm_trace(engine, shor_circuit_reference(C, a, L, M))
 
@@ -146,14 +159,13 @@ def fig3_scaling(
     Returns (rows_L, rows_M): lists of (L, M, n, seconds).  backend=None
     auto-selects like the CLI: pallas on TPU, xla elsewhere (interpret-mode
     Pallas kernels off-TPU would be orders of magnitude slower)."""
-    from quantumcomputer_tpu.sim.engine import StateVectorEngine as Eng
     from quantumcomputer_tpu.utils.profiling import time_circuit_folded
 
     if backend is None:
         backend = "pallas" if any(d.platform == "tpu" for d in jax.devices()) else "xla"
 
     def one(L, M):
-        eng = Eng(Register(L=L, M=M), dtype=dtype, backend=backend)
+        eng = StateVectorEngine(Register(L=L, M=M), dtype=dtype, backend=backend)
         circ = shor_circuit(C, a, L, M)
         return time_circuit_folded(eng, circ, iters=iters)
 

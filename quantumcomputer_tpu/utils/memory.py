@@ -39,7 +39,20 @@ def device_hbm_budget(device=None) -> int:
     global _cached
     env = os.environ.get("QC_TPU_HBM_BYTES")
     if env:
-        return int(env)
+        try:
+            val = int(env)
+        except ValueError:
+            val = -1
+        if val > 0:
+            return val
+        # Malformed or non-positive: fall back rather than raising an
+        # uncontextualized ValueError (or a zero budget that fails every
+        # fits() check) from deep inside program planning.
+        from quantumcomputer_tpu.utils.logging import get_logger
+
+        get_logger("memory").warning(
+            "ignoring invalid QC_TPU_HBM_BYTES=%r (want a positive byte count)", env
+        )
     if device is None:
         if _cached is not None:
             return _cached

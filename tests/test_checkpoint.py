@@ -278,3 +278,33 @@ def test_checkpoint_wins_over_very_verbose(tmp_path, monkeypatch):
     find_period(eng, 15, 7, jax.random.PRNGKey(1), checkpoint_dir=ckdir,
                 checkpoint_segment_gates=3)
     assert wrote, "-V run never wrote a checkpoint snapshot"
+
+
+def test_resume_skips_stale_higher_segment(tmp_path):
+    """A stale HIGHER-numbered snapshot (e.g. from a longer run sharing the
+    directory) must not disable resume: the scan walks down to the first
+    VALID segment instead of trying only the highest number and
+    cold-starting forever."""
+    C, a, L, M = 15, 7, 3, 4
+    circ = shor_circuit(C, a, L, M)
+    eng = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128)
+    ckpt.run_with_checkpoints(eng, circ, str(tmp_path), segment_gates=2)
+    total = ckpt.latest_segment(str(tmp_path))
+    # Simulate preemption at segment total-2, plus a stale valid-looking
+    # snapshot at a higher number from a DIFFERENT circuit.
+    for s in (total, total - 1):
+        os.remove(str(tmp_path / f"segment_{s:05d}.npz"))
+    stale = ckpt._segment_path(str(tmp_path), total + 3)
+    ckpt.save_state(
+        stale, eng.initial_state(),
+        {"fingerprint": "feedfacedeadbeef", "segment": total + 3,
+         "segment_gates": 2, "n": L + M},
+    )
+    resumed = eng.to_numpy(ckpt.run_with_checkpoints(eng, circ, str(tmp_path), segment_gates=2))
+    want = ref.shor_circuit(C, a, L, M)
+    np.testing.assert_allclose(resumed, want, atol=1e-12)
+    # And a corrupt highest-numbered file must also fall through to the
+    # next valid one.
+    open(ckpt._segment_path(str(tmp_path), total + 5), "wb").write(b"garbage")
+    resumed2 = eng.to_numpy(ckpt.run_with_checkpoints(eng, circ, str(tmp_path), segment_gates=2))
+    np.testing.assert_allclose(resumed2, want, atol=1e-12)

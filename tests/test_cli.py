@@ -137,3 +137,19 @@ def test_main_complex32_very_verbose(capsys):
     assert rc == 0
     assert "Applying Hadamard matrices." in out
     assert "Factors of 15 found: (5, 3)." in out
+
+
+def test_semiclassical_complex32_ignores_backend():
+    """--semiclassical has no backend knob: complex32 + the default xla
+    backend must validate (the engine is its own planar program suite)."""
+    p = build_parser()
+    args = p.parse_args(
+        ["-C", "15", "-L", "6", "-M", "4", "--semiclassical",
+         "--dtype", "complex32", "--backend", "xla"]
+    )
+    assert validate(args) is None
+    # The full-register path still rejects the combination.
+    args2 = p.parse_args(
+        ["-C", "15", "-L", "3", "-M", "4", "--dtype", "complex32", "--backend", "xla"]
+    )
+    assert validate(args2) is not None

@@ -56,8 +56,8 @@ def test_table1_detects_broken_distribution():
         layout = "standard"
         register = Register(L=3, M=4)
 
-        def run_and_measure(self, circuit, key):
-            return 16, None  # always the same index -> omega = 0 always
+        def run_and_measure_index(self, circuit, key):
+            return 16  # always the same index -> omega = 0 always
 
         def logical_index(self, idx):
             return idx

@@ -209,3 +209,44 @@ def test_sharded_exchange_dtype_is_bf16_at_complex32():
     m = re.findall(r'"tpu.all_to_all"[^\n]*|stablehlo\.custom_call[^\n]*all_to_all[^\n]*|%\d+ = [^\n]*all_to_all[^\n]*', txt)
     assert m, "no all_to_all found in lowered module"
     assert any("bf16" in line for line in m), m
+
+
+def test_sharded_memory_gate(monkeypatch):
+    """An oversized per-chip shard must raise a descriptive ValueError
+    before dispatch, not an opaque device OOM mid-attempt."""
+    import pytest
+
+    from quantumcomputer_tpu.parallel.mesh import build_mesh
+    from quantumcomputer_tpu.parallel.sharded_semiclassical import (
+        run_semiclassical_sharded,
+        sharded_attempt_fits,
+    )
+    from quantumcomputer_tpu.utils import memory as qmem
+
+    monkeypatch.setenv("QC_TPU_HBM_BYTES", str(1 << 20))  # 1 MiB chip
+    assert not sharded_attempt_fits(20, jnp.float32, 2)
+    assert sharded_attempt_fits(12, jnp.float32, 2)
+    mesh = build_mesh(num_devices=4)
+    with pytest.raises(ValueError, match="exceeds the .* device budget"):
+        run_semiclassical_sharded(64901, 2, 4, 17, jax.random.PRNGKey(0), mesh)
+
+
+def test_mesh_cache_keyed_by_content():
+    """The compiled-program cache keys by mesh CONTENT (device ids + axis
+    names), never id(mesh): a process building fresh meshes cannot
+    accumulate one pinned program per Mesh object."""
+    from quantumcomputer_tpu.parallel.mesh import build_mesh
+    from quantumcomputer_tpu.parallel.sharded_semiclassical import (
+        run_semiclassical_sharded,
+    )
+
+    mesh = build_mesh(num_devices=4)
+    cache: dict = {}
+    r1 = run_semiclassical_sharded(15, 2, 4, 4, jax.random.PRNGKey(3), mesh, _cache=cache)
+    (key,) = cache.keys()
+    # The mesh component of the key is (device ids, axis names) — plain
+    # data, not an object identity.
+    dev_ids, axes = key[-1]
+    assert dev_ids == tuple(d.id for d in mesh.devices.flat) and axes == mesh.axis_names
+    r2 = run_semiclassical_sharded(15, 2, 4, 4, jax.random.PRNGKey(3), mesh, _cache=cache)
+    assert len(cache) == 1 and r1.bits == r2.bits
