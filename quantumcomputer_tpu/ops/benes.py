@@ -9,8 +9,9 @@ exactly 2M-1 such stages:
 
     bits  M-1, M-2, ..., 1, 0, 1, ..., M-2, M-1
 
-each stage s carrying a boolean mask over element pairs: pair (p, p^2^b)
-is exchanged iff mask[p & ~(1<<b)].  The masks are computed here on the
+each stage s carrying a boolean mask over ELEMENTS: element p exchanges
+with p ^ 2^b iff mask[p] == 1 (full-size (2^k,) masks, symmetric within
+each pair — see benes_route).  The masks are computed here on the
 host (Waksman's recursive 2-coloring, O(M 2^M)) and shipped to the kernel
 as tiny tables; the kernel then applies the whole oracle in ONE HBM pass
 with ~2M-1 in-VMEM roll+select steps (ops/pallas_fused.py).
@@ -47,8 +48,6 @@ def benes_route(pi: np.ndarray) -> List[Tuple[int, np.ndarray]]:
         idx = np.arange(size)
         swapped = np.where(mask == 1, partner[idx ^ (1 << bit)], partner)
         x = swapped
-    out = np.empty(size, dtype=np.int64)
-    out[pi] = np.arange(size)  # out[j] = element that must land at j... check below
     # x[p] is the element now at slot p; need element i at slot pi[i]:
     want = np.empty(size, dtype=np.int64)
     want[pi] = np.arange(size)

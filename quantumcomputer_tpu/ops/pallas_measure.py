@@ -159,10 +159,16 @@ def sample_indices(planar: jax.Array, rs: jax.Array) -> jax.Array:
 
 
 def sample_index_planes(re: jax.Array, im: jax.Array, r: jax.Array) -> jax.Array:
-    """Hierarchical inverse-CDF sample from separate planes (traced)."""
+    """Hierarchical inverse-CDF sample from separate planes (traced).
+
+    The draw is scaled by the total probability, matching the batched
+    sampler above: for a bf16 state whose |amp|^2 total drifts below 1,
+    an unscaled draw in (total, 1) would fall through to the LAST basis
+    index with the excess probability — the two samplers must agree."""
     sums = block_prob_sums_planes(re, im)
     cum = jnp.cumsum(sums)
-    b = jnp.minimum(jnp.searchsorted(cum, r.astype(cum.dtype), side="left"), sums.shape[0] - 1)
+    scaled = r.astype(cum.dtype) * cum[-1]
+    b = jnp.minimum(jnp.searchsorted(cum, scaled, side="left"), sums.shape[0] - 1)
     offset = cum[b] - sums[b]
     # local scan within the picked block
     _, block = _block_geom(re.shape[-1])
@@ -171,7 +177,7 @@ def sample_index_planes(re: jax.Array, im: jax.Array, r: jax.Array) -> jax.Array
     lre = jax.lax.dynamic_slice(re, (start,), (block,)).astype(acc)
     lim = jax.lax.dynamic_slice(im, (start,), (block,)).astype(acc)
     local = jnp.cumsum(lre * lre + lim * lim)
-    li = jnp.minimum(jnp.searchsorted(local, (r - offset).astype(local.dtype), side="left"), block - 1)
+    li = jnp.minimum(jnp.searchsorted(local, (scaled - offset).astype(local.dtype), side="left"), block - 1)
     return start + li
 
 

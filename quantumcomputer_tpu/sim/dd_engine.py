@@ -263,18 +263,16 @@ class DDStateVectorEngine:
 
     # -- execution -------------------------------------------------------------
 
-    def _apply_circuit(self, planar4, circuit: Circuit, trace_norms: bool = False):
+    def _apply_circuit(self, planar4, circuit: Circuit):
         M = self.register.M
         re, im = _unpack(planar4)
-        norms = []
         for g in circuit:
             re, im = apply_gate_dd(re, im, g, M)
-            if trace_norms:
-                norms.append(jnp.stack(_norm_dd(re, im)))
-        out = _pack(re, im)
-        if trace_norms:
-            return out, (jnp.stack(norms) if norms else jnp.zeros((0, 2), jnp.float32))
-        return out
+            if self.nan_checks:
+                from quantumcomputer_tpu.sim.engine import _nan_hook_planes
+
+                _nan_hook_planes(re[0] + re[1], im[0] + im[1], f"{g.name}{g.qubits}")
+        return _pack(re, im)
 
     def _gate_fn(self, g: Gate) -> Callable:
         """One compiled program per distinct gate (donating the input)."""
@@ -282,11 +280,16 @@ class DDStateVectorEngine:
         fn = self._run_cache.get(key)
         if fn is None:
             M = self.register.M
+            nan_checks = self.nan_checks
 
             @partial(jax.jit, donate_argnums=(0,))
             def fn(p):
                 re, im = _unpack(p)
                 re, im = apply_gate_dd(re, im, g, M)
+                if nan_checks:
+                    from quantumcomputer_tpu.sim.engine import _nan_hook_planes
+
+                    _nan_hook_planes(re[0] + re[1], im[0] + im[1], f"{g.name}{g.qubits}")
                 return _pack(re, im)
 
             self._run_cache[key] = fn
@@ -308,20 +311,26 @@ class DDStateVectorEngine:
             state = self._gate_fn(g)(state)
         return state
 
+    def _norm_hilo_fn(self) -> Callable:
+        """The one compiled (hi, lo)-norm program (shared by norm() and
+        run_with_norms — identical bodies previously compiled twice)."""
+        fn = self._run_cache.get("__norm__")
+        if fn is None:
+
+            @jax.jit
+            def fn(p):
+                re, im = _unpack(p)
+                return jnp.stack(_norm_dd(re, im))
+
+            self._run_cache["__norm__"] = fn
+        return fn
+
     def run_with_norms(self, circuit: Circuit, state: Optional[jax.Array] = None):
         """Per-gate dd norm trace; returns (state, norms) with norms a
         float64 host array combined from the dd (hi, lo) pairs."""
         if state is None:
             state = self.initial_state()
-        nfn = self._run_cache.get("__norm_hilo__")
-        if nfn is None:
-
-            @jax.jit
-            def nfn(p):
-                re, im = _unpack(p)
-                return jnp.stack(_norm_dd(re, im))
-
-            self._run_cache["__norm_hilo__"] = nfn
+        nfn = self._norm_hilo_fn()
         norms = []
         for g in circuit:
             state = self._gate_fn(g)(state)
@@ -349,7 +358,14 @@ class DDStateVectorEngine:
     def run_norm(self, circuit: Circuit) -> float:
         """Reset -> circuit -> norm as ONE compiled program whose only
         output is the (hi, lo) norm pair — the API-uniform counterpart of
-        StateVectorEngine.run_norm, recombined in f64 on the host."""
+        StateVectorEngine.run_norm, recombined in f64 on the host.
+
+        On backends where whole-circuit fusion corrupts the EFTs
+        (fuse_program False — XLA:CPU, class docstring), falls back to the
+        per-gate dispatch path: the folded one-program form would rebuild
+        exactly the multi-gate fusion context the guard exists to avoid."""
+        if not self.fuse_program:
+            return self.norm(self.run(circuit, self.initial_state()))
         ck = (circuit, "norm")
         fn = self._run_cache.get(ck)
         if fn is None:
@@ -366,7 +382,12 @@ class DDStateVectorEngine:
     def run_and_measure_index(self, circuit: Circuit, key: jax.Array) -> int:
         """Reset -> circuit -> measured index as ONE compiled program with a
         SCALAR output (no collapsed-state buffer; same draw convention as
-        _measure_dd_impl)."""
+        _measure_dd_impl).  Per-gate fallback when fuse_program is False
+        (same EFT-corruption guard as run_norm)."""
+        if not self.fuse_program:
+            state = self.run(circuit, self.initial_state())
+            idx, _ = _measure_dd(state, key)
+            return int(idx)
         ck = (circuit, "measure_idx")
         fn = self._run_cache.get(ck)
         if fn is None:
@@ -402,16 +423,7 @@ class DDStateVectorEngine:
         return (re[0] + re[1]) ** 2 + (im[0] + im[1]) ** 2
 
     def norm(self, state: jax.Array) -> float:
-        fn = self._run_cache.get("__norm__")
-        if fn is None:
-
-            @jax.jit
-            def fn(p):
-                re, im = _unpack(p)
-                return jnp.stack(_norm_dd(re, im))
-
-            self._run_cache["__norm__"] = fn
-        hi_lo = np.asarray(fn(state), np.float64)
+        hi_lo = np.asarray(self._norm_hilo_fn()(state), np.float64)
         return float(hi_lo[0] + hi_lo[1])
 
     def to_numpy(self, state: jax.Array) -> np.ndarray:

@@ -160,3 +160,41 @@ def test_dd_folded_scalar_programs():
     idx_only = eng.run_and_measure_index(circ, key)
     idx_full, _ = eng.run_and_measure(circ, key)
     assert idx_only == idx_full
+
+
+def test_dd_folded_forms_respect_fuse_guard():
+    """run_norm / run_and_measure_index must NOT rebuild a whole-circuit
+    fused program when fuse_program is False (XLA:CPU corrupts dd EFTs in
+    multi-gate fusion contexts): the fallback routes through the per-gate
+    dispatch path, so a LONG circuit keeps dd-grade norm accuracy."""
+    import jax
+
+    from quantumcomputer_tpu.models.shor_circuit import shor_circuit_reference
+
+    # Gate-for-gate form: 60+ individual gates (the regime where fused CPU
+    # programs measurably corrupt EFTs, ~1e-8 amplitude error).
+    C, a, L, M = 21, 2, 6, 5
+    circ = shor_circuit_reference(C, a, L, M)
+    assert len(circ) > 25
+    eng = DDStateVectorEngine(Register(L=L, M=M))
+    assert eng.fuse_program is False  # CPU test environment
+    assert abs(eng.run_norm(circ) - 1.0) < 1e-12
+    idx = eng.run_and_measure_index(circ, jax.random.PRNGKey(3))
+    state = eng.run(circ, eng.initial_state())
+    idx2, _ = eng.measure(state, jax.random.PRNGKey(3))
+    assert idx == idx2
+
+
+def test_dd_nan_checks_wired(capfd):
+    """nan_checks=True actually inserts the in-program non-finite hook
+    (it used to be stored and ignored)."""
+    import jax
+
+    eng = DDStateVectorEngine(Register(L=2, M=2), nan_checks=True)
+    bad = jnp.full((4, 16), jnp.inf, jnp.float32)
+    from quantumcomputer_tpu.models.circuit import H
+
+    out = eng.run((H(0),), bad)
+    jax.block_until_ready(out)
+    captured = capfd.readouterr()
+    assert "non-finite" in captured.out + captured.err

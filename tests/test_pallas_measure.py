@@ -125,3 +125,19 @@ def test_block_geom_large_states():
         assert rows // block_rows <= max(pm.MAX_BLOCKS, rows // pm.BLOCK_ROWS)
         if rows // pm.BLOCK_ROWS > pm.MAX_BLOCKS:
             assert rows // block_rows == pm.MAX_BLOCKS
+
+
+def test_single_and_batch_samplers_agree_unnormalized():
+    """sample_index_planes scales its draw by the total like the batched
+    sampler: on an UNNORMALIZED state (bf16-style drift, total < 1) a
+    near-1 draw must not fall through to the last basis index."""
+    dim = 1 << 16
+    re = np.zeros(dim, np.float32)
+    re[5] = np.sqrt(0.5)
+    re[dim // 2] = np.sqrt(0.4)  # total 0.9 < 1
+    im = np.zeros(dim, np.float32)
+    rej, imj = jnp.asarray(re), jnp.asarray(im)
+    r = jnp.asarray(0.97, jnp.float32)  # in (total, 1): old code -> dim-1
+    single = int(pm.sample_index_planes(rej, imj, r))
+    batch = int(pm.sample_indices_planes(rej, imj, jnp.asarray([0.97], jnp.float32))[0])
+    assert single == batch == dim // 2
