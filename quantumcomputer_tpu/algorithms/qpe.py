@@ -209,8 +209,9 @@ def run_semiclassical_qpe(
     distribution-parity test hook."""
     if t > 52:
         raise ValueError(f"t={t} > 52 exceeds the float64 phase mantissa (x / 2^t)")
-    if forced_bits is not None and len(forced_bits) != t:
-        raise ValueError(f"forced_bits has {len(forced_bits)} entries; expected t={t}")
+    from quantumcomputer_tpu.algorithms.semiclassical import validate_forced_bits
+
+    forced_bits = validate_forced_bits(forced_bits, t, "t")
     from quantumcomputer_tpu.sim.engine import Register, StateVectorEngine
 
     rdtype = sv.real_dtype_of(dtype)

@@ -78,6 +78,25 @@ from quantumcomputer_tpu.sim import statevec as sv
 _GATHER_BLOCK_LOG = 22
 
 
+def validate_forced_bits(forced_bits, n: int, what: str = "L"):
+    """The ONE forced-bits validator (shared by every semiclassical entry
+    point): length must equal the step count — the fused fori_loop gathers
+    forces[s] where out-of-bounds CLAMPS instead of raising, so a short
+    list would silently force the tail steps — and values must be 0/1:
+    any other value reaches collapse_from_a1's sign = 1-2*bit, producing a
+    non-physical state and NaN branch probabilities with no error."""
+    if forced_bits is None:
+        return None
+    if len(forced_bits) != n:
+        raise ValueError(
+            f"forced_bits has {len(forced_bits)} entries; expected {what}={n}"
+        )
+    bits = [int(b) for b in forced_bits]
+    if any(b not in (0, 1) for b in bits):
+        raise ValueError(f"forced_bits must be 0/1, got {list(forced_bits)!r}")
+    return bits
+
+
 def _compute_dtype(rdtype):
     """All scalar/reduction arithmetic runs in at least f32: bf16 storage
     (complex32) keeps amplitudes compact, but angles (cos/sin of a
@@ -369,13 +388,9 @@ def run_semiclassical(
         raise ValueError(f"L={L} > 52 exceeds the float64 omega mantissa (x_tilde / 2^L)")
     if math.gcd(a, C) != 1:
         raise ValueError(f"a={a} not coprime to C={C}: gate is not a permutation")
-    if forced_bits is not None and len(forced_bits) != L:
-        # The fused path indexes forces[s] inside a fori_loop, where an
-        # out-of-bounds gather CLAMPS instead of raising — a short list
-        # would silently force the tail steps to its last entry.
-        raise ValueError(
-            f"forced_bits has {len(forced_bits)} entries; expected L={L}"
-        )
+    forced_bits = validate_forced_bits(forced_bits, L, "L")
+    if checkpoint_dir is not None and checkpoint_every <= 0:
+        raise ValueError(f"checkpoint_every={checkpoint_every} must be positive")
     if isinstance(dtype, str) and dtype == "dd64":
         # f64-grade parity mode: host-synchronous per-step driver with its
         # own (4, 2^M) dd-planar state (algorithms/semiclassical_dd.py).

@@ -158,8 +158,12 @@ def find_period(
         )
 
         n_local = reg.n - getattr(engine, "d", 0)
+        # dd64 states carry FOUR f32 planes (hi/lo pairs) — twice the bytes
+        # of a complex f32 state; count them as one extra qubit so the
+        # ceiling path is chosen where the state-passing form cannot fit.
+        n_eff = n_local + (1 if getattr(engine, "backend", "") == "dd" else 0)
         ceiling_progress = not two_state_programs_fit(
-            n_local, compute_plane_dtype(engine.real_dtype)
+            n_eff, compute_plane_dtype(engine.real_dtype)
         )
     if very_verbose and ceiling_progress:
         circuit = static_circuit()
@@ -362,6 +366,14 @@ def shors_algorithm(
                 "semiclassical mode is its own engine: no layout/"
                 "strict_reference/engine arguments (mesh= shards the work "
                 "register, parallel/sharded_semiclassical.py)"
+            )
+        if oracle != "gather":
+            # backend= is also unused here but the CLI passes its resolved
+            # value through unconditionally — only a non-default oracle
+            # indicates a caller expecting a variant that won't run.
+            log.warning(
+                "semiclassical mode ignores oracle=%r (its oracle is the "
+                "blockwise on-device index generation)", oracle,
             )
         if isinstance(dtype, str) and dtype not in ("complex32", "c32", "dd64"):
             # complex32 = bf16 planar storage with f32 angle/probability

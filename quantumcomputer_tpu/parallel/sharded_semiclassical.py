@@ -82,6 +82,7 @@ from jax.sharding import PartitionSpec as P
 from quantumcomputer_tpu.algorithms.semiclassical import (
     SemiclassicalRecord,
     _compute_dtype,
+    validate_forced_bits,
 )
 from quantumcomputer_tpu.ops import gates as xops
 from quantumcomputer_tpu.parallel.mesh import AXIS, mesh_degree
@@ -381,13 +382,8 @@ def run_semiclassical_sharded(
     cap = exchange_capacity(a_pows, C, M, d)
     rs = jax.random.uniform(key, (L,), dtype=_compute_dtype(rdtype))
     forces = np.full((L,), -1, np.int32)
+    forced_bits = validate_forced_bits(forced_bits, L, "L")
     if forced_bits is not None:
-        if len(forced_bits) != L:
-            # forces[s] is gathered inside the fused fori_loop, where an
-            # out-of-bounds index CLAMPS instead of raising.
-            raise ValueError(
-                f"forced_bits has {len(forced_bits)} entries; expected L={L}"
-            )
         forces = np.asarray(forced_bits, np.int32)
 
     # Key by mesh CONTENT (device ids + axes), not id(mesh): a process that

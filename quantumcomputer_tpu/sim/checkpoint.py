@@ -32,6 +32,12 @@ def circuit_fingerprint(circuit: Circuit) -> str:
     h = hashlib.sha256()
     for g in circuit:
         h.update(repr(g).encode())
+        # repr is the compact log form and omits the dense unitary — two
+        # u1q/u2q circuits differing only in their matrices must NOT share
+        # a fingerprint (a matrix-blind hash let a wrong-circuit resume
+        # through the guard).
+        if g.matrix is not None:
+            h.update(repr(g.matrix).encode())
     return h.hexdigest()[:16]
 
 

@@ -364,7 +364,12 @@ def apply_circuit(
             _nan_hook(s, label)
         return s
 
-    if fuse:
+    if fuse and state.shape[-1] <= (1 << 24):
+        # Composed ladders on the XLA backend lower to a full-state
+        # take_along_axis over a materialized int32 index tensor — a win at
+        # small n (fewer passes) but measured far slower than the per-gate
+        # small-table gathers at scale (the pallas planner's eligibility
+        # note).  Large XLA states therefore stay unfused.
         circuit = fuse_oracle_ladders(circuit, M)
     for i, g in enumerate(circuit):
         state = apply_gate(state, g, M, backend, tables=tables)
@@ -779,7 +784,9 @@ class StateVectorEngine:
                     return pallas_measure.sample_indices(planar, rs)
                 probs = sv.probabilities(planar.astype(rdt))
                 cum = jnp.cumsum(probs)
-                return jnp.minimum(jnp.searchsorted(cum, rs, side="left"), dim - 1)
+                # Scale by the total like the hierarchical path (see
+                # _sample_index_planes).
+                return jnp.minimum(jnp.searchsorted(cum, rs * cum[-1], side="left"), dim - 1)
 
             self._run_cache[("__sample__", shots, state.shape)] = fn
         return fn(state, key)
@@ -811,7 +818,10 @@ def _sample_index_planes(re: jax.Array, im: jax.Array, key: jax.Array) -> jax.Ar
         return pallas_measure.sample_index_planes(re, im, r)
     acc = jnp.float32 if re.dtype == jnp.bfloat16 else re.dtype
     cum = jnp.cumsum(re.astype(acc) ** 2 + im.astype(acc) ** 2)
-    return jnp.minimum(jnp.searchsorted(cum, r, side="left"), dim - 1)
+    # Scale the draw by the total, matching the hierarchical sampler: for a
+    # norm-deficient state (bf16 drift) an unscaled draw in (total, 1)
+    # would land on the LAST basis index with the excess probability.
+    return jnp.minimum(jnp.searchsorted(cum, r.astype(acc) * cum[-1], side="left"), dim - 1)
 
 
 def _measure_planar_impl(planar: jax.Array, key: jax.Array) -> Tuple[jax.Array, jax.Array]:

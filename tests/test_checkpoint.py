@@ -308,3 +308,16 @@ def test_resume_skips_stale_higher_segment(tmp_path):
     open(ckpt._segment_path(str(tmp_path), total + 5), "wb").write(b"garbage")
     resumed2 = eng.to_numpy(ckpt.run_with_checkpoints(eng, circ, str(tmp_path), segment_gates=2))
     np.testing.assert_allclose(resumed2, want, atol=1e-12)
+
+
+def test_fingerprint_distinguishes_matrices():
+    """Two u2q circuits differing ONLY in the dense unitary must not share
+    a fingerprint (repr omits the matrix; the hash must not)."""
+    import numpy as _np
+
+    from quantumcomputer_tpu.models.circuit import U2Q
+
+    a = (U2Q(1, 0, _np.eye(4)),)
+    b = (U2Q(1, 0, _np.diag([1, 1, 1, -1])),)
+    assert ckpt.circuit_fingerprint(a) != ckpt.circuit_fingerprint(b)
+    assert ckpt.circuit_fingerprint(a) == ckpt.circuit_fingerprint(a)

@@ -141,3 +141,21 @@ def test_single_and_batch_samplers_agree_unnormalized():
     single = int(pm.sample_index_planes(rej, imj, r))
     batch = int(pm.sample_indices_planes(rej, imj, jnp.asarray([0.97], jnp.float32))[0])
     assert single == batch == dim // 2
+
+
+def test_flat_sampler_scales_by_total():
+    """The flat (small-dim) engine sampler scales its draw by the total
+    probability like the hierarchical one: a norm-deficient bf16 state
+    must never route the deficit to the last basis index."""
+    import ml_dtypes
+
+    dim = 1 << 10
+    re = np.zeros(dim, np.float32)
+    re[5] = 0.996  # bf16 rounds |amp|^2 total below 1
+    planes = jnp.asarray(np.stack([re, np.zeros(dim, np.float32)])).astype(ml_dtypes.bfloat16)
+    eng = StateVectorEngine(Register(L=10, M=0), dtype="complex32", backend="pallas")
+    for seed in range(8):
+        idx, _ = eng.measure(planes + 0, jax.random.PRNGKey(seed))
+        assert int(idx) == 5
+    shots = np.asarray(eng.sample(planes, jax.random.PRNGKey(1), 64))
+    assert (shots == 5).all()

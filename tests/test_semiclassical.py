@@ -477,3 +477,33 @@ def test_complex32_semiclassical_end_to_end():
             assert period == 4
             found += 1
     assert found >= 3
+
+
+def test_forced_bits_must_be_binary():
+    """Non-0/1 forced bits reach sign = 1-2*bit and NaN the record — every
+    semiclassical entry point must reject them up front."""
+    import pytest
+
+    from quantumcomputer_tpu.algorithms.semiclassical import run_semiclassical
+
+    with pytest.raises(ValueError, match="must be 0/1"):
+        run_semiclassical(15, 7, 4, 4, jax.random.PRNGKey(0), forced_bits=[1, 0, 2, 0])
+    from quantumcomputer_tpu.algorithms.qpe import run_semiclassical_qpe
+    from quantumcomputer_tpu.models.circuit import PHASE
+
+    with pytest.raises(ValueError, match="must be 0/1"):
+        run_semiclassical_qpe(
+            lambda j: [PHASE(0, 0.1)], 3, 1, jax.random.PRNGKey(0), forced_bits=[0, -1, 1]
+        )
+
+
+def test_checkpoint_every_validated(tmp_path):
+    import pytest
+
+    from quantumcomputer_tpu.algorithms.semiclassical import run_semiclassical
+
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        run_semiclassical(
+            15, 7, 4, 4, jax.random.PRNGKey(0),
+            checkpoint_dir=str(tmp_path), checkpoint_every=0,
+        )
