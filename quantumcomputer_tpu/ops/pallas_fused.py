@@ -60,6 +60,7 @@ MAX_AXES = 4       # 2^4 sub-arrays per block (128 KB x 4 buffers in VMEM)
 MIN_N = 14         # below this, single-gate paths are fine
 
 _SQRT1_2 = 1.0 / math.sqrt(2.0)
+_H2 = np.array([[_SQRT1_2, _SQRT1_2], [_SQRT1_2, -_SQRT1_2]])  # the one 2x2 Hadamard
 
 
 def _interpret() -> bool:
@@ -240,7 +241,7 @@ def _lane_op_matrix(op: tuple, M: int) -> Optional[np.ndarray]:
         # composes into the lane matrix (it IS the 2^(l+1)-point no-swap
         # inverse QFT block).
         l = op[1]
-        h = _expand_1q(np.array([[_SQRT1_2, _SQRT1_2], [_SQRT1_2, -_SQRT1_2]]), l, 7)
+        h = _expand_1q(_H2, l, 7)
         lane = np.arange(LANE)
         mask = (1 << l) - (1 << M) if l > M else 0
         theta = np.pi * (lane & mask) / float(1 << l)
@@ -264,7 +265,7 @@ def _row_op_matrix(op: tuple, M: int) -> Optional[np.ndarray]:
         return _expand_2q(m4, q_hi - 7, q_lo - 7, 6)
     if op[0] == "iqft" and 7 <= op[1] <= 12 and M >= 7:
         l = op[1]
-        h = _expand_1q(np.array([[_SQRT1_2, _SQRT1_2], [_SQRT1_2, -_SQRT1_2]]), l - 7, 6)
+        h = _expand_1q(_H2, l - 7, 6)
         r = np.arange(64)
         mask = ((1 << l) - (1 << M)) >> 7
         theta = np.pi * (r & mask) / float(1 << (l - 7))
@@ -298,7 +299,7 @@ def _row_stage_parts(op: tuple, M: int):
     commutes with every other row/lane-diagonal op, so ALL stages'
     residuals combine into one (64, 128) phase table."""
     l = op[1]
-    h = _expand_1q(np.array([[_SQRT1_2, _SQRT1_2], [_SQRT1_2, -_SQRT1_2]]), l - 7, 6)
+    h = _expand_1q(_H2, l - 7, 6)
     r = np.arange(64)
     rowmask = ((1 << l) - (1 << M)) >> 7
     th_row = np.pi * (r & rowmask) / float(1 << (l - 7))
@@ -1036,8 +1037,39 @@ def _fused_kernel(*refs, ops, lay: _Layout, M: int, n_tables: int = 0):
     oim_ref[...] = assemble(subs_im)
 
 
+# Per-segment table-operand budget.  Mask + matmul tables are simultaneous
+# full-shape VMEM operands of one pallas_call; a generic circuit that
+# interleaves dense lane ops with chain-flushing ops (e.g. repeated
+# [H(lane), CZ(axis, lane)]) emits one ~128 KB lanemat per flush with no
+# bound from the planner (MAX_CAMODC_PER_SEGMENT caps only Benes tables).
+# Over budget, the segment splits in half recursively — two HBM passes
+# instead of a Mosaic scoped-VMEM compile failure.  10 MB leaves the
+# kernel's own block buffers comfortable headroom in 16 MB VMEM.
+MAX_SEGMENT_TABLE_BYTES = 10 << 20
+
+
+def _segment_table_bytes(ops, M: int) -> int:
+    """Actual table bytes apply_fused would stage for `ops` (runs the same
+    host-side grouping; cheap — numpy on <=128x128 matrices)."""
+    total = 0
+    kops = []
+    for op in ops:
+        if op[0] == "camodc":
+            total += (2 * M - 1) * 64 * LANE * 4  # Benes masks at 64-row tiling
+            kops.append(("camodc_k", op[1], (), 0))
+        else:
+            kops.append(op)
+    _, mats = matmul_group_ops(tuple(kops), M)
+    total += sum(t.nbytes for t in mats)
+    return total
+
+
 def apply_fused(re: jax.Array, im: jax.Array, ops: tuple, axes: tuple, n: int, M: int):
     """One fused pass applying `ops` (with exposed `axes`) to the planes."""
+    if len(ops) > 1 and _segment_table_bytes(ops, M) > MAX_SEGMENT_TABLE_BYTES:
+        mid = len(ops) // 2
+        re, im = apply_fused(re, im, ops[:mid], axes, n, M)
+        return apply_fused(re, im, ops[mid:], axes, n, M)
     lay = _Layout(n, axes)
     view = lay.view
     spec = lay.spec()

@@ -201,7 +201,11 @@ def fuse_oracle_ladders(
                     break  # repeated control: composition is still valid only
                            # for distinct control bits (one bit per factor)
                 j += 1
-            if j - i >= max(2, min_run) and C * C < (1 << 31):
+            # C must fit the work register: an undersized-M ladder would
+            # bypass the per-gate paths' 2^M >= C validation and reach the
+            # DMA kernels with rows >= 2^M (out-of-bounds reads) — leave
+            # such gates unfused so the gate path raises its clean error.
+            if j - i >= max(2, min_run) and C * C < (1 << 31) and C <= (1 << m_reg):
                 run = gates[i:j]
                 name = "camodc_ladder_high" if g.name == "camodc_high" else "camodc_ladder"
                 out.append(

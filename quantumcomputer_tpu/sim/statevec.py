@@ -115,7 +115,7 @@ def to_numpy_complex(planar) -> np.ndarray:
     im = np.asarray(planar[1])
     if re.dtype != np.float64:  # f32 and bf16 both widen to complex64 math
         re, im = re.astype(np.float32), im.astype(np.float32)
-    return re.astype(np.result_type(re, np.complex64 if re.dtype == np.float32 else np.complex128)) + 1j * im
+    return re + 1j * im  # numpy promotes f32 -> complex64, f64 -> complex128
 
 
 def from_numpy_complex(z: np.ndarray, rdtype=None) -> jax.Array:

@@ -163,3 +163,20 @@ def test_mhigh_engine_ladder_parity():
     single = StateVectorEngine(Register(L=L, M=M), dtype=jnp.complex128, layout="m_high", fuse=False)
     want = single.to_numpy(single.run(circ))
     np.testing.assert_allclose(got, want, atol=1e-14)
+
+
+def test_undersized_modulus_never_fuses():
+    """C > 2^m_reg must not compose into a ladder: the DMA ladder kernel
+    indexes rows by (combo*j) % C, which would read past the state — the
+    per-gate path raises a clean ValueError instead."""
+    from quantumcomputer_tpu.models.circuit import Gate
+    from quantumcomputer_tpu.sim.engine import fuse_oracle_ladders
+
+    bad = tuple(
+        Gate("camodc_high", (q,), meta=(300, A, 8)) for q, A in ((0, 7), (1, 49))
+    )
+    assert all(g.name == "camodc_high" for g in fuse_oracle_ladders(bad, 8))
+    ok = tuple(
+        Gate("camodc_high", (q,), meta=(251, A, 8)) for q, A in ((0, 7), (1, 49))
+    )
+    assert [g.name for g in fuse_oracle_ladders(ok, 8)] == ["camodc_ladder_high"]

@@ -315,3 +315,48 @@ def test_camodc_table_disk_cache(tmp_path, monkeypatch):
     assert bits1 == bits2
     np.testing.assert_array_equal(tab1, tab2)
     pf._camodc_table.cache_clear()
+
+
+def test_oversized_table_segment_splits(monkeypatch):
+    """A fused segment whose matmul/mask tables exceed the VMEM budget
+    splits in half recursively (two passes) instead of oversubscribing
+    scoped VMEM — with identical results."""
+    import numpy as np
+
+    from quantumcomputer_tpu.models import circuit as cir
+    from quantumcomputer_tpu.ops import pallas_fused as pf
+    from quantumcomputer_tpu.sim import reference as ref
+    from quantumcomputer_tpu.sim import statevec as sv
+
+    n = 14
+    gates = []
+    for k in range(3):
+        gates += [cir.H(1), cir.H(4), cir.CZ(13, 1)]  # CZ(axis, lane) flushes the chain
+    segs = pf.plan_circuit(tuple(gates), n, 0)
+    (kind, ops, axes) = segs[0]
+    assert kind == "fused"
+    bytes_full = pf._segment_table_bytes(ops, 0)
+    assert bytes_full > 0
+
+    rng = np.random.default_rng(0)
+    z = rng.standard_normal(1 << n) + 1j * rng.standard_normal(1 << n)
+    z /= np.linalg.norm(z)
+    planar = sv.from_numpy_complex(z, jnp.float32)
+
+    def run():
+        re, im = pf.apply_fused(planar[0], planar[1], ops, axes, n, 0)
+        return np.asarray(re) + 1j * np.asarray(im)
+
+    full = run()
+    monkeypatch.setattr(pf, "MAX_SEGMENT_TABLE_BYTES", 1)  # force max splitting
+    split = run()
+    np.testing.assert_allclose(split, full, atol=1e-6)
+    # and both match the oracle
+    want = z
+    for g in gates:
+        if g.name == "h":
+            want = ref.apply_1q(want, ref.HADAMARD, g.qubits[0])
+        else:
+            cz = np.diag([1, 1, 1, -1]).astype(np.complex128)
+            want = ref.apply_2q(want, cz, *sorted(g.qubits, reverse=True))
+    np.testing.assert_allclose(split, want, atol=1e-6)
