@@ -123,8 +123,10 @@ def zeros(shape) -> DD:
 
 
 def const(value: float, shape=()) -> DD:
-    """Split a host-side float64 scalar into a dd constant (hi = f32(v),
-    lo = f32(v - hi) — exact because the tail fits easily in f32)."""
+    """Split a host-side float64 scalar into a dd constant: hi = f32(v),
+    lo = f32(v - hi).  The tail can carry up to 29 significant bits, so
+    rounding it to f32 leaves a relative error up to ~2^-48 — at the dd
+    format's own precision, not exact (pi, e, sqrt2 all land here)."""
     hi = np.float32(value)
     lo = np.float32(np.float64(value) - np.float64(hi))
     if shape == ():
@@ -167,6 +169,8 @@ def tree_sum(x: DD) -> DD:
     log2(dim) vectorized dd adds, no reassociation surprises."""
     hi, lo = x
     n = hi.shape[-1]
+    if n == 0:  # empty shard: sum is dd zero, not an IndexError
+        return jnp.zeros(hi.shape[:-1], hi.dtype), jnp.zeros(lo.shape[:-1], lo.dtype)
     while n > 1:
         if n % 2:  # pad odd lengths with zero
             hi = jnp.concatenate([hi, jnp.zeros_like(hi[..., :1])], -1)

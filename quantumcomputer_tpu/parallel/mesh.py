@@ -14,7 +14,7 @@ Report §IV.D); this module is a pure build deliverable.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import numpy as np
@@ -47,6 +47,34 @@ def order_devices_for_ici(devices: Sequence) -> list:
     return sorted(devices, key=lambda dv: (comm_domain(dv), getattr(dv, "id", 0)))
 
 
+def _pick_subset(devices: list, target: int) -> list:
+    """Choose `target` (a power of two) devices from the domain-ordered
+    list maximizing ICI block purity: take 2^b devices from each of
+    target/2^b domains with the LARGEST b that covers the target, so
+    2^b-aligned blocks stay domain-pure (ici_degree >= b).  A plain
+    sorted-prefix can straddle a domain boundary mid-block — e.g. 8 of 12
+    devices in 6+6 domains: the prefix gives 6+2 (degree 0), while 4+4
+    gives degree 2."""
+    by_dom: dict = {}
+    for dv in devices:  # already domain-ordered
+        by_dom.setdefault(comm_domain(dv), []).append(dv)
+    sizes = sorted((len(v) for v in by_dom.values()), reverse=True)
+    b = target.bit_length() - 1
+    while b >= 0:
+        blk = 1 << b
+        n_blocks = target // blk
+        if sum(1 for s in sizes if s >= blk) >= n_blocks:
+            picked: List = []
+            for dom_devs in sorted(by_dom.values(), key=len, reverse=True):
+                if len(picked) >= target:
+                    break
+                if len(dom_devs) >= blk:
+                    picked.extend(dom_devs[:blk])
+            return picked[:target]
+        b -= 1
+    return devices[:target]  # unreachable: b=0 always covers
+
+
 def build_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
     """1D mesh over 2^d devices (state sharding needs a power of two),
     ordered so intra-slice (ICI) neighbors take the low mesh bits and DCN
@@ -54,39 +82,62 @@ def build_mesh(num_devices: Optional[int] = None, devices: Optional[Sequence] = 
 
     An explicitly requested non-power-of-two device count is an error (a
     silently truncated mesh would surprise `--devices 6` users); with no
-    explicit request, the largest power-of-two prefix of the available
-    devices is used."""
+    explicit request, the largest power of two that fits the available
+    devices is used.  Subset selection happens AFTER the ICI ordering and
+    prefers domain-aligned blocks (see _pick_subset) — truncating the raw
+    jax.devices() list first could straddle comm domains even when an
+    all-ICI subset exists."""
     explicit = num_devices is not None or devices is not None
+    if devices is not None and num_devices is not None and len(devices) != num_devices:
+        raise ValueError(
+            f"num_devices={num_devices} conflicts with len(devices)={len(devices)}; "
+            "pass one or make them agree"
+        )
+    target = num_devices
     if devices is None:
         devices = jax.devices()
-        if num_devices is not None:
-            if num_devices > len(devices):
-                raise ValueError(f"requested {num_devices} devices, only {len(devices)} available")
-            devices = devices[:num_devices]
+        if target is not None and target > len(devices):
+            raise ValueError(f"requested {target} devices, only {len(devices)} available")
     devices = order_devices_for_ici(devices)
-    d = len(devices).bit_length() - 1
-    if len(devices) != 1 << d:
+    if target is None:
+        target = len(devices)
+        if explicit:  # explicit devices= list: its length must be exact
+            d = target.bit_length() - 1
+            if target != 1 << d:
+                raise ValueError(
+                    f"state sharding needs a power-of-two device count, got {target}"
+                )
+    d = target.bit_length() - 1
+    if target != 1 << d:
         if explicit:
             raise ValueError(
-                f"state sharding needs a power-of-two device count, got {len(devices)}"
+                f"state sharding needs a power-of-two device count, got {target}"
             )
-        devices = devices[: 1 << d]
+        target = 1 << d
+    if target < len(devices):
+        devices = order_devices_for_ici(_pick_subset(devices, target))
     return Mesh(np.array(devices), (AXIS,))
 
 
 def ici_degree(mesh: Mesh) -> int:
     """Number of LOW global-qubit bits whose exchanges stay intra-domain
-    (ICI) under this mesh's device order; bits >= this cross DCN."""
+    (ICI) under this mesh's device order; bits >= this cross DCN.
+
+    Computed directly as the largest b with every 2^b-aligned block
+    domain-pure — correct for UNEQUAL domain sizes too (a per-domain
+    average would under-report, e.g. [A,A,B,B,B,B,B,B] has degree 1)."""
     devs = list(mesh.devices.ravel())
     domains = [comm_domain(dv) for dv in devs]
     if len(set(domains)) <= 1:
         return mesh_degree(mesh)
-    per = len(devs) // len(set(domains))
-    b = max(per, 1).bit_length() - 1
-    # verify the ordering actually groups domains contiguously
-    for start in range(0, len(devs), 1 << b):
-        if len({domains[i] for i in range(start, min(start + (1 << b), len(devs)))}) > 1:
-            return 0
+    b = 0
+    while (1 << (b + 1)) <= len(devs):
+        size = 1 << (b + 1)
+        if any(
+            len(set(domains[s : s + size])) > 1 for s in range(0, len(devs), size)
+        ):
+            break
+        b += 1
     return b
 
 
@@ -101,7 +152,3 @@ def mesh_degree(mesh: Mesh) -> int:
 def state_sharding(mesh: Mesh) -> NamedSharding:
     """Planar (2, 2^n) state: shard the amplitude axis, replicate planes."""
     return NamedSharding(mesh, P(None, AXIS))
-
-
-def replicated(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P())

@@ -148,12 +148,13 @@ def collapse(psi: np.ndarray, index: int) -> np.ndarray:
 
 def read_omega(state_num: int, L: int, M: int) -> float:
     """Bit-reversed readout of the L register (qc_shor.c:868-883):
-    bit N-1 of the measured index becomes the LSB of x_tilde."""
-    x_tilde = 0
-    power = 0
-    for i in range(L + M - 1, M - 1, -1):
-        x_tilde += ((state_num >> i) & 1) << power
-        power += 1
+    bit N-1 of the measured index becomes the LSB of x_tilde.
+
+    Deliberately a DIFFERENT realization from the production
+    algorithms/shor.py::read_omega (string reversal vs bit loop), so the
+    parity tests comparing them are not vacuous."""
+    counting = (state_num >> M) & ((1 << L) - 1)
+    x_tilde = int(format(counting, f"0{L}b")[::-1], 2)
     return x_tilde / float(1 << L)
 
 

@@ -13,8 +13,17 @@ import numpy as np
 
 def state_to_kets(state, atol: float = 0.0) -> list[tuple[str, complex]]:
     """Nonzero support of the wavefunction as (ket-string, amplitude) pairs,
-    most-significant qubit first (matching the reference's print order)."""
+    most-significant qubit first (matching the reference's print order).
+
+    Accepts a complex vector OR the engines' planar (2, 2^n) host state
+    (re/im rows combine here); the length must be a power of two."""
     psi = np.asarray(state)
+    if psi.ndim == 2 and psi.shape[0] == 2:
+        psi = psi[0].astype(np.float64) + 1j * psi[1].astype(np.float64)
+    if psi.ndim != 1 or psi.shape[0] & (psi.shape[0] - 1):
+        raise ValueError(
+            f"expected a (2^n,) state or (2, 2^n) planes, got shape {np.asarray(state).shape}"
+        )
     n = int(psi.shape[0]).bit_length() - 1
     out = []
     for idx in np.nonzero(np.abs(psi) > atol)[0]:

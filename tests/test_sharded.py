@@ -338,3 +338,66 @@ def test_sharded_template_oracle_matches_static():
             if isinstance(k, tuple) and "__run_measure_idx_dyn__" in k and k[2] > 0
         ]
         assert len(dyn_keys) == 1
+
+
+def test_mesh_subset_is_domain_aligned():
+    """Selecting a power-of-two subset happens AFTER the ICI ordering and
+    prefers domain-aligned blocks: 8 of 12 devices in 6+6 domains must be
+    4+4 (pure 4-blocks), not the 6+2 prefix."""
+    from dataclasses import dataclass
+
+    from quantumcomputer_tpu.parallel import mesh as pm
+
+    @dataclass(frozen=True)
+    class Dev:
+        id: int
+        slice_index: int
+
+    devs = [Dev(i, i // 6) for i in range(12)]
+    picked = pm._pick_subset(pm.order_devices_for_ici(devs), 8)
+    doms = sorted(d.slice_index for d in picked)
+    assert doms == [0, 0, 0, 0, 1, 1, 1, 1]
+    # whole target inside one domain when it fits
+    picked4 = pm._pick_subset(pm.order_devices_for_ici(devs), 4)
+    assert len({d.slice_index for d in picked4}) == 1
+
+
+def test_ici_degree_unequal_domains():
+    """ici_degree computes block purity directly — unequal domain sizes
+    must not under-report: [A,A,B,B,B,B,B,B] has degree 1."""
+    from dataclasses import dataclass
+
+    import numpy as np
+
+    from jax.sharding import Mesh as JMesh
+
+    from quantumcomputer_tpu.parallel import mesh as pm
+
+    class Dev:
+        def __init__(self, id, slice_index):
+            self.id = id
+            self.slice_index = slice_index
+
+    devs = [Dev(i, 0 if i < 2 else 1) for i in range(8)]
+
+    class FakeMesh:
+        def __init__(self, devs):
+            self.devices = np.array(devs, dtype=object)
+            self.shape = {"q": len(devs)}
+
+    assert pm.ici_degree(FakeMesh(devs)) == 1
+    # fully mixed blocks -> 0
+    mixed = [Dev(i, i % 2) for i in range(8)]
+    assert pm.ici_degree(FakeMesh(mixed)) == 0
+
+
+def test_build_mesh_conflicting_args_rejected():
+    import pytest
+
+    from quantumcomputer_tpu.parallel import mesh as pm
+
+    devs = jax.devices()[:4]
+    with pytest.raises(ValueError, match="conflicts"):
+        pm.build_mesh(num_devices=2, devices=devs)
+    m = pm.build_mesh(num_devices=4, devices=devs)  # agreeing args are fine
+    assert m.shape["q"] == 4
