@@ -9,6 +9,10 @@ and permutation gathers — never as materialized 2^N x 2^N matrices.
 
 from quantumcomputer_tpu.algorithms.amplitude_estimation import amplitude_estimate  # noqa: F401
 from quantumcomputer_tpu.algorithms.grover import grover_circuit, grover_search  # noqa: F401
+from quantumcomputer_tpu.algorithms.oracle_algorithms import (  # noqa: F401
+    bernstein_vazirani,
+    deutsch_jozsa,
+)
 from quantumcomputer_tpu.algorithms.qpe import estimate_phase  # noqa: F401
 from quantumcomputer_tpu.algorithms.quantum_volume import run_quantum_volume  # noqa: F401
 from quantumcomputer_tpu.algorithms.semiclassical import run_semiclassical  # noqa: F401

@@ -56,6 +56,7 @@ def test_top_level_exports():
         "DDStateVectorEngine", "build_mesh", "shor_circuit",
         "shors_algorithm", "find_period", "read_omega", "Outcome",
         "ShorResult", "grover_search", "grover_circuit", "estimate_phase",
-        "amplitude_estimate", "run_semiclassical", "run_quantum_volume", "circuit",
+        "amplitude_estimate", "run_semiclassical", "run_quantum_volume",
+        "bernstein_vazirani", "deutsch_jozsa", "circuit",
     ):
         assert hasattr(q, name), name
