@@ -14,6 +14,7 @@ from quantumcomputer_tpu.algorithms.oracle_algorithms import (  # noqa: F401
     deutsch_jozsa,
 )
 from quantumcomputer_tpu.algorithms.qpe import estimate_phase  # noqa: F401
+from quantumcomputer_tpu.algorithms.simon import simon_search  # noqa: F401
 from quantumcomputer_tpu.algorithms.quantum_volume import run_quantum_volume  # noqa: F401
 from quantumcomputer_tpu.algorithms.semiclassical import run_semiclassical  # noqa: F401
 from quantumcomputer_tpu.algorithms.shor import (  # noqa: F401

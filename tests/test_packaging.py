@@ -57,6 +57,6 @@ def test_top_level_exports():
         "shors_algorithm", "find_period", "read_omega", "Outcome",
         "ShorResult", "grover_search", "grover_circuit", "estimate_phase",
         "amplitude_estimate", "run_semiclassical", "run_quantum_volume",
-        "bernstein_vazirani", "deutsch_jozsa", "circuit",
+        "bernstein_vazirani", "deutsch_jozsa", "simon_search", "circuit",
     ):
         assert hasattr(q, name), name
