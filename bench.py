@@ -197,19 +197,22 @@ def bench_semiclassical(M: int = 28, reps: int = 3):
     return max((t10 - t2) / 8, 1e-12), t10
 
 
-def _backend_init_or_die(timeout_s: float = 420.0):
+def _backend_init_or_die(timeout_s: float | None = None):
     """First device contact with a hard deadline (utils/backend): when the
     axon tunnel is down even jax.devices() blocks indefinitely — fail fast,
     and still emit the one-JSON-line contract so the driver records a
     parseable diagnostic (value 0 + explicit error marker, never a
     fabricated measurement)."""
-    from quantumcomputer_tpu.utils.backend import devices_or_die
+    from quantumcomputer_tpu.utils.backend import DEFAULT_INIT_TIMEOUT_S, devices_or_die
 
     def emit_error_json(msg: str) -> None:
         print(json.dumps({"metric": "error", "value": 0, "unit": "none",
                           "vs_baseline": 0, "error": msg}), flush=True)
 
-    return devices_or_die(timeout_s, on_timeout=emit_error_json)
+    return devices_or_die(
+        DEFAULT_INIT_TIMEOUT_S if timeout_s is None else timeout_s,
+        on_timeout=emit_error_json,
+    )
 
 
 def main():

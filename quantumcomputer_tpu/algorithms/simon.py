@@ -87,8 +87,8 @@ def _gf2_nullspace(rows: List[int], n: int) -> Optional[int]:
 @dataclass
 class SimonResult:
     s: int                 # recovered hidden string
-    rounds: int            # quantum samples consumed
-    equations: List[int]   # the measured z vectors (z . s = 0 for all)
+    rounds: int            # quantum samples consumed (z = 0 draws included)
+    equations: List[int]   # the measured NONZERO z vectors (z . s = 0 for all)
 
 
 def simon_search(
@@ -118,18 +118,19 @@ def simon_search(
     circ = simon_circuit(n, s)
     to_logical = getattr(engine, "logical_index", None)
     zs: List[int] = []
-    for _ in range(max_rounds):
+    for rounds in range(1, max_rounds + 1):
         key, sub = jax.random.split(key)
         state = engine.run(circ, engine.zero_state())
         idx, _ = engine.measure(state, sub)
         idx = int(idx) if to_logical is None else to_logical(int(idx))
         z = (idx >> n) & ((1 << n) - 1)  # x-register readout
         assert bin(z & s).count("1") % 2 == 0, "sampled z not orthogonal to s"
-        if z:
-            zs.append(z)
+        if not z:
+            continue  # adds no equation — the solve could only repeat itself
+        zs.append(z)
         got = _gf2_nullspace(zs, n)
         if got is not None:
-            return SimonResult(s=got, rounds=len(zs), equations=zs)
+            return SimonResult(s=got, rounds=rounds, equations=zs)
     raise RuntimeError(
         f"Simon sampling did not reach rank {n - 1} in {max_rounds} rounds "
         "(probability ~2^-rounds; re-run with a different key)"

@@ -19,22 +19,51 @@ from typing import Callable, Optional
 
 DEFAULT_INIT_TIMEOUT_S = 420.0  # covers the legitimate 60-130 s first contact
 
+_KNOWN_PLATFORMS = {"cpu", "tpu", "gpu", "cuda", "rocm", "axon"}
+
+
+def _backend_already_initialized() -> bool:
+    """Best-effort check WITHOUT triggering initialization (a late
+    jax_platforms update succeeds silently but has no effect — the
+    backend registry is already populated)."""
+    try:
+        from jax._src import xla_bridge
+
+        return bool(getattr(xla_bridge, "_backends", None))
+    except Exception:
+        return False
+
 
 def apply_platform_override() -> Optional[str]:
     """Honor QC_TPU_PLATFORM (e.g. "cpu") BEFORE any backend init.
-    Returns the applied platform or None.  Safe to call multiple times;
-    a too-late call (backend already initialized) logs and is ignored."""
+    Returns the applied platform or None.  Safe to call multiple times.
+    Unknown platform names are rejected here with a clear message (JAX
+    would otherwise accept the config and fail cryptically at first
+    device contact); a too-late call (backend already initialized) warns
+    that the override cannot take effect."""
     plat = os.environ.get("QC_TPU_PLATFORM")
     if not plat:
         return None
+    from quantumcomputer_tpu.utils.logging import get_logger
+
+    tokens = [t.strip() for t in plat.split(",") if t.strip()]
+    if not tokens or any(t not in _KNOWN_PLATFORMS for t in tokens):
+        get_logger("backend").warning(
+            "ignoring QC_TPU_PLATFORM=%r (want one of %s)", plat, sorted(_KNOWN_PLATFORMS)
+        )
+        return None
     import jax
 
+    if _backend_already_initialized():
+        get_logger("backend").warning(
+            "QC_TPU_PLATFORM=%s set after the JAX backend initialized — the "
+            "override has no effect in this process", plat,
+        )
+        return None
     try:
         jax.config.update("jax_platforms", plat)
         return plat
     except Exception as e:
-        from quantumcomputer_tpu.utils.logging import get_logger
-
         get_logger("backend").warning("QC_TPU_PLATFORM=%s ignored: %s", plat, e)
         return None
 
@@ -48,6 +77,10 @@ def devices_or_die(
     bench's JSON error line) and exits the process when the backend does
     not come up in time.  os._exit because the init thread is unkillably
     blocked inside the plugin."""
+    # Every guarded init honors the documented escape hatch itself —
+    # callers (bench, CLI) need no separate apply_platform_override call
+    # for the timeout message's remedy to actually work on rerun.
+    apply_platform_override()
     done = threading.Event()
 
     def watchdog():
@@ -68,6 +101,10 @@ def devices_or_die(
     threading.Thread(target=watchdog, daemon=True).start()
     import jax
 
-    devs = jax.devices()
-    done.set()
+    try:
+        devs = jax.devices()
+    finally:
+        done.set()  # a fast RAISE must also disarm the watchdog: a caller
+        # that catches the error and recovers would otherwise be killed by
+        # a misleading delayed os._exit
     return devs
