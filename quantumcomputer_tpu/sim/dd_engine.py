@@ -256,7 +256,9 @@ class DDStateVectorEngine:
         return jnp.asarray(planar4)
 
     def zero_state(self) -> jax.Array:
-        return jnp.zeros((4, self.register.num_states), jnp.float32)
+        """|00...0> as dd planes (amplitude 1 at index 0 — matching
+        statevec.zero_planar; this used to return the NULL vector)."""
+        return jnp.zeros((4, self.register.num_states), jnp.float32).at[0, 0].set(1.0)
 
     def logical_index(self, phys: int) -> int:
         return phys

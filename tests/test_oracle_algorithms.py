@@ -61,3 +61,16 @@ def test_bv_on_pallas_engine():
     n, s = 14, 0b10011011001101
     eng = StateVectorEngine(Register(L=n, M=0), dtype=jnp.complex64, backend="pallas")
     assert bernstein_vazirani(n, s, jax.random.PRNGKey(2), engine=eng) == s
+
+
+def test_bv_dtype_matrix():
+    """BV's determinism contract holds at every storage precision: bf16
+    (complex32) and the dd64 double-float engine return the exact hidden
+    string (amplitudes are exactly 0 or 1 — no rounding can flip them)."""
+    from quantumcomputer_tpu.sim.dd_engine import DDStateVectorEngine
+
+    n, s = 10, 0b1100110101
+    eng32 = StateVectorEngine(Register(L=n, M=0), dtype="complex32", backend="pallas")
+    assert bernstein_vazirani(n, s, jax.random.PRNGKey(4), engine=eng32) == s
+    eng_dd = DDStateVectorEngine(Register(L=n, M=0))
+    assert bernstein_vazirani(n, s, jax.random.PRNGKey(5), engine=eng_dd) == s

@@ -84,3 +84,10 @@ def test_simon_validation():
         simon_oracle(4, 0)
     with pytest.raises(ValueError):
         simon_oracle(4, 16)
+
+
+def test_simon_complex128_and_rounds_metric():
+    res = simon_search(5, 0b01010, jax.random.PRNGKey(9), dtype=jnp.complex128)
+    assert res.s == 0b01010
+    # rounds counts quantum samples (>= number of equations kept)
+    assert res.rounds >= len(res.equations) >= 4
