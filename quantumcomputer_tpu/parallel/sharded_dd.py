@@ -237,6 +237,19 @@ class ShardedDDStateVectorEngine:
 
         return init()
 
+    def zero_state(self) -> jax.Array:
+        """|00...0> as sharded dd planes (amplitude 1 at index 0 — the
+        engine-API convention; generic algorithms start here)."""
+        n = self.register.n
+
+        @jax.jit
+        def init():
+            return jax.lax.with_sharding_constraint(
+                jnp.zeros((4, 1 << n), jnp.float32).at[0, 0].set(1.0), self.sharding
+            )
+
+        return init()
+
     # -- execution ----------------------------------------------------------
 
     @property

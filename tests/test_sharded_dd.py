@@ -113,3 +113,19 @@ def test_shors_algorithm_dd64_mesh_and_cli():
     assert res.ok and res.factors == (5, 3)
     assert main(["-C", "15", "-L", "3", "-M", "4", "-a", "7", "--seed", "0",
                  "--dtype", "dd64", "--devices", "4"]) == 0
+
+
+def test_sharded_dd_zero_state_and_bv():
+    """zero_state parity on the sharded dd engine + the BV determinism
+    contract across shard boundaries at f64-grade precision."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from quantumcomputer_tpu.algorithms.oracle_algorithms import bernstein_vazirani
+    from quantumcomputer_tpu.parallel.mesh import build_mesh
+
+    mesh = build_mesh(num_devices=4)
+    eng = ShardedDDStateVectorEngine(Register(L=6, M=0), mesh=mesh)
+    z = eng.to_numpy(eng.zero_state())
+    assert z[0] == 1.0 and abs(z[1:]).max() == 0.0
+    s = 0b110101  # hidden bits straddle the 2 global qubits
+    assert bernstein_vazirani(6, s, jax.random.PRNGKey(8), engine=eng) == s
