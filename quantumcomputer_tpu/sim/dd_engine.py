@@ -416,7 +416,9 @@ class DDStateVectorEngine:
         probs = self.probabilities(state)
         cum = jnp.cumsum(probs)
         rs = jax.random.uniform(key, (shots,), dtype=probs.dtype)
-        return jnp.minimum(jnp.searchsorted(cum, rs, side="left"), probs.shape[-1] - 1)
+        # Scale by the total like _measure_dd_impl (f32 probability drift
+        # must not route the deficit to the last basis index).
+        return jnp.minimum(jnp.searchsorted(cum, rs * cum[-1], side="left"), probs.shape[-1] - 1)
 
     # -- inspection --------------------------------------------------------------
 
