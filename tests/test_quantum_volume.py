@@ -100,3 +100,13 @@ def test_sharded_zero_state():
     eng = ShardedStateVectorEngine(Register(L=3, M=3), dtype=jnp.complex64, mesh=mesh)
     z = np.asarray(eng.to_numpy(eng.zero_state()))
     assert z[0] == 1.0 and np.abs(z[1:]).max() == 0.0
+
+
+def test_qv_passes_complex32():
+    """The dtype matrix extends to bf16 storage: heavy-set membership is
+    robust to complex32's ~1e-3 probability error (the heavy/light gap at
+    m=4 is ~p_median), so certification still succeeds."""
+    eng = StateVectorEngine(Register(L=4, M=0), dtype="complex32", backend="pallas")
+    res = run_quantum_volume(4, eng, num_circuits=30, shots=80, seed=5)
+    assert res.passed and res.quantum_volume == 16
+    assert 0.75 < res.mean_hop < 1.0
