@@ -180,6 +180,14 @@ def main(argv=None) -> int:
     available) and exits nonzero on failure."""
     import argparse
 
+    # Same backend guard as the main CLI: honor QC_TPU_PLATFORM and bound
+    # the first device contact (a dead TPU tunnel otherwise hangs the
+    # first engine op indefinitely).
+    from quantumcomputer_tpu.utils.backend import apply_platform_override, devices_or_die
+
+    apply_platform_override()
+    devices_or_die()
+
     ap = argparse.ArgumentParser(description="Scripted TABLE I omega-distribution check")
     ap.add_argument("--runs", type=int, default=400)
     ap.add_argument("--seed", type=int, default=0)
@@ -194,6 +202,10 @@ def main(argv=None) -> int:
         "--fig3", action="store_true",
         help="also run the FIG. 3 scaling experiment (time vs L and vs M, C=21 a=2)",
     )
+    ap.add_argument(
+        "--qv", type=int, default=0, metavar="M",
+        help="also run the Quantum Volume protocol at width M (pass/fail vs 2/3)",
+    )
     args = ap.parse_args(argv)
     engine = None
     if args.dtype == "complex32":
@@ -204,7 +216,19 @@ def main(argv=None) -> int:
         rows_L, rows_M = fig3_scaling()
         print("FIG.3 time vs L (M=5):", ", ".join(f"L={L}: {s*1e3:.1f} ms" for L, _, _, s in rows_L))
         print("FIG.3 time vs M (L=3):", ", ".join(f"M={M}: {s*1e3:.1f} ms" for _, M, _, s in rows_M))
-    return 0 if res.passed else 1
+    qv_ok = True
+    if args.qv:
+        from quantumcomputer_tpu.algorithms.quantum_volume import run_quantum_volume
+        from quantumcomputer_tpu.sim.engine import StateVectorEngine as _Eng
+
+        qv_eng = _Eng(Register(L=args.qv, M=0), dtype=jnp.complex64)
+        qv = run_quantum_volume(args.qv, qv_eng, num_circuits=30, shots=100, seed=args.seed)
+        print(
+            f"QV m={args.qv}: mean HOP {qv.mean_hop:.3f}, 2-sigma lower "
+            f"{qv.lower_2sigma:.3f} -> {'PASS (QV=%d)' % qv.quantum_volume if qv.passed else 'FAIL'}"
+        )
+        qv_ok = qv.passed
+    return 0 if (res.passed and qv_ok) else 1
 
 
 if __name__ == "__main__":
