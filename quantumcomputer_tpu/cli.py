@@ -209,12 +209,14 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     from quantumcomputer_tpu.utils.backend import apply_platform_override, devices_or_die
 
     apply_platform_override()  # QC_TPU_PLATFORM=cpu escape hatch
+    # devices_or_die: a dead TPU tunnel blocks jax.devices() forever —
+    # bound the first contact instead of hanging the CLI (bench.py has the
+    # same guard).  Unconditional: an explicit --backend would otherwise
+    # hang unguarded at the first engine op.
+    devs = devices_or_die()
     backend = args.backend
     if backend == "auto":
-        # devices_or_die: a dead TPU tunnel blocks jax.devices() forever —
-        # bound the first contact instead of hanging the CLI (bench.py has
-        # the same guard).
-        backend = "pallas" if any(d.platform == "tpu" for d in devices_or_die()) else "xla"
+        backend = "pallas" if any(d.platform == "tpu" for d in devs) else "xla"
     if args.dtype == "complex32":
         backend = "pallas"  # no 32-bit complex dtype; off-TPU runs interpret-mode kernels
     if args.strict_reference:
