@@ -379,6 +379,29 @@ class ShardedDDStateVectorEngine:
         dev, loc, collapsed = fn(state, key)
         return self._global_index(int(dev), int(loc)), collapsed
 
+    def sample(self, state: jax.Array, key: jax.Array, shots: int) -> jax.Array:
+        """`shots` independent draws WITHOUT collapsing, across the mesh:
+        the shared two-level pick on f32 hi+lo probabilities, scaled by
+        the global total (statistical accuracy, like measure())."""
+        fn = self._run_cache.get(("__sample__", shots))
+        if fn is None:
+            from quantumcomputer_tpu.parallel.sharded import two_level_pick
+
+            def body(planar4, k):
+                probs = (planar4[0] + planar4[1]) ** 2 + (planar4[2] + planar4[3]) ** 2
+                rs = jax.random.uniform(k, (shots,), dtype=probs.dtype)
+                return two_level_pick(probs, rs, scale_by_total=True)
+
+            smapped = jax.shard_map(
+                body, mesh=self.mesh, in_specs=(P(None, AXIS), P()),
+                out_specs=(P(), P()), check_vma=False,
+            )
+            fn = jax.jit(smapped)
+            self._run_cache[("__sample__", shots)] = fn
+        dev, loc = fn(state, key)
+        ls = (1 << self.register.n) >> self.d
+        return np.asarray(dev, np.int64) * ls + np.asarray(loc, np.int64)
+
     # -- inspection ----------------------------------------------------------
 
     def probabilities(self, state: jax.Array) -> jax.Array:
