@@ -43,7 +43,8 @@ def _engines():
 
 SURFACE = (
     "initial_state", "zero_state", "run", "measure", "sample",
-    "probabilities", "norm", "to_numpy", "run_norm", "logical_index",
+    "probabilities", "norm", "to_numpy", "run_norm",
+    "run_and_measure_index", "logical_index",
 )
 
 
@@ -85,3 +86,7 @@ def test_engine_surface_and_conventions(name, eng):
 
     # run_norm: reset-folded scalar program form, == 1 for a unitary circuit.
     assert abs(eng.run_norm((H(N - 1), X(0))) - 1.0) < 5e-3, f"{name} run_norm"
+
+    # run_and_measure_index: scalar-output reset->circuit->measure form.
+    mi = eng.run_and_measure_index((H(N - 1), X(0)), jax.random.PRNGKey(2))
+    assert 0 <= int(mi) < (1 << N) and probs[int(mi)] > 1e-4, f"{name} measure_index"
