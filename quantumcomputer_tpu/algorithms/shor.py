@@ -97,6 +97,14 @@ def issue_warnings(C: int, L: int, M: int) -> List[str]:
         warnings.append(
             f"L register too small for full period confidence: ensure 2^L >= C^2 (suggested L = {nt.recommended_L_for(C)})"
         )
+    # Beyond the reference's warnings: a prime (or even) C can never yield
+    # nontrivial odd factors — say so up front instead of letting the
+    # trial loop exhaust itself (the run still proceeds, like the
+    # reference's warn-and-continue convention).
+    if C > 2 and C % 2 == 0:
+        warnings.append(f"C = {C} is even: factor 2 directly; Shor needs an odd composite")
+    elif C < (1 << 20) and nt.is_prime(C):
+        warnings.append(f"C = {C} is prime: no nontrivial factors exist")
     return warnings
 
 
