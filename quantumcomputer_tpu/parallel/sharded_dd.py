@@ -94,6 +94,92 @@ def _local_bit_mask(ls: int, q: int):
     return ((lax.iota(jnp.int32, ls) >> q) & 1) == 1
 
 
+def _dd_scalar_sel2(b_hi, b_lo, z00: complex, z01: complex, z10: complex, z11: complex):
+    """dd scalar = z[b_hi][b_lo] (both bits traced): two 1-bit selects."""
+    zr0, zi0 = _dd_scalar_sel(b_lo, z00, z01)
+    zr1, zi1 = _dd_scalar_sel(b_lo, z10, z11)
+
+    def pick(a, c):
+        return tuple(jnp.where(b_hi == 0, x, y) for x, y in zip(a, c))
+
+    return pick(zr0, zr1), pick(zi0, zi1)
+
+
+def _apply_2q_one_global_dd(re, im, u4: np.ndarray, p: int, q_local: int, me, D: int):
+    """Dense 2q gate, global qubit (device bit p) x local qubit — the dd
+    twin of sharded._apply_2q_one_global: one plane-quad exchange, then
+    out[l'] = sum_{g,l} U[2b+l', 2g+l] * x_g[l] with dd EFT accumulation
+    (u4 in the 2*bit(global) + bit(local) basis)."""
+    rre, rim = _ppermute_dd(re, im, _butterfly_pairs(D, p))
+    b = _device_bit(me, p)
+    ls = re[0].shape[-1]
+    inner = 1 << q_local
+    outer = ls // (2 * inner)
+
+    def rs(x):
+        return x.reshape(outer, 2, inner)
+
+    mine = tuple(rs(x) for x in (re[0], re[1], im[0], im[1]))
+    rem = tuple(rs(x) for x in (rre[0], rre[1], rim[0], rim[1]))
+
+    def src(g):
+        # shard holding global-bit value g: ours iff b == g
+        return tuple(jnp.where(b == g, a, r) for a, r in zip(mine, rem))
+
+    srcs = (src(0), src(1))
+    outs = []
+    for lp in (0, 1):
+        acc = None
+        for g in (0, 1):
+            s = srcs[g]
+            for l in (0, 1):
+                zr, zi = _dd_scalar_sel(
+                    b, complex(u4[lp, 2 * g + l]), complex(u4[2 + lp, 2 * g + l])
+                )
+                xre = (s[0][:, l, :], s[1][:, l, :])
+                xim = (s[2][:, l, :], s[3][:, l, :])
+                if acc is None:
+                    acc = dd.cmul(zr, zi, xre, xim)
+                else:
+                    acc = dd.caxpy(zr, zi, xre, xim, *acc)
+        outs.append(acc)
+
+    def asm(i, j):
+        return jnp.stack([outs[0][i][j], outs[1][i][j]], axis=1).reshape(ls)
+
+    return ((asm(0, 0), asm(0, 1)), (asm(1, 0), asm(1, 1)))
+
+
+def _apply_2q_both_global_dd(re, im, u4: np.ndarray, p_hi: int, p_lo: int, me, D: int):
+    """Dense 2q gate with BOTH qubits global — the dd twin of
+    sharded._apply_2q_both_global: three plane-quad exchanges, then the
+    4-term combine out = sum U[row, col] * partner with dd EFTs (row =
+    this device's two bits, col = the partner's)."""
+    r_lo = _ppermute_dd(re, im, _butterfly_pairs(D, p_lo))
+    r_hi = _ppermute_dd(re, im, _butterfly_pairs(D, p_hi))
+    r_both = _ppermute_dd(r_lo[0], r_lo[1], _butterfly_pairs(D, p_hi))
+    b_hi = _device_bit(me, p_hi)
+    b_lo = _device_bit(me, p_lo)
+    parts = ((re, im), r_lo, r_hi, r_both)
+    acc = None
+    for d_hi in (0, 1):
+        for d_lo in (0, 1):
+            xre, xim = parts[2 * d_hi + d_lo]
+            # coeff = u4[2*b_hi + b_lo, 2*(b_hi^d_hi) + (b_lo^d_lo)]
+            zr, zi = _dd_scalar_sel2(
+                b_hi, b_lo,
+                complex(u4[0, 2 * d_hi + d_lo]),
+                complex(u4[1, 2 * d_hi + (d_lo ^ 1)]),
+                complex(u4[2, 2 * (d_hi ^ 1) + d_lo]),
+                complex(u4[3, 2 * (d_hi ^ 1) + (d_lo ^ 1)]),
+            )
+            if acc is None:
+                acc = dd.cmul(zr, zi, xre, xim)
+            else:
+                acc = dd.caxpy(zr, zi, xre, xim, *acc)
+    return acc
+
+
 def apply_gate_sharded_dd(re, im, g: Gate, *, n: int, M: int, d: int, me):
     """Dispatch one gate on local dd planes (re/im: DD of (2^(n-d),))."""
     n_local = n - d
@@ -183,13 +269,44 @@ def apply_gate_sharded_dd(re, im, g: Gate, *, n: int, M: int, d: int, me):
             re, im = _phase_masked_traced(re, im, zr, zi, jnp.logical_and(bit_l, mask_k))
         return re, im
 
+    if name == "mcphase":
+        # Diagonal on every control — communication-free like the complex
+        # mesh engine: global bits are per-device scalar conditions, local
+        # bits a mask; one dd phase-blend where ALL controls are 1.
+        z = complex(np.exp(1j * float(g.params[0])))
+        (zrh, zrl), (zih, zil) = _split_c(z)
+        zr = (jnp.float32(zrh), jnp.float32(zrl))
+        zi = (jnp.float32(zih), jnp.float32(zil))
+        mask = None
+        for q in g.qubits:
+            m = (
+                _device_bit(me, q - n_local) == 1
+                if is_global(q)
+                else _local_bit_mask(ls, q)
+            )
+            mask = m if mask is None else jnp.logical_and(mask, m)
+        return _phase_masked_traced(re, im, zr, zi, mask)
+
     if name in ("cnot", "swap", "u2q"):
         if not any(is_global(q) for q in g.qubits):
             return apply_gate_dd(re, im, g, M)
-        raise NotImplementedError(
-            "sharded dd64 does not implement dense 2q gates on globally-"
-            "sharded qubits (not needed by any Shor circuit)"
-        )
+        m4 = gate_matrix_2q(g)
+        q0, q1 = g.qubits
+
+        def relabel(m):  # swap the roles of the two qubits in the 4x4 basis
+            p = [0, 2, 1, 3]
+            return m[np.ix_(p, p)]
+
+        if is_global(q0) and is_global(q1):
+            q_hi, q_lo, m = (q0, q1, m4) if q0 > q1 else (q1, q0, relabel(m4))
+            return _apply_2q_both_global_dd(
+                re, im, m, q_hi - n_local, q_lo - n_local, me, D
+            )
+        # exactly one global: global qubits are the TOP bits, so the global
+        # one is always the higher; relabel when the gate lists it second.
+        if is_global(q0):
+            return _apply_2q_one_global_dd(re, im, m4, q0 - n_local, q1, me, D)
+        return _apply_2q_one_global_dd(re, im, relabel(m4), q1 - n_local, q0, me, D)
 
     raise ValueError(f"unknown gate for sharded dd engine: {g}")
 

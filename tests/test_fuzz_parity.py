@@ -124,3 +124,25 @@ def test_fuzz_pallas_engine_vs_oracle(seed):
     for g in circ:
         want = _apply_reference(want, g)
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", (0, 1))
+def test_fuzz_sharded_dd_engine_vs_oracle(seed):
+    """The dd mesh engine is now fully generic (dense 2q on global qubits
+    included): random full-vocabulary circuits at f64-grade parity."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from quantumcomputer_tpu.parallel.mesh import build_mesh
+    from quantumcomputer_tpu.parallel.sharded_dd import ShardedDDStateVectorEngine
+
+    rng = np.random.default_rng(300 + seed)
+    n = 7
+    circ = tuple(_random_gate(rng, n, 0) for _ in range(16))
+    mesh = build_mesh(num_devices=4)
+    eng = ShardedDDStateVectorEngine(Register(L=n, M=0), mesh=mesh)
+    got = eng.to_numpy(eng.run(circ, eng.zero_state()))
+    want = np.zeros(1 << n, np.complex128)
+    want[0] = 1.0
+    for g in circ:
+        want = _apply_reference(want, g)
+    np.testing.assert_allclose(got, want, atol=1e-12)

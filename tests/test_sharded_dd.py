@@ -99,9 +99,16 @@ def test_sharded_dd_guardrails():
     mesh = build_mesh(num_devices=4)
     with pytest.raises(ValueError, match="shard-local"):
         ShardedDDStateVectorEngine(Register(L=1, M=5), mesh=mesh)
+    # Dense 2q on a global qubit is IMPLEMENTED now (butterfly exchanges
+    # with dd EFT blends): CNOT(5, 0) from |0..01> flips nothing (control
+    # bit 5 is 0) and from X(5)-prepped state flips bit 0.
     eng = ShardedDDStateVectorEngine(Register(L=4, M=2), mesh=mesh)
-    with pytest.raises(NotImplementedError):
-        eng.run((cir.CNOT(5, 0),))
+    import numpy as np
+
+    z = eng.to_numpy(eng.run((cir.CNOT(5, 0),), eng.initial_state()))
+    assert abs(z[1] - 1.0) < 1e-12  # unchanged |0..01>
+    z2 = eng.to_numpy(eng.run((cir.X(5), cir.CNOT(5, 0)), eng.initial_state()))
+    assert abs(z2[(1 << 5) | 0] - 1.0) < 1e-12  # bit 0 flipped: |100000>+ctrl
 
 
 def test_shors_algorithm_dd64_mesh_and_cli():
@@ -129,3 +136,52 @@ def test_sharded_dd_zero_state_and_bv():
     assert z[0] == 1.0 and abs(z[1:]).max() == 0.0
     s = 0b110101  # hidden bits straddle the 2 global qubits
     assert bernstein_vazirani(6, s, jax.random.PRNGKey(8), engine=eng) == s
+
+
+def test_sharded_dd_dense_2q_global_parity():
+    """Dense 2q gates on globally-sharded qubits (the last
+    NotImplementedError in the framework): every class combination —
+    global x local in both listing orders, both-global, cnot/swap
+    specializations — at f64-grade parity vs the complex128 oracle."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    import numpy as np
+
+    from quantumcomputer_tpu.models import circuit as cir
+    from quantumcomputer_tpu.models.circuit import gate_matrix_2q
+    from quantumcomputer_tpu.parallel.mesh import build_mesh
+    from quantumcomputer_tpu.sim import reference as ref
+
+    mesh = build_mesh(num_devices=4)  # qubits 4, 5 global at n=6
+    eng = ShardedDDStateVectorEngine(Register(L=3, M=3), mesh=mesh)
+    rng = np.random.default_rng(0)
+
+    def rand_u4():
+        z = rng.standard_normal((4, 4)) + 1j * rng.standard_normal((4, 4))
+        q, _ = np.linalg.qr(z)
+        return q
+
+    cases = [
+        cir.U2Q(5, 1, rand_u4()),   # global hi, local lo
+        cir.U2Q(2, 4, rand_u4()),   # listed local-first, global second
+        cir.U2Q(5, 4, rand_u4()),   # both global
+        cir.U2Q(4, 5, rand_u4()),   # both global, reversed listing
+        cir.CNOT(4, 1), cir.CNOT(1, 5), cir.SWAP(5, 2), cir.SWAP(4, 5),
+    ]
+    circ = tuple([cir.H(q) for q in range(6)] + cases)
+    got = eng.to_numpy(eng.run(circ, eng.zero_state()))
+
+    psi = np.zeros(64, np.complex128)
+    psi[0] = 1.0
+    for g in circ:
+        if g.name == "h":
+            psi = ref.apply_1q(psi, ref.HADAMARD, g.qubits[0])
+        else:
+            m4 = gate_matrix_2q(g)
+            qh, ql = g.qubits
+            if qh < ql:
+                qh, ql = ql, qh
+                p = [0, 2, 1, 3]
+                m4 = m4[np.ix_(p, p)]
+            psi = ref.apply_2q(psi, m4, qh, ql)
+    np.testing.assert_allclose(got, psi, atol=1e-12)
