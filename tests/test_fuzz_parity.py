@@ -146,3 +146,28 @@ def test_fuzz_sharded_dd_engine_vs_oracle(seed):
     for g in circ:
         want = _apply_reference(want, g)
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.parametrize("seed", (0, 1))
+def test_fuzz_sharded_c32_engine_vs_oracle(seed):
+    """The bf16-planes mesh path over the full vocabulary (bf16 storage
+    tolerance): plane-pair collectives + f32 blends for every gate kind."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from quantumcomputer_tpu import ShardedStateVectorEngine, build_mesh
+
+    rng = np.random.default_rng(400 + seed)
+    n = 8
+    circ = tuple(_random_gate(rng, n, 0) for _ in range(14))
+    mesh = build_mesh(num_devices=4)
+    eng = ShardedStateVectorEngine(
+        Register(L=n, M=0), dtype="complex32", mesh=mesh, backend="pallas"
+    )
+    got = eng.to_numpy(eng.run(circ, eng.zero_state()))
+    want = np.zeros(1 << n, np.complex128)
+    want[0] = 1.0
+    for g in circ:
+        want = _apply_reference(want, g)
+    # bf16 storage: ~8 mantissa bits per step; 14 gates compound.
+    np.testing.assert_allclose(got, want, atol=0.06)
+    assert abs(np.linalg.norm(got) - 1.0) < 0.03
