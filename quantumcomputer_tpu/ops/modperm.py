@@ -34,6 +34,17 @@ the path is exact for any C < 2^30 without x64.
 
 C, a_inv, M are STATIC here (compiled per step value); the semiclassical
 driver caches programs per (C, a_inv, M, dtype).
+
+TPU layout notes (measured on a v5e, scripts/prof_modperm.py /
+prof_rowperm.py / prof_ptranspose.py): XLA lowers the plan-shaped
+transposes — (Q, u) with u ~ sqrt(C) not a multiple of 128 — at
+29-34 GB/s even padded, and vmapped dynamic slices at 21 GB/s (W=2048) to
+~60 GB/s (W=8192), vs 380 GB/s copy and 180 GB/s whole-row gathers.  So
+on TPU both legs route their transposes through the Pallas tiled
+transpose (ops/pallas_transpose.py) and use the widest chunk the
+no-second-wrap invariant allows; element-granular lane shuffles are
+avoided entirely (XLA lane rolls and Mosaic dynamic rotates both measured
+< 35 GB/s).
 """
 
 from __future__ import annotations
@@ -49,11 +60,28 @@ from jax import lax
 
 from quantumcomputer_tpu.ops.gates import modmul_onchip
 
-# Output-chunk width for the deal leg: wider chunks = bigger slice DMAs
-# (8 KB at 2048 f32 lanes, ~257 GB/s measured) but the no-second-wrap
-# invariant needs W*u <= C, so W adapts downward for large u.
-_MAX_CHUNK = 2048
+# Output-chunk width for the deal leg: wider chunks = fewer, bigger slice
+# DMAs (vmapped dynamic-slice throughput roughly doubles per 4x width on
+# a v5e: 21 GB/s at 2048, ~61 at 8192) but the no-second-wrap invariant
+# needs W*u <= C, so W adapts downward for large u.  The y0 padding the
+# slices need is 2*W*u elements, <= 2 extra streamed state passes at the
+# cap — the slice rate dominates that tradeoff everywhere measured.
+_MAX_CHUNK = 16384
 _MIN_CHUNK = 128
+
+
+def _tr(x3: jax.Array) -> jax.Array:
+    """(B, R, Cc) -> (B, Cc, R), possibly PADDED on both output dims.
+
+    On TPU this is the Pallas tiled transpose (XLA's transpose emitter
+    runs at 29-34 GB/s on these shapes — module docstring); callers must
+    index only the valid [:Cc, :R] region.  Elsewhere XLA's transpose is
+    fine and the result is exact."""
+    if jax.default_backend() == "tpu":
+        from quantumcomputer_tpu.ops.pallas_transpose import tiled_transpose_padded
+
+        return tiled_transpose_padded(x3)
+    return jnp.swapaxes(x3, 1, 2)
 
 
 def rational_split(a_inv: int, C: int) -> Optional[Tuple[int, int, int]]:
@@ -162,22 +190,18 @@ def _deal_leg(x: jax.Array, C: int, u: int, M: int, W: int) -> jax.Array:
     xf = x.reshape((-1, dim))
     B = xf.shape[0]
     Qp = (C - 1) // u + 1
-    # (Qp, u) row-major view of x[:Qp*u]; Qp*u may overrun dim by < u, so
-    # the last row is sliced and padded separately (static shapes).
-    Qb = min(Qp, dim // u)
-    rows = [xf[:, : Qb * u].reshape(B, Qb, u)]
-    if Qb < Qp:
-        last = xf[:, Qb * u :]
-        rows.append(
-            jnp.pad(last, ((0, 0), (0, Qp * u - dim)))[:, None, :]
-        )
-    # Row padding becomes column padding of y0 after the transpose: W on
-    # the left (the wrapped slice starts at W - i* >= 0) and W on the
-    # right (the straight slice ends at q1 + W <= Qp + W - 1).
-    zpadL = jnp.zeros((B, W, u), xf.dtype)
-    zpadR = jnp.zeros((B, W, u), xf.dtype)
-    w2 = jnp.concatenate([zpadL] + rows + [zpadR], axis=1)
-    y0 = jnp.swapaxes(w2, 1, 2)  # (B, u, W + Qp + W)
+    # [W*u zeros | x viewed (Qp, u), zero-padded past dim | W*u zeros] as
+    # ONE flat concatenation, then the (W + Qp + W, u) view transposed.
+    # The W-row pads become column pads of y0: W on the left (the wrapped
+    # slice starts at W - i* >= 0) and W on the right (the straight slice
+    # ends at q1 + W <= Qp + W - 1).
+    used = min(dim, Qp * u)
+    mid = xf[:, :used]
+    if Qp * u > used:
+        mid = jnp.pad(mid, ((0, 0), (0, Qp * u - used)))
+    zpad = jnp.zeros((B, W * u), xf.dtype)
+    w2 = jnp.concatenate([zpad, mid, zpad], axis=1).reshape(B, W + Qp + W, u)
+    y0 = _tr(w2)  # (B, u, W + Qp + W), possibly padded past both dims
 
     NC = dim // W
     j0 = lax.iota(jnp.int32, NC) * W
@@ -233,7 +257,9 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
         return lax.dynamic_slice(x_ext, (zero, j0c), (B, Qpv))
 
     y0 = jax.vmap(row, out_axes=1)(j0)          # (B, v, Qpv)
-    w2 = jnp.swapaxes(y0, 1, 2)                 # (B, Qpv, v)
+    w2 = _tr(y0)                                # (B, Qpv, v), possibly padded
+    if w2.shape[1:] != (Qpv, v):
+        w2 = w2[:, :Qpv, :v]                    # compaction back to exact
     flat = w2.reshape(B, Qpv * v)[:, :C]
     if C < dim:
         flat = jnp.concatenate([flat, xf[:, C:]], axis=-1)
