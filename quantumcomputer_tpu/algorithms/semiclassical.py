@@ -157,6 +157,38 @@ def _oracle_pass(w, M: int, rdtype, cdt, C_s, a_inv_s, ct, st):
     return lax.fori_loop(0, dim >> _GATHER_BLOCK_LOG, body, init)
 
 
+def _oracle_pass_structured(w, M: int, rdtype, cdt, plan, ct, st):
+    """_oracle_pass with the gather replaced by the structured
+    modular-stride permutation (ops/modperm): on a v5e the XLA element
+    gather streams at ~0.6-1.3 GB/s while the structured path moves whole
+    rows/slices/tiles — the difference IS the cost of a semiclassical
+    step at large M (docs/PERF.md).
+
+    Requires static (C, a_inv) — the caller compiles per step value
+    instead of tracing the scalars.  The permutation runs ONE PLANE AT A
+    TIME: its transient buffers (cyclic extensions, transpose pads) then
+    scale with half a state, which is what keeps the peak inside the
+    per-step budget at the memory ceiling."""
+    from quantumcomputer_tpu.ops.modperm import apply_stride_permute
+
+    s2 = jnp.asarray(1.0 / math.sqrt(2.0), rdtype)
+    gr = apply_stride_permute(w[0:1], plan)[0] * s2
+    # Explicitly sequence the imaginary-plane permutation AFTER the real
+    # one: the two are data-independent, and without the barrier XLA
+    # schedules them concurrently — two full sets of leg transients live
+    # at once, which is the difference between fitting and OOM at the
+    # memory ceiling (M=28 f32 measured 18.0 GB vs a 15.75 GB chip).
+    wi, gr = lax.optimization_barrier((w[1:2], gr))
+    gi = apply_stride_permute(wi, plan)[0] * s2
+    a1 = jnp.stack([ct * gr - st * gi, st * gr + ct * gi]).astype(rdtype)
+    a0 = w * s2
+    b0 = (a0 + a1) * s2
+    b1 = (a0 - a1) * s2
+    p0 = jnp.sum(b0[0].astype(cdt) ** 2 + b0[1].astype(cdt) ** 2)
+    p1 = jnp.sum(b1[0].astype(cdt) ** 2 + b1[1].astype(cdt) ** 2)
+    return a1, p0, p1
+
+
 def _step_core(w, M: int, rdtype, C_s, a_inv_s, theta, r, force):
     """One semiclassical step on the WORK register only (the control
     qubit is implicit — module docstring): H on the control, controlled
@@ -244,6 +276,98 @@ def _attempt_fn(L: int, M: int, rdtype) -> Callable:
     return jax.jit(attempt, donate_argnums=(0,))
 
 
+def _structured_plans(C: int, a_invs, M: int, rdtype=jnp.float32):
+    """Per-step stride-permutation plans for a semiclassical attempt,
+    with the deal-leg chunk cap lowered so the transient padding stays
+    ~<= 25% of a plane (the memory-ceiling steps run inside the same
+    3-state envelope as the gather path).  Entries are None where the
+    structured path does not apply (tiny or identity multipliers, or a
+    tile-ratio transient that would not fit next to the state) — the
+    attempt falls back to the static-scalar gather for those steps."""
+    from quantumcomputer_tpu.ops import modperm
+
+    dim = 1 << M
+    state_bytes = 2 * dim * jnp.dtype(rdtype).itemsize
+    if jax.default_backend() == "tpu":
+        from quantumcomputer_tpu.utils.memory import device_hbm_budget
+
+        # T(8,128)-tiled thin-minor intermediates expand by the tile
+        # ratio; the surplus must fit next to the 3-state envelope.
+        tile_budget = 0.08 * device_hbm_budget()
+    else:
+        tile_budget = None  # CPU has no lane tiling
+    plans = []
+    for ai in a_invs:
+        plan = modperm.plan_stride_permute(C, int(ai), M)
+        if plan is not None and tile_budget is not None:
+            ratio = max(modperm.tile_ratio(plan.u), modperm.tile_ratio(plan.v))
+            if (ratio - 1.0) * state_bytes / 2 > tile_budget:
+                plan = None
+        if plan is not None and plan.u > 1 and 8 * plan.W * plan.u > dim:
+            cap = plan.W
+            while cap > 2048 and 8 * cap * plan.u > dim:
+                cap //= 2
+            plan = modperm.plan_stride_permute(C, int(ai), M, max_chunk=cap)
+        plans.append(plan)
+    return plans
+
+
+def _attempt_fn_structured(L: int, M: int, rdtype, C: int, a: int) -> Callable:
+    """A whole semiclassical attempt with STATIC per-step oracles: the L
+    steps are unrolled (not a fori_loop), so each step's modular multiply
+    can use the structured stride permutation (ops/modperm) — static
+    (C, a_inv) per step — instead of the runtime-scalar element gather.
+    On a v5e the gather streams at ~0.6-1.3 GB/s vs the structured path's
+    whole-row/slice movement; at large M this is the entire step cost.
+
+    Compiled per (C, a, L, M, dtype) — one program (one remote compile),
+    unlike a per-step-program form which would pay the compile latency L
+    times.  The initial |0..01> state is BUILT INSIDE the program and the
+    final state is not returned, so the program has no state-sized
+    operands: through the AOT tunnel program inputs stay live for the
+    whole dispatch, and a state input would push the peak past the
+    3-state envelope exactly at the memory ceiling (M=30 complex32).
+
+    (rs (L,), forces (L,)) -> (bits (L,) int32, conditional probs (L,)).
+    """
+    cdt = _compute_dtype(rdtype)
+    a_invs = [pow(pow(a, 1 << (L - 1 - s), C), -1, C) for s in range(L)]
+    plans = _structured_plans(C, a_invs, M, rdtype)
+    C_s = jnp.asarray(C, jnp.int32)
+
+    def attempt(rs, forces):
+        w = sv.initial_planar(M, rdtype, 1)
+        phi = jnp.zeros((), cdt)
+        bits, probs = [], []
+        for s in range(L):
+            if s:
+                # Pin step boundaries: without the barrier XLA's
+                # scheduler overlaps the unrolled steps' oracle fusions
+                # (measured: every step's rotate temp live at once — L
+                # extra state-sized buffers, OOM at M=28).
+                w, phi = lax.optimization_barrier((w, phi))
+            theta = (jnp.pi * phi).astype(cdt)
+            ct, st = jnp.cos(theta), jnp.sin(theta)
+            if plans[s] is not None:
+                a1, p0, p1 = _oracle_pass_structured(
+                    w, M, rdtype, cdt, plans[s], ct, st
+                )
+            else:
+                a1, p0, p1 = _oracle_pass(
+                    w, M, rdtype, cdt, C_s,
+                    jnp.asarray(a_invs[s], jnp.int32), ct, st,
+                )
+            bit, p_cond, w = collapse_from_a1(
+                w, a1, p0, p1, rs[s], forces[s], rdtype, cdt
+            )
+            phi = (phi + bit.astype(cdt)) / 2
+            bits.append(bit)
+            probs.append(p_cond.astype(cdt))
+        return jnp.stack(bits), jnp.stack(probs)
+
+    return jax.jit(attempt)
+
+
 def _step_fn(M: int, rdtype) -> Callable:
     """One semiclassical step as its own compiled program.  This is the
     MEMORY-CEILING form: a fori_loop program's carries double-buffer on
@@ -278,6 +402,11 @@ _FUSED_STATES_HEADROOM = 4
 # Per-step: in + out live across the dispatch boundary (donation does not
 # reduce peak through the AOT tunnel) plus the gathered a1 (~1x).
 _STEP_STATES_HEADROOM = 3
+
+# Below this M the element gather is cheap enough that the structured
+# attempt's per-(C, a) compile is not worth paying (the compile-once
+# gather programs serve every step of every trial integer).
+_STRUCTURED_MIN_M = 22
 
 
 def fused_attempt_fits(M: int, rdtype) -> bool:
@@ -353,6 +482,7 @@ def run_semiclassical(
     fused: Optional[bool] = None,
     checkpoint_dir: Optional[str] = None,
     checkpoint_every: int = 4,
+    structured: Optional[bool] = None,
     _cache: dict = {},
 ) -> SemiclassicalRecord:
     """One semiclassical period-finding attempt: L sequential one-qubit
@@ -366,6 +496,15 @@ def run_semiclassical(
     compiled fori_loop program when the device memory budget allows
     (fused_attempt_fits), else L per-step dispatches with the deferred
     phase maintained on the host.  Both paths share _step_core.
+
+    structured: None (default) auto-selects the structured-oracle attempt
+    on TPU for M >= 22 — the whole attempt unrolled into one program
+    whose per-step modular multiplies run as stride permutations
+    (ops/modperm) instead of element gathers (~0.6-1.3 GB/s on a v5e;
+    the entire step cost at large M).  Costs one compile per (C, a, L, M,
+    dtype) — the QC_SC_STRUCTURED env var (0/1) overrides the auto choice
+    for runs where that tradeoff goes the other way.  Incompatible with
+    checkpoint_dir (no step boundaries) and ignored for dd64.
 
     checkpoint_dir: snapshot (state, bits, probs) every checkpoint_every
     steps for preemption recovery — a killed attempt re-invoked with the
@@ -407,6 +546,24 @@ def run_semiclassical(
 
         return run_semiclassical_dd(C, a, L, M, key, forced_bits=forced_bits)
     rdtype = sv.real_dtype_of(dtype)
+    import os as _os
+
+    env_structured = _os.environ.get("QC_SC_STRUCTURED")
+    if structured is None and env_structured is not None:
+        structured = env_structured not in ("0", "false", "")
+    if structured is None:
+        structured = (
+            checkpoint_dir is None
+            and M >= _STRUCTURED_MIN_M
+            and jax.default_backend() == "tpu"
+            and step_program_fits(M, rdtype)
+        )
+    if structured and checkpoint_dir is not None:
+        raise ValueError(
+            "structured=True is incompatible with checkpoint_dir: the "
+            "structured attempt is one unrolled program with no step "
+            "boundary to snapshot"
+        )
     if checkpoint_dir is not None:
         fused = False  # snapshots need step boundaries (docstring)
     if fused is None:
@@ -433,6 +590,24 @@ def run_semiclassical(
     if forced_bits is not None:
         forces = np.asarray(forced_bits, np.int32)
     C_s = jnp.asarray(C, jnp.int32)
+
+    if structured:
+        # One unrolled program per (C, a, L, M, dtype): per-step static
+        # stride-permutation oracles (_attempt_fn_structured).  Programs
+        # are large (L unrolled steps), so the cache is LRU-bounded — a
+        # trial loop compiles one program per trial integer.
+        ck = ("structured", C, a, L, M, jnp.dtype(rdtype).name)
+        attempt = _cache.get(ck)
+        if attempt is None:
+            attempt = _attempt_fn_structured(L, M, rdtype, C, a)
+            skeys = [k for k in _cache if isinstance(k, tuple) and k[0] == "structured"]
+            if len(skeys) >= 8:
+                del _cache[skeys[0]]
+            _cache[ck] = attempt
+        bits_d, probs_d = attempt(rs, jnp.asarray(forces))
+        bits = [int(b) for b in np.asarray(bits_d)]
+        probs = [float(p) for p in np.asarray(probs_d)]
+        return SemiclassicalRecord.from_bits(bits, probs)
 
     # |1>: the work register alone (the control is implicit, always |0>
     # at step boundaries — reset_register semantics, qc_shor.c:318-324).
@@ -535,6 +710,7 @@ def find_period_semiclassical(
     trials_per_denominator: int = nt.TRIALS_PER_DENOMINATOR,
     mesh=None,
     checkpoint_dir: Optional[str] = None,
+    structured: Optional[bool] = None,
 ) -> Tuple[Optional[int], SemiclassicalRecord]:
     """Semiclassical analog of find_period: omega -> continued fractions ->
     period test (same classical pipeline, qc_shor.c:912-964).
@@ -559,7 +735,10 @@ def find_period_semiclassical(
 
         rec = run_semiclassical_sharded(C, a, L, M, key, mesh, dtype)
     else:
-        rec = run_semiclassical(C, a, L, M, key, dtype, checkpoint_dir=checkpoint_dir)
+        rec = run_semiclassical(
+            C, a, L, M, key, dtype,
+            checkpoint_dir=checkpoint_dir, structured=structured,
+        )
     period = nt.find_period_from_omega(
         rec.omega, a, C, num_fractions, trials_per_denominator
     )

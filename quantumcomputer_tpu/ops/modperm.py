@@ -76,12 +76,45 @@ def _tr(x3: jax.Array) -> jax.Array:
     On TPU this is the Pallas tiled transpose (XLA's transpose emitter
     runs at 29-34 GB/s on these shapes — module docstring); callers must
     index only the valid [:Cc, :R] region.  Elsewhere XLA's transpose is
-    fine and the result is exact."""
-    if jax.default_backend() == "tpu":
-        from quantumcomputer_tpu.ops.pallas_transpose import tiled_transpose_padded
+    fine and the result is exact.
 
-        return tiled_transpose_padded(x3)
+    Degenerate plans (one factor far below the tile size) would blow the
+    padded footprint up by the pad ratio — a (2^25, 2) view padded to
+    (2^25, 256) is 128x the state, an instant OOM at any real M — so the
+    Pallas path is gated on the padding staying ~<= 30%; thin views take
+    the XLA transpose (slow pass, but proportional memory)."""
+    if jax.default_backend() == "tpu":
+        R, Cc = x3.shape[-2:]
+        blk = 128
+        pad_ratio = (-(-R // blk) * blk * (-(-Cc // blk) * blk)) / float(R * Cc)
+        if pad_ratio <= 1.4:
+            from quantumcomputer_tpu.ops.pallas_transpose import (
+                tiled_transpose_padded,
+            )
+
+            return tiled_transpose_padded(x3, block=(blk, blk))
     return jnp.swapaxes(x3, 1, 2)
+
+
+def tile_ratio(f: int) -> float:
+    """Lane-tiling expansion of materializing a factor as the minor dim
+    of a planar intermediate.  TPU arrays are tiled T(8,128): a (N, f)
+    array with f far from a lane multiple pads every row to
+    ceil(f/128)*128 lanes — at f=2 that is a 64x expansion, which turned
+    a 256 MB intermediate into a 16 GB allocation.  Both split factors
+    appear as minor dims (u in the deal view, v in the collect
+    transpose)."""
+    return 1.0 if f == 1 else (-(-f // 128) * 128) / f
+
+
+def _tile_friendly(f: int) -> bool:
+    """Acceptance floor for rational_split: reject only the catastrophic
+    zone (> 4x expansion, f < 32).  Memory-ceiling callers (the
+    semiclassical driver at the largest M) apply a stricter per-plan
+    tile_ratio gate and fall back to the element gather instead — a
+    blanket strict filter here would reject most multipliers whose
+    continued fraction jumps over the balanced sqrt(C) region."""
+    return f == 1 or f >= 32
 
 
 def rational_split(a_inv: int, C: int) -> Optional[Tuple[int, int, int]]:
@@ -108,7 +141,12 @@ def rational_split(a_inv: int, C: int) -> Optional[Tuple[int, int, int]]:
     best_cost = None
     while r1 > 0:
         cost = max(r1, abs(t1))
-        if math.gcd(r1, C) == 1 and (best_cost is None or cost < best_cost):
+        if (
+            math.gcd(r1, C) == 1
+            and _tile_friendly(r1)
+            and _tile_friendly(abs(t1))
+            and (best_cost is None or cost < best_cost)
+        ):
             best, best_cost = (1 if t1 > 0 else -1, r1, abs(t1)), cost
         q = r0 // r1
         r0, r1 = r1, r0 - q * r1
@@ -129,11 +167,18 @@ class StridePlan:
     W: int       # deal-leg output chunk width
 
 
-def plan_stride_permute(C: int, a_inv: int, M: int) -> Optional[StridePlan]:
+def plan_stride_permute(
+    C: int, a_inv: int, M: int, max_chunk: int = _MAX_CHUNK
+) -> Optional[StridePlan]:
     """Build the static plan, or None when the structured path does not
     apply: the permutation must be nontrivial, the deal chunking needs
     W*u <= C with a DMA-worthy W, and the collect rows (width ~C/v) must
-    be wide enough to beat element gathers."""
+    be wide enough to beat element gathers.
+
+    max_chunk caps the deal-leg chunk width W: the leg's transient
+    padding is 2*W*u elements, so memory-ceiling callers (the
+    semiclassical driver at the largest M) pass a lower cap to trade
+    slice throughput for peak footprint."""
     dim = 1 << M
     if C > dim or C >= (1 << 30):
         return None
@@ -145,7 +190,7 @@ def plan_stride_permute(C: int, a_inv: int, M: int) -> Optional[StridePlan]:
         return None
     eps, u, v = split
     # Chunk width for the deal leg: largest power of two with W*u <= C.
-    W = _MAX_CHUNK
+    W = max_chunk
     while W > dim:
         W //= 2
     while W >= _MIN_CHUNK and W * u > C:
@@ -160,12 +205,47 @@ def plan_stride_permute(C: int, a_inv: int, M: int) -> Optional[StridePlan]:
     return StridePlan(C=C, M=M, eps=eps, u=u, v=v, vinv=vinv, W=W)
 
 
+def _flip_full_mxu(x: jax.Array) -> jax.Array:
+    """Reverse the last dim via row-reverse + MXU lane-reverse.
+
+    XLA's lane-dim reverse measured 8.7 GB/s on a v5e; reversing the
+    128-row order (a take) then multiplying by the reversed identity runs
+    at ~80 GB/s.  EXACT for every dtype: each output element is one
+    product x*1.0 summed with zeros (precision=HIGHEST keeps the MXU from
+    rounding the pass-through).  Requires the last dim % 128 == 0."""
+    dim = x.shape[-1]
+    lead = x.shape[:-1]
+    rows = dim // LANE_REV.shape[0]
+    zz = x.reshape(lead + (rows, LANE_REV.shape[0]))
+    zz = jnp.take(zz, rows - 1 - lax.iota(jnp.int32, rows), axis=len(lead))
+    out = lax.dot_general(
+        zz,
+        LANE_REV.astype(x.dtype),
+        (((len(lead) + 1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+    )
+    return out.reshape(lead + (dim,))
+
+
+LANE_REV = jnp.eye(128, dtype=jnp.float32)[::-1]
+
+
 def _negate_mod(x: jax.Array, C: int) -> jax.Array:
     """F_{-1}: out[0] = x[0], out[j] = x[C - j] for 0 < j < C, identity
-    above.  Contiguous flip — one streaming pass."""
+    above.
+
+    On TPU the segment reverse is realized as a FULL reverse (row-reverse
+    + MXU lane-reverse, _flip_full_mxu) plus a static re-slice: out[1:C]
+    = full_reverse(x)[dim-C : dim-1].  XLA's native lane reverse
+    (jnp.flip on the minor dim) measured 8.7 GB/s on a v5e — 14x slower
+    than this composition."""
     dim = x.shape[-1]
     head = x[..., :1]
-    body = jnp.flip(x[..., 1:C], axis=-1)
+    if jax.default_backend() == "tpu" and dim % 128 == 0:
+        full = _flip_full_mxu(x)
+        body = lax.slice_in_dim(full, dim - C, dim - 1, axis=-1)
+    else:
+        body = jnp.flip(x[..., 1:C], axis=-1)
     if C == dim:
         return jnp.concatenate([head, body], axis=-1)
     return jnp.concatenate([head, body, x[..., C:]], axis=-1)
@@ -216,14 +296,32 @@ def _deal_leg(x: jax.Array, C: int, u: int, M: int, W: int) -> jax.Array:
     t2 = jnp.clip(rem0 + istar * u - C, 0, u - 1)
 
     zero = jnp.zeros((), jnp.int32)
+    lane = lax.iota(jnp.int32, W)
+    pitch = y0.shape[2]
+    if y0.shape[1] * pitch < (1 << 31):
+        # Flat 1D-start slices lower ~25% faster than 2D (t, col) starts
+        # (scripts/prof_legs.py); int32 flat indexing bounds the option.
+        y0f = y0.reshape(B, y0.shape[1] * pitch)
+        s0 = t1 * pitch + (W + q1)
+        s1 = t2 * pitch + (W - istar)
 
-    def chunk(t1c, q1c, isc, t2c):
-        g0 = lax.dynamic_slice(y0, (zero, t1c, W + q1c), (B, 1, W))
-        g1 = lax.dynamic_slice(y0, (zero, t2c, W - isc), (B, 1, W))
-        lane = lax.iota(jnp.int32, W)
-        return jnp.where(lane[None, None, :] < isc, g0, g1)
+        # Blend INSIDE the vmapped chunk: the two W-slices fuse into the
+        # select without materializing dim-sized g0/g1 (2 state passes of
+        # transient HBM at the memory ceiling).
+        def chunk1(a, b, isc):
+            g0 = lax.dynamic_slice(y0f, (zero, a), (B, W))
+            g1 = lax.dynamic_slice(y0f, (zero, b), (B, W))
+            return jnp.where(lane[None, :] < isc, g0, g1)
 
-    out = jax.vmap(chunk, in_axes=(0, 0, 0, 0), out_axes=2)(t1, q1, istar, t2)
+        out = jax.vmap(chunk1, in_axes=(0, 0, 0), out_axes=1)(s0, s1, istar)
+    else:
+
+        def chunk(t1c, q1c, isc, t2c):
+            g0 = lax.dynamic_slice(y0, (zero, t1c, W + q1c), (B, 1, W))
+            g1 = lax.dynamic_slice(y0, (zero, t2c, W - isc), (B, 1, W))
+            return jnp.where(lane[None, None, :] < isc, g0, g1)
+
+        out = jax.vmap(chunk, in_axes=(0, 0, 0, 0), out_axes=2)(t1, q1, istar, t2)
     out = out.reshape(B, dim)
     if C < dim:
         pos = lax.iota(jnp.int32, dim)
@@ -245,7 +343,14 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
     xf = x.reshape((-1, dim))
     B = xf.shape[0]
     Qpv = (C - 1) // v + 1
-    x_ext = jnp.concatenate([xf[:, :C], xf[:, :Qpv]], axis=-1)
+    # Slices of a lane-aligned width run markedly faster than odd widths
+    # (scripts/prof_legs.py): gather rows rounded up to 128 — the cyclic
+    # extension provides valid (discarded) continuation data — and drop
+    # the surplus in the post-transpose compaction slice.
+    Qpr = -(-Qpv // 128) * 128
+    x_ext = jnp.concatenate([xf[:, :C], xf[:, : min(Qpr, dim)]], axis=-1)
+    if Qpr > dim:
+        x_ext = jnp.pad(x_ext, ((0, 0), (0, Qpr - dim)))
 
     t = lax.iota(jnp.int32, v)
     nbits = max(1, C.bit_length())
@@ -254,10 +359,10 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
     zero = jnp.zeros((), jnp.int32)
 
     def row(j0c):
-        return lax.dynamic_slice(x_ext, (zero, j0c), (B, Qpv))
+        return lax.dynamic_slice(x_ext, (zero, j0c), (B, Qpr))
 
-    y0 = jax.vmap(row, out_axes=1)(j0)          # (B, v, Qpv)
-    w2 = _tr(y0)                                # (B, Qpv, v), possibly padded
+    y0 = jax.vmap(row, out_axes=1)(j0)          # (B, v, Qpr)
+    w2 = _tr(y0)                                # (B, Qpr, v), possibly padded
     if w2.shape[1:] != (Qpv, v):
         w2 = w2[:, :Qpv, :v]                    # compaction back to exact
     flat = w2.reshape(B, Qpv * v)[:, :C]
