@@ -278,24 +278,37 @@ def _attempt_fn(L: int, M: int, rdtype) -> Callable:
 
 def _structured_plans(C: int, a_invs, M: int, rdtype=jnp.float32):
     """Per-step stride-permutation plans for a semiclassical attempt,
-    with the deal-leg chunk cap lowered so the transient padding stays
-    ~<= 25% of a plane (the memory-ceiling steps run inside the same
-    3-state envelope as the gather path).  Entries are None where the
-    structured path does not apply (tiny or identity multipliers, or a
-    tile-ratio transient that would not fit next to the state) — the
-    attempt falls back to the static-scalar gather for those steps."""
+    with the deal-leg chunk width W capped so the W-dependent transients
+    fit in the HBM left over after the step envelope — wider chunks are
+    strictly faster slice DMAs (v5e: ~21 GB/s at W=2048 vs ~60 at 8192),
+    so off the memory ceiling the cap stays at the plan maximum and only
+    the top-M steps trade slice width for footprint.  Entries are None
+    where the structured path does not apply (tiny or identity
+    multipliers, or a tile-ratio transient that would not fit next to the
+    state) — the attempt falls back to the static-scalar gather there."""
     from quantumcomputer_tpu.ops import modperm
 
     dim = 1 << M
-    state_bytes = 2 * dim * jnp.dtype(rdtype).itemsize
+    itemsize = jnp.dtype(rdtype).itemsize
+    plane_bytes = dim * itemsize
+    state_bytes = 2 * plane_bytes
     if jax.default_backend() == "tpu":
         from quantumcomputer_tpu.utils.memory import device_hbm_budget
 
+        budget = device_hbm_budget()
         # T(8,128)-tiled thin-minor intermediates expand by the tile
         # ratio; the surplus must fit next to the 3-state envelope.
-        tile_budget = 0.08 * device_hbm_budget()
+        tile_budget = 0.08 * budget
+        # W-independent peak: the 3-state step envelope plus the legs'
+        # plane-proportional transients (cyclic extension + transpose
+        # copy, ~2 planes live at once inside a leg).
+        fixed = _STEP_STATES_HEADROOM * state_bytes + 2 * plane_bytes
+        # The deal pad (2*W*u elements) is live in BOTH the concatenated
+        # view and its transpose.
+        allowed_Wu = max(0, budget - fixed) // (4 * itemsize)
     else:
         tile_budget = None  # CPU has no lane tiling
+        allowed_Wu = None
     plans = []
     for ai in a_invs:
         plan = modperm.plan_stride_permute(C, int(ai), M)
@@ -303,11 +316,20 @@ def _structured_plans(C: int, a_invs, M: int, rdtype=jnp.float32):
             ratio = max(modperm.tile_ratio(plan.u), modperm.tile_ratio(plan.v))
             if (ratio - 1.0) * state_bytes / 2 > tile_budget:
                 plan = None
-        if plan is not None and plan.u > 1 and 8 * plan.W * plan.u > dim:
+        if (
+            plan is not None
+            and allowed_Wu is not None
+            and plan.u > 1
+            and plan.W * plan.u > allowed_Wu
+        ):
             cap = plan.W
-            while cap > 2048 and 8 * cap * plan.u > dim:
+            while cap > modperm._MIN_CHUNK and cap * plan.u > allowed_Wu:
                 cap //= 2
-            plan = modperm.plan_stride_permute(C, int(ai), M, max_chunk=cap)
+            plan = (
+                modperm.plan_stride_permute(C, int(ai), M, max_chunk=cap)
+                if cap * plan.u <= allowed_Wu
+                else None
+            )
         plans.append(plan)
     return plans
 
@@ -498,7 +520,9 @@ def run_semiclassical(
     phase maintained on the host.  Both paths share _step_core.
 
     structured: None (default) auto-selects the structured-oracle attempt
-    on TPU for M >= 22 — the whole attempt unrolled into one program
+    on TPU for M >= 22 while the unrolled 4-state envelope fits (through
+    M=28 c64 / M=29 c32 on a 16 GB chip; the per-step gather dispatch
+    owns the regime above) — the whole attempt unrolled into one program
     whose per-step modular multiplies run as stride permutations
     (ops/modperm) instead of element gathers (~0.6-1.3 GB/s on a v5e;
     the entire step cost at large M).  Costs one compile per (C, a, L, M,
@@ -552,11 +576,17 @@ def run_semiclassical(
     if structured is None and env_structured is not None:
         structured = env_structured not in ("0", "false", "")
     if structured is None:
+        # Gate on the UNROLLED attempt's envelope (3-state step + the
+        # legs' ~1-state plane-proportional transients = the fused
+        # 4-state bound), not the per-step one: past it (M=29 c64 /
+        # M=30 c32) _structured_plans would refuse every step anyway and
+        # the program would degenerate to an over-budget gather unroll —
+        # the per-step gather dispatch path owns that regime.
         structured = (
             checkpoint_dir is None
             and M >= _STRUCTURED_MIN_M
             and jax.default_backend() == "tpu"
-            and step_program_fits(M, rdtype)
+            and fused_attempt_fits(M, rdtype)
         )
     if structured and checkpoint_dir is not None:
         raise ValueError(
