@@ -507,3 +507,30 @@ def test_checkpoint_every_validated(tmp_path):
             15, 7, 4, 4, jax.random.PRNGKey(0),
             checkpoint_dir=str(tmp_path), checkpoint_every=0,
         )
+
+
+def test_predictor_matches_engine():
+    """The classical eigenphase-mixture predictor
+    (scripts/predict_semiclassical.py) reproduces the engine's exact bit
+    sequence when replaying its PRNG stream — the independent theory
+    oracle used to pick seeds for hardware demo runs."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "scripts", "predict_semiclassical.py"
+    )
+    spec = importlib.util.spec_from_file_location("predict_semiclassical", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    C, a, L, M = 15311, 2, 16, 14  # 251 * 61
+    r = mod.multiplicative_order(a, C)
+    assert pow(a, r, C) == 1
+    for seed in range(3):
+        key = jax.random.PRNGKey(seed)
+        _, sub = jax.random.split(key)
+        rec = run_semiclassical(C, a, L, M, sub, jnp.complex64)
+        bits, margin = mod.predict_bits(C, a, L, mod.engine_draws(seed, L), r)
+        assert rec.bits == bits, (seed, rec.bits, bits)
+        assert margin > 0
