@@ -17,6 +17,13 @@ from quantumcomputer_tpu.algorithms.qpe import estimate_phase  # noqa: F401
 from quantumcomputer_tpu.algorithms.simon import simon_search  # noqa: F401
 from quantumcomputer_tpu.algorithms.quantum_volume import run_quantum_volume  # noqa: F401
 from quantumcomputer_tpu.algorithms.semiclassical import run_semiclassical  # noqa: F401
+from quantumcomputer_tpu.algorithms.variational import (  # noqa: F401
+    HardwareEfficientAnsatz,
+    expectation,
+    pauli_term,
+    qaoa_maxcut,
+    vqe,
+)
 from quantumcomputer_tpu.algorithms.shor import (  # noqa: F401
     Outcome,
     ShorResult,
