@@ -20,6 +20,7 @@ from quantumcomputer_tpu.algorithms.semiclassical import run_semiclassical  # no
 from quantumcomputer_tpu.algorithms.variational import (  # noqa: F401
     HardwareEfficientAnsatz,
     expectation,
+    expectation_on_engine,
     pauli_term,
     qaoa_maxcut,
     vqe,

@@ -121,6 +121,42 @@ def expectation(planar: jax.Array, terms: Sequence[PauliTerm]) -> jax.Array:
     return _expectation_fn(tuple(terms), n)(planar)
 
 
+def expectation_on_engine(engine, state: jax.Array, terms: Sequence[PauliTerm]) -> float:
+    """<psi| H |psi> through an ENGINE's gate path — works on single-chip
+    and sharded states alike.
+
+    Each Pauli string is applied as X/Y/Z gates via `engine.run`, so on a
+    `ShardedStateVectorEngine` an X/Y on a globally-sharded qubit rides
+    the engine's existing ppermute butterflies — no separate distributed
+    observable code path to maintain.  The inner product reduces over the
+    sharded planes inside one jit (XLA inserts the cross-shard psum from
+    the sharding alone).  Peak memory is TWO states (|psi> and P|psi>);
+    the engine's `run` donates its input, so a fresh copy is passed per
+    term.  `state` is not consumed."""
+    from quantumcomputer_tpu.models import circuit as cir
+
+    gate_of = {"X": cir.X, "Y": cir.Y, "Z": cir.Z}
+
+    def _re_inner(a, b):
+        # bf16 planes accumulate in f32 (bf16 sums lose everything);
+        # f32/f64 keep their own precision.
+        acc = jnp.float32 if a.dtype == jnp.bfloat16 else a.dtype
+        ar, ai = a[0].astype(acc), a[1].astype(acc)
+        br, bi = b[0].astype(acc), b[1].astype(acc)
+        return jnp.sum(ar * br + ai * bi)
+
+    inner = jax.jit(_re_inner)
+    total = 0.0
+    for coeff, ops in terms:
+        if not ops:
+            total += coeff * float(inner(state, state))
+            continue
+        pz = engine.run(tuple(gate_of[s](q) for q, s in ops), state + 0)
+        total += coeff * float(inner(state, pz))
+        del pz
+    return total
+
+
 def dense_hamiltonian(terms: Sequence[PauliTerm], n: int) -> np.ndarray:
     """Dense 2^n x 2^n matrix of a Pauli-sum — test/diagnostic oracle only
     (exact ground energies for small n); never used on the compute path."""
