@@ -121,6 +121,20 @@ def expectation(planar: jax.Array, terms: Sequence[PauliTerm]) -> jax.Array:
     return _expectation_fn(tuple(terms), n)(planar)
 
 
+def _re_inner(a, b):
+    # bf16 planes accumulate in f32 (bf16 sums lose everything);
+    # f32/f64 keep their own precision.
+    acc = jnp.float32 if a.dtype == jnp.bfloat16 else a.dtype
+    ar, ai = a[0].astype(acc), a[1].astype(acc)
+    br, bi = b[0].astype(acc), b[1].astype(acc)
+    return jnp.sum(ar * br + ai * bi)
+
+
+# Module-level jit: a fresh jax.jit(fn) per call would defeat the trace
+# cache and recompile the inner product on every invocation.
+_re_inner_jit = jax.jit(_re_inner)
+
+
 def expectation_on_engine(engine, state: jax.Array, terms: Sequence[PauliTerm]) -> float:
     """<psi| H |psi> through an ENGINE's gate path — works on single-chip
     and sharded states alike.
@@ -136,16 +150,7 @@ def expectation_on_engine(engine, state: jax.Array, terms: Sequence[PauliTerm]) 
     from quantumcomputer_tpu.models import circuit as cir
 
     gate_of = {"X": cir.X, "Y": cir.Y, "Z": cir.Z}
-
-    def _re_inner(a, b):
-        # bf16 planes accumulate in f32 (bf16 sums lose everything);
-        # f32/f64 keep their own precision.
-        acc = jnp.float32 if a.dtype == jnp.bfloat16 else a.dtype
-        ar, ai = a[0].astype(acc), a[1].astype(acc)
-        br, bi = b[0].astype(acc), b[1].astype(acc)
-        return jnp.sum(ar * br + ai * bi)
-
-    inner = jax.jit(_re_inner)
+    inner = _re_inner_jit
     total = 0.0
     for coeff, ops in terms:
         if not ops:
@@ -277,11 +282,18 @@ class HardwareEfficientAnsatz:
     entangler: str = "brick"  # 'brick' | 'ring'
 
     @property
-    def num_parameters(self) -> Tuple[int, int]:
+    def parameter_shape(self) -> Tuple[int, int]:
+        """Shape of the parameter array `apply` expects: (depth + 1, n)."""
         return (self.depth + 1, self.n)
 
+    @property
+    def num_parameters(self) -> int:
+        """Total parameter COUNT (the name promises a count; the shape
+        lives at `parameter_shape`)."""
+        return (self.depth + 1) * self.n
+
     def initial_parameters(self, key: jax.Array, scale: float = 0.1) -> jax.Array:
-        return scale * jax.random.normal(key, self.num_parameters, dtype=jnp.float32)
+        return scale * jax.random.normal(key, self.parameter_shape, dtype=jnp.float32)
 
     def _pairs(self, layer: int) -> List[Tuple[int, int]]:
         n = self.n
