@@ -25,13 +25,23 @@ AXIS = "q"
 
 def comm_domain(dev) -> int:
     """Communication domain of a device: devices in the same domain talk
-    over ICI; crossing domains rides DCN.  TPU slices expose slice_index;
-    multi-host CPU/GPU fall back to process_index; single-domain otherwise."""
-    for attr in ("slice_index", "process_index"):
-        v = getattr(dev, attr, None)
+    over ICI; crossing domains rides DCN.
+
+    TPU devices group by slice_index (ICI spans every host of a slice, so
+    process_index would wrongly split it).  Non-TPU devices group by
+    process_index: found by the round-4 multi-process dryrun
+    (scripts/dcn_dryrun.py), distributed CPU devices expose a uniform
+    slice_index — honoring it collapses every process into one "domain"
+    and silently disables the DCN ordering policy.  Devices with no
+    platform attribute (synthetic test doubles) keep slice_index
+    semantics."""
+    plat = getattr(dev, "platform", None)
+    if plat in (None, "tpu"):
+        v = getattr(dev, "slice_index", None)
         if v is not None:
             return int(v)
-    return 0
+    v = getattr(dev, "process_index", None)
+    return int(v) if v is not None else 0
 
 
 def order_devices_for_ici(devices: Sequence) -> list:
