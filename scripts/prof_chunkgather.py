@@ -2,20 +2,22 @@
 
 Decides the realization of the semiclassical structured-permutation legs
 (ops/modperm.py): per-chunk DMA at scalar-prefetched offsets + in-kernel
-realignment.  Variants measured (all at M=26, f32, one plane):
+realignment.  Variants (M=26 plane, f32, W-element chunks):
 
   copy      : contiguous chunked copy (identity offsets) — the DMA ceiling
   aligned   : chunk gather at random 1024-aligned starts
-  subshift  : + dynamic sublane-offset VMEM re-read (starts 128-aligned)
-  mxurot    : + per-chunk MXU lane rotate (arbitrary element starts)
-  roll      : + per-chunk pltpu.roll dynamic lane rotate (same starts)
-  blend2    : deal-style two-slice fetch + istar lane select (arbitrary)
-  transpose : tiled_transpose at plan shapes (square and u-shaped)
+  roll2     : + pltpu.roll realignment (sublane + lane) — arbitrary starts
+  mxuroll   : + roll for sublanes, MXU permutation matmul for lanes
+  transpose : tiled_transpose at plan shapes
+
+Lowering constraints found on the way (v5e, jax 0.9):
+  * lax.dynamic_slice on VALUES is not lowered (refs only) — realignment
+    must go through pltpu.roll / matmuls;
+  * output block shapes need the last two dims (8, 128)-divisible.
 """
 import os
 import sys
 import time
-from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -32,13 +34,14 @@ DIM = 1 << M
 W = int(os.environ.get("PROF_W", "16384"))  # chunk elements (64 KB f32)
 NC = DIM // W
 KT = W // 1024  # 1024-element tiles per chunk
+WR = W // LANE  # chunk rows of 128 lanes
 
 
 def sync(x):
     return float(jnp.sum(x.reshape(-1)[:4].astype(jnp.float32)))
 
 
-def slope(f, *args, k1=1, k2=3):
+def slope(f, *args, k1=4, k2=20):
     def mk(k):
         @jax.jit
         def g(v, *rest):
@@ -59,7 +62,26 @@ def slope(f, *args, k1=1, k2=3):
     return (ts[k2] - ts[k1]) / (k2 - k1), comp
 
 
-# ---------------- kernels ----------------
+def _mk_grid(x, extra_tiles):
+    return pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(NC,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, WR, LANE), lambda i, s: (i, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((KT + extra_tiles, 8, LANE), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+
+def _call(kernel, x, starts, extra_tiles):
+    x3 = x.reshape(x.size // 1024, 8, LANE)
+    return pl.pallas_call(
+        kernel, grid_spec=_mk_grid(x, extra_tiles),
+        out_shape=jax.ShapeDtypeStruct((NC, WR, LANE), x.dtype),
+    )(starts, x3).reshape(DIM)
+
 
 def _copy_kernel(starts_ref, x_any, o_ref, slab, sems):
     i = pl.program_id(0)
@@ -71,55 +93,10 @@ def _copy_kernel(starts_ref, x_any, o_ref, slab, sems):
 
 
 def chunk_gather_aligned(x, starts):
-    """out[i] = x3[starts[i]>>10 : +KT] — starts 1024-aligned."""
-    x3 = x.reshape(x.size // 1024, 8, LANE)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(NC,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, W // LANE, LANE), lambda i, s: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((KT, 8, LANE), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    return pl.pallas_call(
-        _copy_kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NC, W // LANE, LANE), x.dtype),
-    )(starts, x3).reshape(DIM)
+    return _call(_copy_kernel, x, starts, 0)
 
 
-def _sub_kernel(starts_ref, x_any, o_ref, slab, sems):
-    i = pl.program_id(0)
-    s = starts_ref[i]
-    t10 = s >> 10
-    cp = pltpu.make_async_copy(x_any.at[pl.ds(t10, KT + 1)], slab, sems)
-    cp.start()
-    cp.wait()
-    flat = slab[...].reshape((KT + 1) * 8, LANE)
-    d = (s >> 7) & 7  # sublane (row) offset, lanes aligned
-    o_ref[...] = lax.dynamic_slice_in_dim(flat, d, W // LANE, axis=0).reshape(o_ref.shape)
-
-
-def chunk_gather_subshift(x, starts):
-    x3 = x.reshape(x.size // 1024, 8, LANE)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(NC,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, W // LANE, LANE), lambda i, s: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((KT + 1, 8, LANE), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    return pl.pallas_call(
-        _sub_kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NC, W // LANE, LANE), x.dtype),
-    )(starts, x3).reshape(DIM)
-
-
-def _mxu_kernel(starts_ref, x_any, o_ref, slab, sems):
+def _roll2_kernel(starts_ref, x_any, o_ref, slab, sems):
     i = pl.program_id(0)
     s = starts_ref[i]
     t10 = s >> 10
@@ -129,68 +106,40 @@ def _mxu_kernel(starts_ref, x_any, o_ref, slab, sems):
     flat = slab[...].reshape((KT + 1) * 8, LANE)
     d = (s >> 7) & 7
     r = s & 127
-    g = lax.dynamic_slice_in_dim(flat, d, W // LANE + 1, axis=0)
-    # P[j, q] = 1 where q = (j - r) mod 128  => (g @ P)[p, q] = g[p, (q+r)%128]
+    rows = pltpu.roll(flat, -d, 0)   # row d -> row 0
+    rot = pltpu.roll(rows, -r, 1)    # lane r -> lane 0 (per row)
+    lane = lax.broadcasted_iota(jnp.int32, (WR, LANE), 1)
+    out = jnp.where(lane < 128 - r, rot[:WR, :], rot[1:WR + 1, :])
+    o_ref[...] = out.reshape(o_ref.shape)
+
+
+def chunk_gather_roll2(x, starts):
+    return _call(_roll2_kernel, x, starts, 1)
+
+
+def _mxuroll_kernel(starts_ref, x_any, o_ref, slab, sems):
+    i = pl.program_id(0)
+    s = starts_ref[i]
+    t10 = s >> 10
+    cp = pltpu.make_async_copy(x_any.at[pl.ds(t10, KT + 1)], slab, sems)
+    cp.start()
+    cp.wait()
+    flat = slab[...].reshape((KT + 1) * 8, LANE)
+    d = (s >> 7) & 7
+    r = s & 127
+    rows = pltpu.roll(flat, -d, 0)
+    # P[j, q] = 1 where q = (j - r) mod 128 => (g @ P)[p, q] = g[p, (q+r)%128]
     jj = lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     qq = lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
-    P = ((jj - r) % 128 == qq).astype(g.dtype)
-    rot = jax.lax.dot(g, P, precision=lax.Precision.HIGHEST)
-    lane = lax.broadcasted_iota(jnp.int32, (W // LANE, LANE), 1)
-    out = jnp.where(lane < 128 - r, rot[:-1, :], rot[1:, :])
+    P = ((jj - r) % 128 == qq).astype(flat.dtype)
+    rot = jax.lax.dot(rows[:WR + 1, :], P, precision=lax.Precision.HIGHEST)
+    lane = lax.broadcasted_iota(jnp.int32, (WR, LANE), 1)
+    out = jnp.where(lane < 128 - r, rot[:WR, :], rot[1:WR + 1, :])
     o_ref[...] = out.reshape(o_ref.shape)
 
 
-def chunk_gather_mxu(x, starts):
-    x3 = x.reshape(x.size // 1024, 8, LANE)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(NC,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, W // LANE, LANE), lambda i, s: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((KT + 1, 8, LANE), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    return pl.pallas_call(
-        _mxu_kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NC, W // LANE, LANE), x.dtype),
-    )(starts, x3).reshape(DIM)
-
-
-def _roll_kernel(starts_ref, x_any, o_ref, slab, sems):
-    i = pl.program_id(0)
-    s = starts_ref[i]
-    t10 = s >> 10
-    cp = pltpu.make_async_copy(x_any.at[pl.ds(t10, KT + 1)], slab, sems)
-    cp.start()
-    cp.wait()
-    flat = slab[...].reshape((KT + 1) * 8, LANE)
-    d = (s >> 7) & 7
-    r = s & 127
-    g = lax.dynamic_slice_in_dim(flat, d, W // LANE + 1, axis=0)
-    rot = pltpu.roll(g, -r, 1)
-    lane = lax.broadcasted_iota(jnp.int32, (W // LANE, LANE), 1)
-    out = jnp.where(lane < 128 - r, rot[:-1, :], rot[1:, :])
-    o_ref[...] = out.reshape(o_ref.shape)
-
-
-def chunk_gather_roll(x, starts):
-    x3 = x.reshape(x.size // 1024, 8, LANE)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(NC,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, W // LANE, LANE), lambda i, s: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((KT + 1, 8, LANE), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    return pl.pallas_call(
-        _roll_kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((NC, W // LANE, LANE), x.dtype),
-    )(starts, x3).reshape(DIM)
+def chunk_gather_mxuroll(x, starts):
+    return _call(_mxuroll_kernel, x, starts, 1)
 
 
 def np_expect(xh, starts_h):
@@ -200,35 +149,35 @@ def np_expect(xh, starts_h):
     return out
 
 
+VARIANTS = [
+    ("copy    ", chunk_gather_aligned, None),
+    ("aligned ", chunk_gather_aligned, 1024),
+    ("roll2   ", chunk_gather_roll2, 1),
+    ("mxuroll ", chunk_gather_mxuroll, 1),
+]
+
+
 def main():
     key = jax.random.PRNGKey(0)
-    x = jax.jit(lambda k: jax.random.normal(k, (DIM + 2048,), jnp.float32))(key)
+    x = jax.jit(lambda k: jax.random.normal(k, (DIM,), jnp.float32))(key)
     GB = DIM * 4 / 1e9
 
     rng = np.random.default_rng(0)
 
     def starts_for(align):
-        s = rng.integers(0, DIM - W, NC).astype(np.int32)
+        s = rng.integers(0, DIM - W - 1024, NC).astype(np.int32)
         return (s // align * align).astype(np.int32)
 
-    # correctness probes (small fetch of a few chunks)
     xh = np.asarray(x)
 
-    for name, fn, align in [
-        ("copy    ", chunk_gather_aligned, None),
-        ("aligned ", chunk_gather_aligned, 1024),
-        ("subshift", chunk_gather_subshift, 128),
-        ("mxurot  ", chunk_gather_mxu, 1),
-        ("roll    ", chunk_gather_roll, 1),
-    ]:
+    for name, fn, align in VARIANTS:
         if align is None:
             st = (np.arange(NC, dtype=np.int32) * W)
         else:
             st = starts_for(align)
         stj = jnp.asarray(st)
         try:
-            out = jax.jit(fn)(x, stj)
-            got = np.asarray(out)
+            got = np.asarray(jax.jit(fn)(x, stj))
             exp = np_expect(xh, st)
             ok = np.array_equal(got, exp)
             per, comp = slope(fn, x, stj)
@@ -236,16 +185,13 @@ def main():
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}", flush=True)
 
-    # tiled transpose at plan shapes
-    from quantumcomputer_tpu.ops.pallas_transpose import tiled_transpose_padded
-    for shape, blk in [((8192, 8192), 256), ((8192, 8192), 512),
-                       ((16384, 4096), 256), ((4100, 16384), 256)]:
+    from quantumcomputer_tpu.ops.pallas_transpose import tiled_transpose
+    for shape, blk in [((8192, 8192), 256), ((16384, 4096), 256), ((4100, 16384), 256)]:
         y = jax.jit(lambda k: jax.random.normal(k, (1,) + shape, jnp.float32))(key)
         gb = y.size * 4 / 1e9
         try:
-            from quantumcomputer_tpu.ops.pallas_transpose import tiled_transpose
             f = lambda z: tiled_transpose(tiled_transpose(z, block=(blk, blk)), block=(blk, blk))
-            per, comp = slope(f, y)
+            per, comp = slope(f, y, k1=2, k2=10)
             per = per / 2
             print(f"transpose {shape} blk={blk}: {per*1e3:8.2f} ms  ({2*gb/per:6.1f} GB/s RW)  compile {comp:.0f}s", flush=True)
         except Exception as e:
