@@ -69,6 +69,25 @@ from quantumcomputer_tpu.ops.gates import modmul_onchip
 _MAX_CHUNK = 16384
 _MIN_CHUNK = 128
 
+# Collect-leg rows wider than this split into Wc-wide kernel chunks (VMEM
+# slab bound on the pipelined gather); rows at or below it DMA whole.
+_ROW_W_CAP = 131072
+_ROW_SPLIT_W = 32768
+
+
+def _use_chunk_kernel() -> bool:
+    """Route the legs' slice DMAs through the pipelined Pallas chunk
+    gather (ops/pallas_chunkgather: ~340-380 GB/s on a v5e vs 21-61 GB/s
+    for XLA's vmapped dynamic_slice).  On TPU by default
+    (QC_MODPERM_KERNEL=0 restores the XLA slices); off-TPU only when
+    QC_MODPERM_KERNEL=1 forces interpret-mode coverage in tests."""
+    import os
+
+    flag = os.environ.get("QC_MODPERM_KERNEL")
+    if jax.default_backend() == "tpu":
+        return flag != "0"
+    return flag == "1"
+
 
 def _tr(x3: jax.Array) -> jax.Array:
     """(B, R, Cc) -> (B, Cc, R), possibly PADDED on both output dims.
@@ -82,8 +101,13 @@ def _tr(x3: jax.Array) -> jax.Array:
     padded footprint up by the pad ratio — a (2^25, 2) view padded to
     (2^25, 256) is 128x the state, an instant OOM at any real M — so the
     Pallas path is gated on the padding staying ~<= 30%; thin views take
-    the XLA transpose (slow pass, but proportional memory)."""
-    if jax.default_backend() == "tpu":
+    the XLA transpose (slow pass, but proportional memory).
+
+    QC_MODPERM_KERNEL=1 forces the Pallas path off-TPU (interpret mode)
+    so tests cover the padded layouts the chunk-gather kernel consumes."""
+    import os
+
+    if jax.default_backend() == "tpu" or os.environ.get("QC_MODPERM_KERNEL") == "1":
         R, Cc = x3.shape[-2:]
         blk = 128
         pad_ratio = (-(-R // blk) * blk * (-(-Cc // blk) * blk)) / float(R * Cc)
@@ -305,15 +329,26 @@ def _deal_leg(x: jax.Array, C: int, u: int, M: int, W: int) -> jax.Array:
         s0 = t1 * pitch + (W + q1)
         s1 = t2 * pitch + (W - istar)
 
-        # Blend INSIDE the vmapped chunk: the two W-slices fuse into the
-        # select without materializing dim-sized g0/g1 (2 state passes of
-        # transient HBM at the memory ceiling).
-        def chunk1(a, b, isc):
-            g0 = lax.dynamic_slice(y0f, (zero, a), (B, W))
-            g1 = lax.dynamic_slice(y0f, (zero, b), (B, W))
-            return jnp.where(lane[None, :] < isc, g0, g1)
+        if _use_chunk_kernel() and y0f.shape[1] % 128 == 0:
+            # The pipelined Pallas gather streams the chunk slices at
+            # ~340-380 GB/s vs XLA's 21-61 GB/s for the vmapped
+            # dynamic_slice below (scripts/prof_chunkgather.py); the
+            # wrap blend folds into the same pass.
+            from quantumcomputer_tpu.ops.pallas_chunkgather import (
+                chunk_gather_blend,
+            )
 
-        out = jax.vmap(chunk1, in_axes=(0, 0, 0), out_axes=1)(s0, s1, istar)
+            out = chunk_gather_blend(y0f, s0, s1, istar, W)  # (B, NC, W)
+        else:
+            # Blend INSIDE the vmapped chunk: the two W-slices fuse into
+            # the select without materializing dim-sized g0/g1 (2 state
+            # passes of transient HBM at the memory ceiling).
+            def chunk1(a, b, isc):
+                g0 = lax.dynamic_slice(y0f, (zero, a), (B, W))
+                g1 = lax.dynamic_slice(y0f, (zero, b), (B, W))
+                return jnp.where(lane[None, :] < isc, g0, g1)
+
+            out = jax.vmap(chunk1, in_axes=(0, 0, 0), out_axes=1)(s0, s1, istar)
     else:
 
         def chunk(t1c, q1c, isc, t2c):
@@ -348,9 +383,14 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
     # extension provides valid (discarded) continuation data — and drop
     # the surplus in the post-transpose compaction slice.
     Qpr = -(-Qpv // 128) * 128
-    x_ext = jnp.concatenate([xf[:, :C], xf[:, : min(Qpr, dim)]], axis=-1)
-    if Qpr > dim:
-        x_ext = jnp.pad(x_ext, ((0, 0), (0, Qpr - dim)))
+    use_kernel = _use_chunk_kernel()
+    Wc = Qpr
+    if use_kernel and Qpr > _ROW_W_CAP:
+        # Rows too wide for one VMEM slab split into _ROW_SPLIT_W chunks;
+        # Qpr rounds up so the chunks tile each row exactly (the surplus
+        # is cyclic-extension data discarded by the compaction slice).
+        Wc = _ROW_SPLIT_W
+        Qpr = -(-Qpv // Wc) * Wc
 
     t = lax.iota(jnp.int32, v)
     nbits = max(1, C.bit_length())
@@ -358,10 +398,29 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
 
     zero = jnp.zeros((), jnp.int32)
 
-    def row(j0c):
-        return lax.dynamic_slice(x_ext, (zero, j0c), (B, Qpr))
+    if use_kernel:
+        from quantumcomputer_tpu.ops.pallas_chunkgather import chunk_gather
 
-    y0 = jax.vmap(row, out_axes=1)(j0)          # (B, v, Qpr)
+        # Cyclic extension sized so every row slice [j0, j0 + Qpr) is in
+        # bounds (j0 < C), padded to the kernel's lane-multiple contract.
+        ext = min(Qpr, dim)
+        x_ext = jnp.concatenate([xf[:, :C], xf[:, :ext]], axis=-1)
+        padto = -(-(C + Qpr) // 128) * 128
+        if padto > C + ext:
+            x_ext = jnp.pad(x_ext, ((0, 0), (0, padto - (C + ext))))
+        Wc = min(Qpr, _ROW_W_CAP)
+        K = Qpr // Wc
+        starts = j0[:, None] + Wc * lax.iota(jnp.int32, K)[None, :]
+        y0 = chunk_gather(x_ext, starts.reshape(-1), Wc).reshape(B, v, Qpr)
+    else:
+        x_ext = jnp.concatenate([xf[:, :C], xf[:, : min(Qpr, dim)]], axis=-1)
+        if Qpr > dim:
+            x_ext = jnp.pad(x_ext, ((0, 0), (0, Qpr - dim)))
+
+        def row(j0c):
+            return lax.dynamic_slice(x_ext, (zero, j0c), (B, Qpr))
+
+        y0 = jax.vmap(row, out_axes=1)(j0)      # (B, v, Qpr)
     w2 = _tr(y0)                                # (B, Qpr, v), possibly padded
     if w2.shape[1:] != (Qpv, v):
         w2 = w2[:, :Qpv, :v]                    # compaction back to exact

@@ -206,3 +206,51 @@ def test_bf16_and_flat_shapes():
         gotb, np.asarray(xb.astype(jnp.float32))[..., np.asarray(
             modmul_inverse_permutation(C, pow(a_inv, -1, C), M))]
     )
+
+
+@pytest.mark.parametrize("M", [14, 16])
+def test_fuzz_parity_kernel_path(M, monkeypatch):
+    """The TPU realization — Pallas chunk-gather legs over padded tiled
+    transposes — forced on CPU via QC_MODPERM_KERNEL=1 (interpret mode).
+    Walks multipliers until several genuinely plan (small M refuses
+    most); parity must be exact through the padded layouts and the blend
+    kernel's offset contract."""
+    monkeypatch.setenv("QC_MODPERM_KERNEL", "1")
+    C = (1 << M) - 3
+    planned = 0
+    for a in range(3, 4000, 2):
+        if math.gcd(a, C) != 1:
+            continue
+        a_inv = pow(a, -1, C)
+        if a_inv <= 1:
+            continue
+        planned += _check(C, a_inv, M, require_plan=False)
+        if planned >= 3:
+            break
+    assert planned >= 3  # the kernel path must actually be exercised
+
+
+def test_kernel_path_row_split(monkeypatch):
+    """Collect rows wider than the VMEM cap split into Wc-wide chunks;
+    shrink the cap so the split path runs at test scale."""
+    from quantumcomputer_tpu.ops import modperm
+
+    monkeypatch.setenv("QC_MODPERM_KERNEL", "1")
+    monkeypatch.setattr(modperm, "_ROW_W_CAP", 256)
+    monkeypatch.setattr(modperm, "_ROW_SPLIT_W", 128)
+    M = 14
+    C = (1 << M) - 3
+    # Pick a multiplier whose plan has a genuine collect leg (v > 1) with
+    # Qpv ~ C/v wide rows > the shrunken cap (v >= 32 bounds Qpv <= 512,
+    # so the cap must sit below that).
+    found = False
+    for a in range(3, 2000, 2):
+        if math.gcd(a, C) != 1:
+            continue
+        a_inv = pow(a, -1, C)
+        plan = plan_stride_permute(C, a_inv, M)
+        if plan is not None and plan.v > 1 and (C - 1) // plan.v + 1 > 256:
+            _check(C, a_inv, M, require_plan=True)
+            found = True
+            break
+    assert found
