@@ -172,29 +172,93 @@ def bench_stream_bandwidth(n: int, reps: int = 5):
     return 2 * (1 << n) * 8 / per_pass / 1e9  # GB/s
 
 
-def bench_semiclassical(M: int = 28, reps: int = 3):
-    """Per-step wall-clock of the fused semiclassical engine at scale:
-    C ~ 2^M (a 2^M-amplitude work state — the implicit-control form), via
-    the slope between an L=2 and an L=10 fused attempt so the fixed
+def bench_semiclassical(M: int = 28, reps: int = 3, dtype=jnp.complex64,
+                        structured=None, L_pair=(2, 10)):
+    """Per-step wall-clock of the semiclassical engine at scale: C ~ 2^M
+    (a 2^M-amplitude work state — the implicit-control form), via the
+    slope between a small-L and a large-L attempt so the fixed
     dispatch+RTT overhead cancels.  One step = one controlled modular
     multiply + deferred-phase rotation + measure/collapse/reset over the
-    full state: the production semiclassical workload."""
+    full state: the production semiclassical workload.
+
+    structured=None runs the production auto-select (structured oracle at
+    M>=22 while the unrolled envelope fits, per-step gather dispatch at
+    the memory ceiling); structured=False pins the runtime-scalar gather
+    so the driver tracks both paths round over round (VERDICT r3 #2)."""
     from quantumcomputer_tpu.algorithms.semiclassical import run_semiclassical
 
-    C = (1 << M) - 3  # gcd(7, 2^28-3) == 1; C is a runtime operand either way
+    C = (1 << M) - 3  # gcd(7, 2^M-3) == 1 for M in {28, 30}
     key = jax.random.PRNGKey(0)
 
     def attempt_wall(L: int) -> float:
-        run_semiclassical(C, 7, L, M, key, fused=True)  # compile + warm
+        run_semiclassical(C, 7, L, M, key, dtype, structured=structured)  # compile + warm
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            run_semiclassical(C, 7, L, M, key, fused=True)
+            run_semiclassical(C, 7, L, M, key, dtype, structured=structured)
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t2, t10 = attempt_wall(2), attempt_wall(10)
-    return max((t10 - t2) / 8, 1e-12), t10
+    L0, L1 = L_pair
+    t0_, t1_ = attempt_wall(L0), attempt_wall(L1)
+    return max((t1_ - t0_) / (L1 - L0), 1e-12), t1_
+
+
+def bench_copy_floor(n: int, reps: int = 5):
+    """Identity-copy control for the streaming-roofline claim (VERDICT r3
+    #3): ops/pallas_chunkgather with aligned identity offsets is a pure
+    pipelined HBM->VMEM->HBM copy with the production kernels' block
+    structure and ZERO compute — the honest denominator for
+    stream_roofline_frac.  If this copy also lands at ~80% of the
+    published HBM peak, the remaining gap is the DMA engine's streaming
+    efficiency, not recoverable kernel headroom; if it lands higher, the
+    difference is headroom the gate kernels are leaving."""
+    from quantumcomputer_tpu.ops.pallas_chunkgather import chunk_gather
+    from quantumcomputer_tpu.utils.profiling import force_completion
+
+    n = min(n, 28)  # chained copies keep two extra states live
+    P = 1 << n
+    W = 1 << 16
+    starts = jnp.arange(0, P, W, dtype=jnp.int32)
+
+    def chain(x, k_static):
+        for _ in range(k_static):
+            x = chunk_gather(x, starts, W).reshape(2, P)
+        return x
+
+    from functools import partial
+
+    x = jnp.ones((2, P), jnp.float32)
+    small = jax.jit(partial(chain, k_static=2))
+    big = jax.jit(partial(chain, k_static=6))
+
+    def best_of(fn):
+        force_completion(fn(x))  # compile + warm
+        b = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            force_completion(fn(x))
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    per_copy = max((best_of(big) - best_of(small)) / 4, 1e-12)
+    return 2 * (2 * P * 4) / per_copy / 1e9  # read + write one planar state, GB/s
+
+
+def bench_dispatch_rtt(reps: int = 10):
+    """Round-trip of a trivial jitted scalar program: dispatch + transfer
+    through the tunnel, zero compute.  Headline small-circuit rows
+    (shor15) are dispatch-dominated; this isolates the environment's
+    contribution so round-over-round drift in those rows is attributable
+    (VERDICT r3 #7: 0.033 -> 0.053 s r02->r03 passed unremarked)."""
+    f = jax.jit(lambda x: x + 1.0)
+    f(jnp.float32(0)).block_until_ready()
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        f(jnp.float32(1)).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _backend_init_or_die(timeout_s: float | None = None):
@@ -251,7 +315,22 @@ def main():
     c32_31_s, c32_31_compute_s, _ = (
         bench_full_shor_circuit(31, dtype="complex32") if on_tpu else (0.0, 0.0, 0)
     )
+    # Semiclassical per-step, three rows (VERDICT r3 #2): the m28 c64
+    # production auto-path (structured oracle; the frozen cross-round
+    # metric), the m28 c64 gather pinned (the path the structured rewrite
+    # replaced), and the m30 c32 headline configuration (the 30-bit
+    # factorization regime — per-step gather dispatch, the only form that
+    # fits at the memory ceiling).
     sc_step_s, sc_attempt10_s = bench_semiclassical(28) if on_tpu else (0.0, 0.0)
+    sc_gather_step_s, _ = (
+        bench_semiclassical(28, structured=False) if on_tpu else (0.0, 0.0)
+    )
+    sc30_step_s, _ = (
+        bench_semiclassical(30, reps=2, dtype="complex32", L_pair=(2, 6))
+        if on_tpu else (0.0, 0.0)
+    )
+    copy_gbps = bench_copy_floor(n) if on_tpu else 0.0
+    dispatch_rtt_s = bench_dispatch_rtt()
 
     print(
         json.dumps(
@@ -278,7 +357,12 @@ def main():
                 "shor8191_circuit_n31_c32_compute_s": round(c32_31_compute_s, 4),
                 "shor8191_circuit_gates": full_gates,
                 "semiclassical_step_m28_s": round(sc_step_s, 4),
+                "semiclassical_step_m28_gather_s": round(sc_gather_step_s, 4),
+                "semiclassical_step_m30_c32_s": round(sc30_step_s, 4),
                 "semiclassical_attempt_L10_m28_s": round(sc_attempt10_s, 4),
+                "copy_floor_gbps": round(copy_gbps, 1),
+                "stream_vs_copy_frac": round(stream_gbps / copy_gbps, 4) if copy_gbps else 0.0,
+                "dispatch_rtt_s": round(dispatch_rtt_s, 5),
                 "n_qubits": n,
                 "n30_status": (
                     "n=30 RUNS single-chip (8 GiB state on 16 GB v5e): "

@@ -334,6 +334,39 @@ def _structured_plans(C: int, a_invs, M: int, rdtype=jnp.float32):
     return plans
 
 
+def _unrolled_steps(w, phi, rs, forces, plans, a_invs, M, rdtype, cdt, C_s):
+    """The traced body shared by the whole-attempt and segment forms of
+    the structured attempt: len(plans) unrolled steps with static per-step
+    oracles (stride permutation where a plan exists, static-scalar gather
+    fallback elsewhere).  Returns (bits, probs, w, phi)."""
+    bits, probs = [], []
+    for i in range(len(plans)):
+        if i:
+            # Pin step boundaries: without the barrier XLA's scheduler
+            # overlaps the unrolled steps' oracle fusions (measured:
+            # every step's rotate temp live at once — one extra
+            # state-sized buffer per step, OOM at M=28).
+            w, phi = lax.optimization_barrier((w, phi))
+        theta = (jnp.pi * phi).astype(cdt)
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        if plans[i] is not None:
+            a1, p0, p1 = _oracle_pass_structured(
+                w, M, rdtype, cdt, plans[i], ct, st
+            )
+        else:
+            a1, p0, p1 = _oracle_pass(
+                w, M, rdtype, cdt, C_s,
+                jnp.asarray(a_invs[i], jnp.int32), ct, st,
+            )
+        bit, p_cond, w = collapse_from_a1(
+            w, a1, p0, p1, rs[i], forces[i], rdtype, cdt
+        )
+        phi = (phi + bit.astype(cdt)) / 2
+        bits.append(bit)
+        probs.append(p_cond.astype(cdt))
+    return jnp.stack(bits), jnp.stack(probs), w, phi
+
+
 def _attempt_fn_structured(L: int, M: int, rdtype, C: int, a: int) -> Callable:
     """A whole semiclassical attempt with STATIC per-step oracles: the L
     steps are unrolled (not a fori_loop), so each step's modular multiply
@@ -360,34 +393,41 @@ def _attempt_fn_structured(L: int, M: int, rdtype, C: int, a: int) -> Callable:
     def attempt(rs, forces):
         w = sv.initial_planar(M, rdtype, 1)
         phi = jnp.zeros((), cdt)
-        bits, probs = [], []
-        for s in range(L):
-            if s:
-                # Pin step boundaries: without the barrier XLA's
-                # scheduler overlaps the unrolled steps' oracle fusions
-                # (measured: every step's rotate temp live at once — L
-                # extra state-sized buffers, OOM at M=28).
-                w, phi = lax.optimization_barrier((w, phi))
-            theta = (jnp.pi * phi).astype(cdt)
-            ct, st = jnp.cos(theta), jnp.sin(theta)
-            if plans[s] is not None:
-                a1, p0, p1 = _oracle_pass_structured(
-                    w, M, rdtype, cdt, plans[s], ct, st
-                )
-            else:
-                a1, p0, p1 = _oracle_pass(
-                    w, M, rdtype, cdt, C_s,
-                    jnp.asarray(a_invs[s], jnp.int32), ct, st,
-                )
-            bit, p_cond, w = collapse_from_a1(
-                w, a1, p0, p1, rs[s], forces[s], rdtype, cdt
-            )
-            phi = (phi + bit.astype(cdt)) / 2
-            bits.append(bit)
-            probs.append(p_cond.astype(cdt))
-        return jnp.stack(bits), jnp.stack(probs)
+        bits, probs, _, _ = _unrolled_steps(
+            w, phi, rs, forces, plans, a_invs, M, rdtype, cdt, C_s
+        )
+        return bits, probs
 
     return jax.jit(attempt)
+
+
+def _attempt_fn_structured_segment(
+    L: int, M: int, rdtype, C: int, a: int, s0: int, s1: int
+) -> Callable:
+    """Steps [s0, s1) of a structured attempt as one compiled program —
+    the CHECKPOINTABLE form of _attempt_fn_structured: the attempt runs
+    as ceil(L / checkpoint_every) segment dispatches with the state and
+    the deferred phase carried between them as device arrays, and the
+    caller snapshots (state, bits, probs) at every segment boundary.
+    Same per-step oracles (stride permutation plans, gather fallback) as
+    the whole-attempt program; the segment boundary costs one dispatch
+    and makes the state an operand (in + out live across the boundary),
+    so the segmented attempt fits exactly where the whole-attempt form
+    does (both are gated on the fused 4-state envelope).
+
+    (w (2, 2^M), phi cdt, rs (s1-s0,), forces (s1-s0,)) ->
+    (bits, probs, w', phi')."""
+    cdt = _compute_dtype(rdtype)
+    a_invs = [pow(pow(a, 1 << (L - 1 - s), C), -1, C) for s in range(s0, s1)]
+    plans = _structured_plans(C, a_invs, M, rdtype)
+    C_s = jnp.asarray(C, jnp.int32)
+
+    def segment(w, phi, rs, forces):
+        return _unrolled_steps(
+            w, phi, rs, forces, plans, a_invs, M, rdtype, cdt, C_s
+        )
+
+    return jax.jit(segment, donate_argnums=(0,))
 
 
 def _step_fn(M: int, rdtype) -> Callable:
@@ -493,6 +533,47 @@ def _attempt_fingerprint(C, a, L, M, rdtype, key, forces) -> str:
     return h.hexdigest()[:16]
 
 
+def _scan_resume(attempt_dir: str, fp: str, L: int):
+    """Find the newest snapshot in attempt_dir matching this attempt's
+    fingerprint: (state_or_None, bits, probs, start_step).  Shared by the
+    per-step and segmented-structured checkpoint paths — their snapshots
+    are interchangeable (same planar state + measurement record), so an
+    attempt can resume across a path switch."""
+    from quantumcomputer_tpu.sim import checkpoint as ckpt
+
+    segs = ckpt.all_segments(attempt_dir)
+    for seg in reversed(segs):
+        if seg >= L:
+            continue
+        try:
+            loaded, meta = ckpt.load_state(ckpt._segment_path(attempt_dir, seg))
+        except Exception as e:
+            log.warning("semiclassical snapshot %d unreadable (%s): skipped", seg, e)
+            continue
+        if meta.get("fingerprint") == fp and meta.get("step") == seg:
+            log.info("resuming semiclassical attempt at step %d/%d", seg, L)
+            return (
+                loaded,
+                [int(b) for b in meta["bits"]],
+                [float(p) for p in meta["probs"]],
+                seg,
+            )
+    if segs:
+        log.info("no snapshot matches this attempt: cold start")
+    return None, [], [], 0
+
+
+def _phi_from_bits(bits, cdt):
+    """Replay the deferred-phase recurrence phi' = (phi + m)/2 for already
+    measured bits in cdt — bit-identical to the scalar the device would
+    carry, so a resumed attempt's angles match an uninterrupted run's."""
+    t = np.dtype(cdt).type
+    ph = t(0)
+    for m in bits:
+        ph = t((ph + t(m)) / t(2))
+    return jnp.asarray(ph, cdt)
+
+
 def run_semiclassical(
     C: int,
     a: int,
@@ -527,16 +608,21 @@ def run_semiclassical(
     (ops/modperm) instead of element gathers (~0.6-1.3 GB/s on a v5e;
     the entire step cost at large M).  Costs one compile per (C, a, L, M,
     dtype) — the QC_SC_STRUCTURED env var (0/1) overrides the auto choice
-    for runs where that tradeoff goes the other way.  Incompatible with
-    checkpoint_dir (no step boundaries) and ignored for dd64.
+    for runs where that tradeoff goes the other way.  Ignored for dd64.
+    With checkpoint_dir the attempt runs SEGMENTED (one unrolled program
+    per checkpoint_every steps, state + deferred phase carried between
+    dispatches as device arrays) so headline-class structured runs survive
+    preemption too — one compile per segment instead of one per attempt.
 
     checkpoint_dir: snapshot (state, bits, probs) every checkpoint_every
     steps for preemption recovery — a killed attempt re-invoked with the
     same arguments resumes from the last snapshot with no re-measure (the
     measured bits travel WITH the collapsed state; the reference's
     no-remeasure semantic, qc_shor.c:299-301, is what makes the pair
-    inseparable).  Forces the per-step path: the fused attempt is a
-    single dispatch with no step boundary to snapshot.  Each snapshot is
+    inseparable).  On the gather path this forces per-step dispatch (the
+    fused attempt is a single dispatch with no step boundary to
+    snapshot); the structured path runs segmented instead (one unrolled
+    program per checkpoint_every steps).  Each snapshot is
     a host sync (state fetch) in an otherwise fully asynchronous dispatch
     chain — checkpoint_every trades recovery granularity against sync
     latency."""
@@ -583,16 +669,9 @@ def run_semiclassical(
         # the program would degenerate to an over-budget gather unroll —
         # the per-step gather dispatch path owns that regime.
         structured = (
-            checkpoint_dir is None
-            and M >= _STRUCTURED_MIN_M
+            M >= _STRUCTURED_MIN_M
             and jax.default_backend() == "tpu"
             and fused_attempt_fits(M, rdtype)
-        )
-    if structured and checkpoint_dir is not None:
-        raise ValueError(
-            "structured=True is incompatible with checkpoint_dir: the "
-            "structured attempt is one unrolled program with no step "
-            "boundary to snapshot"
         )
     if checkpoint_dir is not None:
         fused = False  # snapshots need step boundaries (docstring)
@@ -620,6 +699,50 @@ def run_semiclassical(
     if forced_bits is not None:
         forces = np.asarray(forced_bits, np.int32)
     C_s = jnp.asarray(C, jnp.int32)
+
+    if structured and checkpoint_dir is not None:
+        # SEGMENTED structured attempt: one unrolled program per
+        # checkpoint_every steps, the state and deferred phase carried
+        # between dispatches as device arrays, a snapshot at every
+        # segment boundary.  Segment starts realign to checkpoint_every
+        # multiples so a resumed attempt reuses the same compiled
+        # segments an uninterrupted run would.
+        import os
+        import shutil
+
+        from quantumcomputer_tpu.sim import checkpoint as ckpt
+
+        fp = _attempt_fingerprint(C, a, L, M, rdtype, key, forces)
+        attempt_dir = os.path.join(checkpoint_dir, f"sc_{fp}")
+        loaded, bits, probs, start_s = _scan_resume(attempt_dir, fp, L)
+        w = loaded if loaded is not None else sv.initial_planar(M, rdtype, 1)
+        phi_d = _phi_from_bits(bits, cdt)
+        s = start_s
+        while s < L:
+            s_end = min(L, (s // checkpoint_every + 1) * checkpoint_every)
+            ck = ("structured-seg", C, a, L, M, jnp.dtype(rdtype).name, s, s_end)
+            seg_fn = _cache.get(ck)
+            if seg_fn is None:
+                seg_fn = _attempt_fn_structured_segment(L, M, rdtype, C, a, s, s_end)
+                skeys = [k for k in _cache
+                         if isinstance(k, tuple) and k[0] == "structured-seg"]
+                if len(skeys) >= 32:
+                    del _cache[skeys[0]]
+                _cache[ck] = seg_fn
+            bits_d, probs_d, w, phi_d = seg_fn(
+                w, phi_d, rs[s:s_end], jnp.asarray(forces[s:s_end])
+            )
+            bits += [int(b) for b in np.asarray(bits_d)]
+            probs += [float(p) for p in np.asarray(probs_d)]
+            if s_end < L:
+                ckpt.save_state(
+                    ckpt._segment_path(attempt_dir, s_end), w,
+                    {"kind": "semiclassical", "fingerprint": fp, "step": s_end,
+                     "bits": bits, "probs": probs},
+                )
+            s = s_end
+        shutil.rmtree(attempt_dir, ignore_errors=True)  # attempt complete
+        return SemiclassicalRecord.from_bits(bits, probs)
 
     if structured:
         # One unrolled program per (C, a, L, M, dtype): per-step static
@@ -672,35 +795,15 @@ def run_semiclassical(
             # each attempt removes its own subdir on completion.
             fp = _attempt_fingerprint(C, a, L, M, rdtype, key, forces)
             attempt_dir = os.path.join(checkpoint_dir, f"sc_{fp}")
-            segs = ckpt.all_segments(attempt_dir)
-            for seg in reversed(segs):
-                if seg >= L:
-                    continue
-                try:
-                    loaded, meta = ckpt.load_state(ckpt._segment_path(attempt_dir, seg))
-                except Exception as e:
-                    log.warning("semiclassical snapshot %d unreadable (%s): skipped", seg, e)
-                    continue
-                if meta.get("fingerprint") == fp and meta.get("step") == seg:
-                    planar = loaded
-                    bits = [int(b) for b in meta["bits"]]
-                    probs = [float(p) for p in meta["probs"]]
-                    start_s = seg
-                    log.info("resuming semiclassical attempt at step %d/%d", seg, L)
-                    break
-            else:
-                if segs:
-                    log.info("no snapshot matches this attempt: cold start")
+            loaded, bits, probs, start_s = _scan_resume(attempt_dir, fp, L)
+            if loaded is not None:
+                planar = loaded
         # The deferred phase is a DEVICE scalar: replay the resumed bits'
         # recurrence in cdt (bit-identical to what the device would hold),
         # then chain all remaining dispatches WITHOUT host syncs — bits
         # and probabilities are fetched once at the end.  Each snapshot is
         # the only sync in a checkpointed run.
-        t = np.dtype(cdt).type
-        ph = t(0)
-        for m in bits:
-            ph = t((ph + t(m)) / t(2))
-        phi_d = jnp.asarray(ph, cdt)
+        phi_d = _phi_from_bits(bits, cdt)
         bits_d: List[jax.Array] = []
         probs_d: List[jax.Array] = []
         for s in range(start_s, L):

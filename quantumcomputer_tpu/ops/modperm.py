@@ -74,6 +74,19 @@ _MIN_CHUNK = 128
 _ROW_W_CAP = 131072
 _ROW_SPLIT_W = 32768
 
+# Minimum non-unit split factor accepted on real TPU.  Both factors
+# appear as the minor dim of a padded row view, and XLA's generic
+# relayout for (N,) <-> (R, f) with f an odd non-lane multiple compiles
+# in 10-30 s PER DISTINCT SHAPE with 50-500 GB/s runtime scatter
+# (measured, v5e: v=49 -> 32 s compile; v=257..1023 -> 9-15 s) — a
+# whole-attempt program pays that per step.  At f >= 256 the row
+# expansion/compaction instead runs as pipelined chunk DMAs
+# (_row_expand/_row_compact: ~1 s compile, DMA-rate runtime), so the
+# plan policy on TPU is: factors are 1 or >= 256, else fall back to the
+# element gather.  Off-TPU (and in interpret-mode tests) the XLA
+# reshape is exact and compiles fine, so the floor stays at 32.
+_TPU_MIN_FACTOR = 256
+
 
 def _use_chunk_kernel() -> bool:
     """Route the legs' slice DMAs through the pipelined Pallas chunk
@@ -111,7 +124,10 @@ def _tr(x3: jax.Array) -> jax.Array:
         R, Cc = x3.shape[-2:]
         blk = 128
         pad_ratio = (-(-R // blk) * blk * (-(-Cc // blk) * blk)) / float(R * Cc)
-        if pad_ratio <= 1.4:
+        # 1.6 admits the worst lane pad of a _TPU_MIN_FACTOR-floor plan
+        # (v in [256, 384) -> <= 1.5) while still rejecting degenerate
+        # thin-minor views (the 128x blowup class below).
+        if pad_ratio <= 1.6:
             from quantumcomputer_tpu.ops.pallas_transpose import (
                 tiled_transpose_padded,
             )
@@ -131,17 +147,20 @@ def tile_ratio(f: int) -> float:
     return 1.0 if f == 1 else (-(-f // 128) * 128) / f
 
 
-def _tile_friendly(f: int) -> bool:
+def _tile_friendly(f: int, min_factor: int = 32) -> bool:
     """Acceptance floor for rational_split: reject only the catastrophic
-    zone (> 4x expansion, f < 32).  Memory-ceiling callers (the
-    semiclassical driver at the largest M) apply a stricter per-plan
-    tile_ratio gate and fall back to the element gather instead — a
-    blanket strict filter here would reject most multipliers whose
+    zone (> 4x expansion, f < 32) — or, on TPU, anything under
+    _TPU_MIN_FACTOR (see that constant's rationale).  Memory-ceiling
+    callers (the semiclassical driver at the largest M) apply a stricter
+    per-plan tile_ratio gate and fall back to the element gather instead
+    — a blanket strict filter here would reject most multipliers whose
     continued fraction jumps over the balanced sqrt(C) region."""
-    return f == 1 or f >= 32
+    return f == 1 or f >= min_factor
 
 
-def rational_split(a_inv: int, C: int) -> Optional[Tuple[int, int, int]]:
+def rational_split(
+    a_inv: int, C: int, min_factor: int = 32
+) -> Optional[Tuple[int, int, int]]:
     """Write a_inv = eps * u * v^{-1} (mod C) with u, v as balanced as the
     continued-fraction lattice allows (both ~sqrt(C) generically).
 
@@ -167,8 +186,8 @@ def rational_split(a_inv: int, C: int) -> Optional[Tuple[int, int, int]]:
         cost = max(r1, abs(t1))
         if (
             math.gcd(r1, C) == 1
-            and _tile_friendly(r1)
-            and _tile_friendly(abs(t1))
+            and _tile_friendly(r1, min_factor)
+            and _tile_friendly(abs(t1), min_factor)
             and (best_cost is None or cost < best_cost)
         ):
             best, best_cost = (1 if t1 > 0 else -1, r1, abs(t1)), cost
@@ -192,7 +211,8 @@ class StridePlan:
 
 
 def plan_stride_permute(
-    C: int, a_inv: int, M: int, max_chunk: int = _MAX_CHUNK
+    C: int, a_inv: int, M: int, max_chunk: int = _MAX_CHUNK,
+    min_factor: Optional[int] = None,
 ) -> Optional[StridePlan]:
     """Build the static plan, or None when the structured path does not
     apply: the permutation must be nontrivial, the deal chunking needs
@@ -202,14 +222,23 @@ def plan_stride_permute(
     max_chunk caps the deal-leg chunk width W: the leg's transient
     padding is 2*W*u elements, so memory-ceiling callers (the
     semiclassical driver at the largest M) pass a lower cap to trade
-    slice throughput for peak footprint."""
+    slice throughput for peak footprint.
+
+    min_factor (None = auto): acceptance floor for non-unit split
+    factors — _TPU_MIN_FACTOR on real TPU (XLA's small-odd-minor
+    relayouts compile pathologically there; the kernel-row forms want
+    DMA-wide factors), 32 elsewhere."""
     dim = 1 << M
     if C > dim or C >= (1 << 30):
         return None
     a_inv %= C
     if a_inv <= 1:
         return None
-    split = rational_split(a_inv, C)
+    if min_factor is None:
+        min_factor = (
+            _TPU_MIN_FACTOR if jax.default_backend() == "tpu" else 32
+        )
+    split = rational_split(a_inv, C, min_factor)
     if split is None:
         return None
     eps, u, v = split
@@ -275,6 +304,53 @@ def _negate_mod(x: jax.Array, C: int) -> jax.Array:
     return jnp.concatenate([head, body, x[..., C:]], axis=-1)
 
 
+LANE = 128
+
+
+def _row_expand(xflat: jax.Array, R: int, u: int) -> jax.Array:
+    """(B, N) flat -> (B, R, upad) row view, row r = xflat[r*u : r*u+upad]
+    (lanes >= u hold the NEXT rows' data — consumers must only read the
+    first u lanes of any row).  Semantically xflat.reshape(B, R, u) up to
+    the garbage lanes, but realized as overlapping pipelined chunk DMAs:
+    XLA materializes that reshape through its generic relayout, measured
+    at 10-30 s compile per distinct shape on a v5e (_TPU_MIN_FACTOR)."""
+    from quantumcomputer_tpu.ops.pallas_chunkgather import chunk_gather
+
+    B = xflat.shape[0]
+    upad = -(-u // LANE) * LANE
+    need = max((R - 1) * u + upad, xflat.shape[1])
+    need = -(-need // LANE) * LANE
+    if xflat.shape[1] < need:
+        xflat = jnp.pad(xflat, ((0, 0), (0, need - xflat.shape[1])))
+    starts = lax.iota(jnp.int32, R) * u
+    return chunk_gather(xflat, starts, upad)
+
+
+def _row_compact(w2: jax.Array, v: int, dim: int) -> jax.Array:
+    """(B, rows, vpad) padded row view -> (B, dim) flat with
+    flat[q*v + t] = w2[b, q, t] (t < v); flat positions past rows*v are
+    in-bounds garbage the caller selects away.  The inverse movement of
+    _row_expand — every Wt-wide flat chunk is two contiguous slices of
+    w2's flat storage split at the single row boundary it crosses
+    (Wt <= v), exactly the deal leg's wrap structure, so it runs on the
+    same blend kernel instead of XLA's pathological relayout."""
+    from quantumcomputer_tpu.ops.pallas_chunkgather import chunk_gather_blend
+
+    B, rows, vpad = w2.shape
+    w2f = w2.reshape(B, rows * vpad)
+    P2 = rows * vpad
+    Wt = min((v // LANE) * LANE, _MAX_CHUNK)
+    NCt = -(-dim // Wt)
+    f0 = lax.iota(jnp.int32, NCt) * Wt
+    q0 = f0 // v
+    t0 = f0 - q0 * v
+    istar = jnp.clip(v - t0, 0, Wt)
+    s0 = jnp.clip(q0 * vpad + t0, 0, P2 - Wt)
+    s1 = jnp.clip((q0 + 1) * vpad - istar, 0, P2 - Wt)
+    out = chunk_gather_blend(w2f, s0, s1, istar, Wt)
+    return out.reshape(B, NCt * Wt)[:, :dim]
+
+
 def _deal_leg(x: jax.Array, C: int, u: int, M: int, W: int) -> jax.Array:
     """F_u for small u: out[j] = x[(u*j) mod C] (j < C), x[j] above.
 
@@ -304,8 +380,19 @@ def _deal_leg(x: jax.Array, C: int, u: int, M: int, W: int) -> jax.Array:
     if Qp * u > used:
         mid = jnp.pad(mid, ((0, 0), (0, Qp * u - used)))
     zpad = jnp.zeros((B, W * u), xf.dtype)
-    w2 = jnp.concatenate([zpad, mid, zpad], axis=1).reshape(B, W + Qp + W, u)
-    y0 = _tr(w2)  # (B, u, W + Qp + W), possibly padded past both dims
+    flatpad = jnp.concatenate([zpad, mid, zpad], axis=1)
+    R = W + Qp + W
+    upad = -(-u // LANE) * LANE
+    if _use_chunk_kernel() and u >= LANE and (R - 1) * u + upad < (1 << 31):
+        # Row view via overlapping chunk DMAs (_row_expand): XLA's
+        # (N,) -> (R, u) relayout for odd u compiles in 10-30 s per
+        # shape.  Lanes >= u of each row are neighbors' data; the
+        # transpose moves them to rows t >= u of y0, which no consumer
+        # indexes (t1, t2 < u).
+        w2 = _row_expand(flatpad, R, u)
+    else:
+        w2 = flatpad.reshape(B, R, u)
+    y0 = _tr(w2)  # (B, u[pad], W + Qp + W), possibly padded past both dims
 
     NC = dim // W
     j0 = lax.iota(jnp.int32, NC) * W
@@ -422,6 +509,22 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
 
         y0 = jax.vmap(row, out_axes=1)(j0)      # (B, v, Qpr)
     w2 = _tr(y0)                                # (B, Qpr, v), possibly padded
+    if (
+        use_kernel
+        and v >= LANE
+        and w2.shape[2] % LANE == 0
+        and w2.shape[1] * w2.shape[2] < (1 << 31)
+    ):
+        # Flat order via the blend kernel (_row_compact): XLA's
+        # (Qpv, v) -> flat relayout for odd v compiles in 10-30 s per
+        # shape and scatters at 50-500 GB/s.  Rows past Qpv and flat
+        # positions past C carry transpose-pad/cyclic-surplus garbage;
+        # the pos < C select keeps only real data (garbage passes
+        # through a select, never arithmetic).
+        flat_full = _row_compact(w2, v, dim)
+        pos = lax.iota(jnp.int32, dim)
+        flat = jnp.where(pos[None, :] < C, flat_full, xf)
+        return flat.reshape(lead + (dim,))
     if w2.shape[1:] != (Qpv, v):
         w2 = w2[:, :Qpv, :v]                    # compaction back to exact
     flat = w2.reshape(B, Qpv * v)[:, :C]

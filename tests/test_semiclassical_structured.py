@@ -76,12 +76,66 @@ def test_complex32_branch_parity():
     _branch_parity(C, L, M, a, bits, dtype="complex32", rtol=2e-2)
 
 
-def test_structured_with_checkpoint_refused(tmp_path):
-    with pytest.raises(ValueError, match="checkpoint"):
-        run_semiclassical(
-            391, 3, 4, 9, jax.random.PRNGKey(0),
-            structured=True, checkpoint_dir=str(tmp_path),
-        )
+def test_structured_checkpoint_matches_plain(tmp_path):
+    """An uninterrupted segmented run (structured + checkpoint_dir) is
+    bit-identical to the whole-attempt structured program, and cleans up
+    its snapshot directory on completion."""
+    import os
+
+    C, a, L, M = 15311, 2, 8, 14
+    key = jax.random.PRNGKey(5)
+    ref = run_semiclassical(C, a, L, M, key, structured=True, _cache={})
+    ckdir = str(tmp_path / "ck")
+    rec = run_semiclassical(
+        C, a, L, M, key, structured=True,
+        checkpoint_dir=ckdir, checkpoint_every=3, _cache={},
+    )
+    assert rec.bits == ref.bits
+    np.testing.assert_allclose(rec.branch_probs, ref.branch_probs, rtol=1e-6)
+    assert not [d for d in os.listdir(ckdir) if d.startswith("sc_")] if os.path.isdir(ckdir) else True
+
+
+def test_structured_checkpoint_kill_and_resume(tmp_path):
+    """A segmented structured attempt killed mid-run resumes from the
+    last segment snapshot with NO re-measure: identical record, and the
+    resumed process executes only the remaining segments (VERDICT r3 #5 —
+    the headline-class run's path must survive preemption)."""
+    C, a, L, M = 15311, 2, 8, 14
+    key = jax.random.PRNGKey(3)
+    ref = run_semiclassical(C, a, L, M, key, structured=True, _cache={})
+
+    ckdir = str(tmp_path / "ck")
+    real = sc._attempt_fn_structured_segment
+    calls = {"n": 0, "die_after": None}
+
+    def counting(Lv, Mv, rdtype, Cv, av, s0, s1):
+        seg = real(Lv, Mv, rdtype, Cv, av, s0, s1)
+
+        def wrapped(*args):
+            calls["n"] += 1
+            if calls["die_after"] is not None and calls["n"] > calls["die_after"]:
+                raise KeyboardInterrupt("simulated preemption")
+            return seg(*args)
+
+        return wrapped
+
+    sc._attempt_fn_structured_segment = counting
+    try:
+        # Segments with checkpoint_every=3: [0,3), [3,6), [6,8).  Die on
+        # the second — the snapshot at step 3 is on disk.
+        calls.update(n=0, die_after=1)
+        with pytest.raises(KeyboardInterrupt):
+            run_semiclassical(C, a, L, M, key, structured=True,
+                              checkpoint_dir=ckdir, checkpoint_every=3, _cache={})
+        calls.update(n=0, die_after=None)
+        rec = run_semiclassical(C, a, L, M, key, structured=True,
+                                checkpoint_dir=ckdir, checkpoint_every=3, _cache={})
+        assert calls["n"] == 2  # [3,6) and [6,8) only
+        assert rec.bits == ref.bits
+        np.testing.assert_allclose(rec.branch_probs, ref.branch_probs, rtol=1e-6)
+        assert rec.x_tilde == ref.x_tilde
+    finally:
+        sc._attempt_fn_structured_segment = real
 
 
 def test_env_override_forces_structured(monkeypatch):
