@@ -307,6 +307,33 @@ def _negate_mod(x: jax.Array, C: int) -> jax.Array:
 LANE = 128
 
 
+def collect_chunking(C: int, v: int, use_kernel: bool) -> Tuple[int, int, int]:
+    """Single source of truth for the collect-leg row chunking.
+
+    Rows of the collect view are Qpv = ceil(C/v) elements of real data,
+    gathered at a lane-rounded width Qpr (the cyclic extension provides
+    valid continuation data past Qpv, discarded by the compaction).  On
+    the kernel path, rows wider than _ROW_W_CAP split into Wc-wide VMEM
+    chunks; Qpr then rounds up to a multiple of Wc so K = Qpr // Wc
+    chunks tile each row EXACTLY (round 4 shipped this arithmetic
+    duplicated and disagreeing — Wc recomputed as min(Qpr, _ROW_W_CAP)
+    after the split had already chosen _ROW_SPLIT_W — which crashed every
+    plan with Qpr > cap not divisible by the cap, e.g. M=28, v=1543,
+    Qpr=196608).
+
+    Returns (Wc, Qpr, K) with Qpr % Wc == 0 by construction.
+    """
+    Qpv = (C - 1) // v + 1
+    Qpr = -(-Qpv // LANE) * LANE
+    Wc = Qpr
+    if use_kernel and Qpr > _ROW_W_CAP:
+        Wc = _ROW_SPLIT_W
+        Qpr = -(-Qpv // Wc) * Wc
+    K = Qpr // Wc
+    assert Qpr % Wc == 0 and K * Wc == Qpr, (C, v, Wc, Qpr, K)
+    return Wc, Qpr, K
+
+
 def _row_expand(xflat: jax.Array, R: int, u: int) -> jax.Array:
     """(B, N) flat -> (B, R, upad) row view, row r = xflat[r*u : r*u+upad]
     (lanes >= u hold the NEXT rows' data — consumers must only read the
@@ -338,8 +365,18 @@ def _row_compact(w2: jax.Array, v: int, dim: int) -> jax.Array:
 
     B, rows, vpad = w2.shape
     w2f = w2.reshape(B, rows * vpad)
-    P2 = rows * vpad
     Wt = min((v // LANE) * LANE, _MAX_CHUNK)
+    # One trailing zero pseudo-row so every LIVE chunk's slices are passed
+    # exactly: a straight slice s0 = q0*vpad + t0 with q0 <= rows-1 reads
+    # up to (rows-1)*vpad + (vpad-1) + Wt < (rows+1)*vpad, and a wrap
+    # slice up to (q0+1)*vpad + Wt <= (rows+1)*vpad (Wt <= vpad).  Without
+    # it, a last-row chunk with t0 > vpad - Wt had s0 clamp-SHIFTED,
+    # silently corrupting output positions < C whenever Qpv % 128 == 0
+    # (rows == Qpv, no pad rows — e.g. v=899, C in (114688, 115072]).
+    # The clamps below now only bound garbage chunks past rows*v, whose
+    # output the caller's pos < C select discards.
+    w2f = jnp.pad(w2f, ((0, 0), (0, vpad)))
+    P2 = (rows + 1) * vpad
     NCt = -(-dim // Wt)
     f0 = lax.iota(jnp.int32, NCt) * Wt
     q0 = f0 // v
@@ -468,16 +505,12 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
     # Slices of a lane-aligned width run markedly faster than odd widths
     # (scripts/prof_legs.py): gather rows rounded up to 128 — the cyclic
     # extension provides valid (discarded) continuation data — and drop
-    # the surplus in the post-transpose compaction slice.
-    Qpr = -(-Qpv // 128) * 128
+    # the surplus in the post-transpose compaction slice.  Rows wider
+    # than the VMEM slab cap split into Wc-wide kernel chunks; the
+    # chunking triple (Wc, Qpr, K) is computed ONCE here (collect_chunking
+    # guarantees Qpr % Wc == 0).
     use_kernel = _use_chunk_kernel()
-    Wc = Qpr
-    if use_kernel and Qpr > _ROW_W_CAP:
-        # Rows too wide for one VMEM slab split into _ROW_SPLIT_W chunks;
-        # Qpr rounds up so the chunks tile each row exactly (the surplus
-        # is cyclic-extension data discarded by the compaction slice).
-        Wc = _ROW_SPLIT_W
-        Qpr = -(-Qpv // Wc) * Wc
+    Wc, Qpr, K = collect_chunking(C, v, use_kernel)
 
     t = lax.iota(jnp.int32, v)
     nbits = max(1, C.bit_length())
@@ -495,8 +528,6 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
         padto = -(-(C + Qpr) // 128) * 128
         if padto > C + ext:
             x_ext = jnp.pad(x_ext, ((0, 0), (0, padto - (C + ext))))
-        Wc = min(Qpr, _ROW_W_CAP)
-        K = Qpr // Wc
         starts = j0[:, None] + Wc * lax.iota(jnp.int32, K)[None, :]
         y0 = chunk_gather(x_ext, starts.reshape(-1), Wc).reshape(B, v, Qpr)
     else:
@@ -513,7 +544,7 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
         use_kernel
         and v >= LANE
         and w2.shape[2] % LANE == 0
-        and w2.shape[1] * w2.shape[2] < (1 << 31)
+        and (w2.shape[1] + 1) * w2.shape[2] < (1 << 31)
     ):
         # Flat order via the blend kernel (_row_compact): XLA's
         # (Qpv, v) -> flat relayout for odd v compiles in 10-30 s per

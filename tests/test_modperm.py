@@ -232,7 +232,16 @@ def test_fuzz_parity_kernel_path(M, monkeypatch):
 
 def test_kernel_path_row_split(monkeypatch):
     """Collect rows wider than the VMEM cap split into Wc-wide chunks;
-    shrink the cap so the split path runs at test scale."""
+    shrink the cap so the split path runs at test scale.
+
+    Sweeps ALL planning multipliers until the set includes a padded row
+    width Qpr NOT divisible by the cap — the round-4 regression class:
+    the shipped code recomputed Wc = min(Qpr, cap) after the split had
+    chosen _ROW_SPLIT_W, so K = Qpr // Wc floored and the reshape threw
+    (BENCH_r04's M=28 v=1543 Qpr=196608 TypeError; at this scale the
+    v=43, Qpv=381 -> Qpr=384 candidate reproduces it).  Round 4's
+    version stopped at the FIRST candidate, whose Qpr=512 happened to
+    divide the clobbered width."""
     from quantumcomputer_tpu.ops import modperm
 
     monkeypatch.setenv("QC_MODPERM_KERNEL", "1")
@@ -240,17 +249,83 @@ def test_kernel_path_row_split(monkeypatch):
     monkeypatch.setattr(modperm, "_ROW_SPLIT_W", 128)
     M = 14
     C = (1 << M) - 3
-    # Pick a multiplier whose plan has a genuine collect leg (v > 1) with
-    # Qpv ~ C/v wide rows > the shrunken cap (v >= 32 bounds Qpv <= 512,
-    # so the cap must sit below that).
-    found = False
-    for a in range(3, 2000, 2):
+    split_plans = nondivisible = 0
+    for a in range(3, 4000, 2):
         if math.gcd(a, C) != 1:
             continue
         a_inv = pow(a, -1, C)
         plan = plan_stride_permute(C, a_inv, M)
-        if plan is not None and plan.v > 1 and (C - 1) // plan.v + 1 > 256:
-            _check(C, a_inv, M, require_plan=True)
-            found = True
+        if plan is None or plan.v <= 1:
+            continue
+        Qpr_unsplit = -((-((C - 1) // plan.v + 1)) // 128) * 128
+        if Qpr_unsplit <= 256:
+            continue  # no split at this cap
+        split_plans += 1
+        if Qpr_unsplit % 256 != 0:
+            nondivisible += 1
+        _check(C, a_inv, M, require_plan=True)
+        if split_plans >= 8 and nondivisible >= 1:
             break
-    assert found
+    assert split_plans >= 6, (split_plans, nondivisible)
+    assert nondivisible >= 1, "sweep never hit the non-divisible-Qpr class"
+
+
+def test_collect_chunking_invariants(monkeypatch):
+    """The collect-leg chunking triple has ONE source of truth
+    (modperm.collect_chunking); its invariants hold over the (C, v)
+    space in both split and non-split regimes."""
+    from quantumcomputer_tpu.ops import modperm
+
+    monkeypatch.setattr(modperm, "_ROW_W_CAP", 256)
+    monkeypatch.setattr(modperm, "_ROW_SPLIT_W", 128)
+    rng = np.random.default_rng(5)
+    for _ in range(500):
+        C = int(rng.integers(1 << 10, 1 << 20)) | 1
+        v = int(rng.integers(1, 2048))
+        Qpv = (C - 1) // v + 1
+        for use_kernel in (False, True):
+            Wc, Qpr, K = modperm.collect_chunking(C, v, use_kernel)
+            assert Qpr % Wc == 0 and K * Wc == Qpr
+            assert Qpr >= Qpv and Qpr % 128 == 0
+            assert Qpr - Qpv < max(Wc, 128)
+            if use_kernel and -(-Qpv // 128) * 128 > 256:
+                assert Wc == 128 and K == Qpr // 128
+            else:
+                assert K == 1 and Wc == Qpr
+
+
+def test_collect_chunking_bench_r04_row():
+    """Production caps, the exact BENCH_r04 crash configuration:
+    M=28, C=2^28-3, v=1543 — padded row width > cap and not a multiple
+    of it.  The pre-fix code computed K = Qpr // min(Qpr, cap) = 1 here
+    and threw reshaping (1, 1543, 131072) -> (1, 1543, 196608)."""
+    from quantumcomputer_tpu.ops.modperm import collect_chunking
+
+    C, v = (1 << 28) - 3, 1543
+    Wc, Qpr, K = collect_chunking(C, v, True)
+    Qpv = (C - 1) // v + 1
+    assert Wc == 32768
+    assert Qpr == -(-Qpv // Wc) * Wc == K * Wc
+    assert Qpr % 131072 != 0  # the class round 4's test never reached
+
+
+def test_row_compact_exact_rows_last_chunk():
+    """ADVICE r4 (high): when Qpv is an exact multiple of 128 (rows ==
+    Qpv, zero pad rows) a last-row chunk with t0 > vpad - Wt had its
+    straight-slice start clamp-SHIFTED, silently corrupting live output
+    positions < C.  v=899, rows=128: the chunk at f0=114688 has q0=127,
+    t0=515 > vpad - Wt = 128 — pre-fix, lanes 0..383 of that chunk (all
+    live) read from the wrong offset."""
+    from quantumcomputer_tpu.ops.modperm import _row_compact
+
+    v, rows, dim = 899, 128, 1 << 17
+    vpad = 1024
+    w2 = np.full((1, rows, vpad), -1.0, np.float32)
+    q = np.arange(rows)[:, None]
+    t = np.arange(v)[None, :]
+    w2[0, :, :v] = (q * v + t).astype(np.float32)
+    flat = np.asarray(_row_compact(jnp.asarray(w2), v, dim))
+    live = rows * v  # 115072: every position below is real data
+    np.testing.assert_array_equal(
+        flat[0, :live], np.arange(live, dtype=np.float32)
+    )
