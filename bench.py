@@ -279,6 +279,18 @@ def _backend_init_or_die(timeout_s: float | None = None):
     )
 
 
+def _row(errors: dict, key: str, default, fn, *args, **kw):
+    """Row isolation (VERDICT r4 #2): one exception in one metric must
+    never erase the round's other measurements.  On failure the row gets
+    its DEFAULT (a zero, never a fabricated measurement) and a truncated
+    error marker lands in the JSON's row_errors map."""
+    try:
+        return fn(*args, **kw)
+    except Exception as e:  # noqa: BLE001 — the record survives any row
+        errors[key] = f"{type(e).__name__}: {e}"[:300]
+        return default
+
+
 def main():
     from quantumcomputer_tpu.utils.compile_cache import enable as _cc
 
@@ -288,8 +300,12 @@ def main():
     n = pick_n()
     on_tpu = jax.devices()[0].platform == "tpu"
     backend = "pallas" if on_tpu else "xla"
+    errors: dict = {}
 
-    gate_apps_per_sec, n_gates, best_s = bench_gate_throughput(n, backend=backend)
+    gate_apps_per_sec, n_gates, best_s = _row(
+        errors, "gate_throughput", (0.0, 0, 0.0),
+        bench_gate_throughput, n, backend=backend,
+    )
 
     # Baseline: the HBM roofline for UNFUSED gate application — one dense 1q
     # gate pass must read+write the planar f32 state (2 * 2^n * 8 bytes).
@@ -300,20 +316,36 @@ def main():
     roofline_gate_apps = bw_gbps * 1e9 / bytes_per_gate
     frac = gate_apps_per_sec / roofline_gate_apps
 
-    stream_gbps = bench_stream_bandwidth(n) if on_tpu else 0.0
-    shor_s, shor_ok = bench_shor15()
+    stream_gbps = (
+        _row(errors, "stream_bandwidth", 0.0, bench_stream_bandwidth, n)
+        if on_tpu else 0.0
+    )
+    shor_s, shor_ok = _row(errors, "shor15", (0.0, False), bench_shor15)
     # Flagship circuit at n=28 for cross-round comparability (the VERDICT
     # target is the n=28 wall-clock), and at the n=29/n=30 ceilings.
-    full_s, full_compute_s, full_gates = bench_full_shor_circuit(28) if on_tpu else (0.0, 0.0, 0)
-    full29_s, full29_compute_s, _ = bench_full_shor_circuit(29) if on_tpu else (0.0, 0.0, 0)
-    full30_s, full30_compute_s, _ = bench_full_shor_circuit(30) if on_tpu else (0.0, 0.0, 0)
+    full_s, full_compute_s, full_gates = (
+        _row(errors, "full_n28", (0.0, 0.0, 0), bench_full_shor_circuit, 28)
+        if on_tpu else (0.0, 0.0, 0)
+    )
+    full29_s, full29_compute_s, _ = (
+        _row(errors, "full_n29", (0.0, 0.0, 0), bench_full_shor_circuit, 29)
+        if on_tpu else (0.0, 0.0, 0)
+    )
+    full30_s, full30_compute_s, _ = (
+        _row(errors, "full_n30", (0.0, 0.0, 0), bench_full_shor_circuit, 30)
+        if on_tpu else (0.0, 0.0, 0)
+    )
     # complex32 (bf16-storage) throughput mode at the ceilings: half the
     # HBM traffic per pass, ~2e-4 amplitude error envelope (test_complex32).
     c32_30_s, c32_30_compute_s, _ = (
-        bench_full_shor_circuit(30, dtype="complex32") if on_tpu else (0.0, 0.0, 0)
+        _row(errors, "full_n30_c32", (0.0, 0.0, 0),
+             bench_full_shor_circuit, 30, dtype="complex32")
+        if on_tpu else (0.0, 0.0, 0)
     )
     c32_31_s, c32_31_compute_s, _ = (
-        bench_full_shor_circuit(31, dtype="complex32") if on_tpu else (0.0, 0.0, 0)
+        _row(errors, "full_n31_c32", (0.0, 0.0, 0),
+             bench_full_shor_circuit, 31, dtype="complex32")
+        if on_tpu else (0.0, 0.0, 0)
     )
     # Semiclassical per-step, three rows (VERDICT r3 #2): the m28 c64
     # production auto-path (structured oracle; the frozen cross-round
@@ -321,16 +353,34 @@ def main():
     # replaced), and the m30 c32 headline configuration (the 30-bit
     # factorization regime — per-step gather dispatch, the only form that
     # fits at the memory ceiling).
-    sc_step_s, sc_attempt10_s = bench_semiclassical(28) if on_tpu else (0.0, 0.0)
-    sc_gather_step_s, _ = (
-        bench_semiclassical(28, structured=False) if on_tpu else (0.0, 0.0)
-    )
-    sc30_step_s, _ = (
-        bench_semiclassical(30, reps=2, dtype="complex32", L_pair=(2, 6))
+    sc_step_s, sc_attempt10_s = (
+        _row(errors, "semiclassical_m28", (0.0, 0.0), bench_semiclassical, 28)
         if on_tpu else (0.0, 0.0)
     )
-    copy_gbps = bench_copy_floor(n) if on_tpu else 0.0
-    dispatch_rtt_s = bench_dispatch_rtt()
+    sc_gather_step_s, _ = (
+        _row(errors, "semiclassical_m28_gather", (0.0, 0.0),
+             bench_semiclassical, 28, structured=False)
+        if on_tpu else (0.0, 0.0)
+    )
+    sc30_step_s, _ = (
+        _row(errors, "semiclassical_m30_c32", (0.0, 0.0),
+             bench_semiclassical, 30, reps=2, dtype="complex32", L_pair=(2, 6))
+        if on_tpu else (0.0, 0.0)
+    )
+    copy_gbps = (
+        _row(errors, "copy_floor", 0.0, bench_copy_floor, n) if on_tpu else 0.0
+    )
+    dispatch_rtt_s = _row(errors, "dispatch_rtt", 0.0, bench_dispatch_rtt)
+    # Ceiling status DERIVED from this run (VERDICT r4 #8), not a frozen
+    # string: n comes from pick_n's HBM-budget walk on the detected part.
+    ceiling = (
+        f"measured this run on {kind}: scalar-output f32 programs run "
+        f"n={n} (pick_n from device HBM; state-passing programs top out "
+        f"at n={n - 1}, in+out live through the AOT tunnel); complex32 "
+        f"(bf16 storage, f32 compute) raises the ceiling to "
+        f"n={min(n + 1, 31)} and halves per-pass traffic"
+        + (f"; row_errors={sorted(errors)}" if errors else "")
+    )
 
     print(
         json.dumps(
@@ -364,14 +414,8 @@ def main():
                 "stream_vs_copy_frac": round(stream_gbps / copy_gbps, 4) if copy_gbps else 0.0,
                 "dispatch_rtt_s": round(dispatch_rtt_s, 5),
                 "n_qubits": n,
-                "n30_status": (
-                    "n=30 RUNS single-chip (8 GiB state on 16 GB v5e): "
-                    "reset-folded scalar-output programs + in-place kernels "
-                    "keep the program peak at ~one state; state-passing "
-                    "programs still top out at n=29 (in+out live). "
-                    "complex32 (bf16 storage, f32 compute) raises the "
-                    "ceiling to n=31 and halves per-pass traffic."
-                ),
+                "n30_status": ceiling,
+                "row_errors": errors,
             }
         )
     )
