@@ -411,9 +411,12 @@ def _attempt_fn_structured_segment(
     caller snapshots (state, bits, probs) at every segment boundary.
     Same per-step oracles (stride permutation plans, gather fallback) as
     the whole-attempt program; the segment boundary costs one dispatch
-    and makes the state an operand (in + out live across the boundary),
-    so the segmented attempt fits exactly where the whole-attempt form
-    does (both are gated on the fused 4-state envelope).
+    and makes the state an OPERAND — in + out stay live across the AOT
+    dispatch (donation does not reduce peak through the tunnel, see
+    _STEP_STATES_HEADROOM), so the segmented form can need up to one
+    extra live state vs the operand-free whole-attempt program.  The
+    auto-select gates both on the fused 4-state envelope; a run FORCED
+    structured past it logs a warning (run_semiclassical).
 
     (w (2, 2^M), phi cdt, rs (s1-s0,), forces (s1-s0,)) ->
     (bits, probs, w', phi')."""
@@ -712,23 +715,40 @@ def run_semiclassical(
 
         from quantumcomputer_tpu.sim import checkpoint as ckpt
 
+        if not fused_attempt_fits(M, rdtype):
+            # A FORCED structured run past the auto-select envelope: the
+            # segment program carries the state as an operand (in + out
+            # live across the AOT dispatch — up to one extra live state
+            # vs the operand-free whole-attempt program), so this
+            # configuration may exceed the device memory budget.
+            log.warning(
+                "structured segmented attempt forced at M=%d past the fused "
+                "memory envelope: segment programs keep in+out states live "
+                "across the dispatch and may OOM; the per-step gather path "
+                "owns this regime (drop structured=True)", M,
+            )
         fp = _attempt_fingerprint(C, a, L, M, rdtype, key, forces)
         attempt_dir = os.path.join(checkpoint_dir, f"sc_{fp}")
         loaded, bits, probs, start_s = _scan_resume(attempt_dir, fp, L)
         w = loaded if loaded is not None else sv.initial_planar(M, rdtype, 1)
         phi_d = _phi_from_bits(bits, cdt)
         s = start_s
+        # Segment-program cache: LRU (a hit reinserts at the end) with the
+        # bound sized to the attempt, so an attempt spanning more than the
+        # default never evicts its OWN earlier segments and a resumed
+        # attempt reuses the programs an uninterrupted run had cached.
+        seg_cap = max(32, -(-L // checkpoint_every))
         while s < L:
             s_end = min(L, (s // checkpoint_every + 1) * checkpoint_every)
             ck = ("structured-seg", C, a, L, M, jnp.dtype(rdtype).name, s, s_end)
-            seg_fn = _cache.get(ck)
+            seg_fn = _cache.pop(ck, None)
             if seg_fn is None:
                 seg_fn = _attempt_fn_structured_segment(L, M, rdtype, C, a, s, s_end)
                 skeys = [k for k in _cache
                          if isinstance(k, tuple) and k[0] == "structured-seg"]
-                if len(skeys) >= 32:
-                    del _cache[skeys[0]]
-                _cache[ck] = seg_fn
+                while len(skeys) >= seg_cap:
+                    del _cache[skeys.pop(0)]
+            _cache[ck] = seg_fn  # (re)insert last: dict order is LRU order
             bits_d, probs_d, w, phi_d = seg_fn(
                 w, phi_d, rs[s:s_end], jnp.asarray(forces[s:s_end])
             )

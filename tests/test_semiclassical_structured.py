@@ -168,3 +168,35 @@ def test_cache_lru_bounded():
         )
     n = sum(1 for k in cache if isinstance(k, tuple) and k[0] == "structured")
     assert n <= 8
+
+
+def test_segment_cache_keeps_own_attempt(tmp_path, monkeypatch):
+    """ADVICE r4: the segment-program cache must never evict segments of
+    the RUNNING attempt (pre-fix: FIFO with a flat 32-key cap, so an
+    attempt spanning >32 segments recompiled its own programs), and a
+    re-run of the same attempt must be all cache hits (LRU, not FIFO)."""
+    calls = []
+    orig = sc._attempt_fn_structured_segment
+
+    def counting(*a):
+        calls.append(a)
+        return orig(*a)
+
+    monkeypatch.setattr(sc, "_attempt_fn_structured_segment", counting)
+    cache = {}
+    C, a, L, M = 1021, 2, 36, 10
+    key = jax.random.PRNGKey(3)
+    ref = run_semiclassical(C, a, L, M, key, structured=True, _cache={})
+    got = run_semiclassical(
+        C, a, L, M, key, structured=True,
+        checkpoint_dir=str(tmp_path), checkpoint_every=1, _cache=cache,
+    )
+    assert got.bits == ref.bits and got.x_tilde == ref.x_tilde
+    segs = [k for k in cache if isinstance(k, tuple) and k[0] == "structured-seg"]
+    assert len(segs) == 36 and len(calls) == 36
+    # Same attempt again: every segment program is a hit — zero compiles.
+    run_semiclassical(
+        C, a, L, M, key, structured=True,
+        checkpoint_dir=str(tmp_path), checkpoint_every=1, _cache=cache,
+    )
+    assert len(calls) == 36
