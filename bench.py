@@ -362,6 +362,11 @@ def main():
              bench_semiclassical, 28, structured=False)
         if on_tpu else (0.0, 0.0)
     )
+    sc28c32_step_s, _ = (
+        _row(errors, "semiclassical_m28_c32", (0.0, 0.0),
+             bench_semiclassical, 28, dtype="complex32")
+        if on_tpu else (0.0, 0.0)
+    )
     sc30_step_s, _ = (
         _row(errors, "semiclassical_m30_c32", (0.0, 0.0),
              bench_semiclassical, 30, reps=2, dtype="complex32", L_pair=(2, 6))
@@ -408,6 +413,7 @@ def main():
                 "shor8191_circuit_gates": full_gates,
                 "semiclassical_step_m28_s": round(sc_step_s, 4),
                 "semiclassical_step_m28_gather_s": round(sc_gather_step_s, 4),
+                "semiclassical_step_m28_c32_s": round(sc28c32_step_s, 4),
                 "semiclassical_step_m30_c32_s": round(sc30_step_s, 4),
                 "semiclassical_attempt_L10_m28_s": round(sc_attempt10_s, 4),
                 "copy_floor_gbps": round(copy_gbps, 1),

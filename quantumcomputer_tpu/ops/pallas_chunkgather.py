@@ -76,17 +76,51 @@ def _extract(slab, s, lane, *, T: int, WR: int):
     return jnp.where(d == 0, g, slab[1 : WR + 1])
 
 
-def _gather_kernel(*args, T: int, WR: int, NC: int, B: int, nsrc: int, nbuf: int):
-    if nsrc == 2:
+def _gather_kernel(
+    *args, T: int, WR: int, NC: int, B: int, nsrc: int, nbuf: int,
+    affine=None,
+):
+    if affine is not None:
+        # Offsets computed IN KERNEL from the chunk index — the
+        # _row_compact law.  At M=28+ the compaction has NC ~ 175-760k
+        # chunks; three NC-sized scalar-prefetch arrays exceed SMEM
+        # (measured on a v5e: s32[174763] x 3 fails scoped allocation),
+        # while this form carries only 4 static ints.  Mosaic lowers
+        # scalar s32 div/rem exactly (probed on hardware).
+        v, vpad, Wt, P2 = affine
+        x_any, o_ref, slabs, sems = args
+        # int32 constants: under x64 a bare Python int promotes the
+        # scalar arithmetic to int64, which lax.div rejects against the
+        # int32 program_id (and Mosaic's scalar core is 32-bit anyway).
+        vv, vp = jnp.int32(v), jnp.int32(vpad)
+        wt, smax = jnp.int32(Wt), jnp.int32(P2 - Wt)
+        zero = jnp.int32(0)
+
+        def offsets(j):
+            f0 = j * wt
+            q0 = lax.div(f0, vv)
+            t0 = f0 - q0 * vv
+            ist = jnp.clip(vv - t0, zero, wt)
+            s0 = jnp.clip(q0 * vp + t0, zero, smax)
+            s1 = jnp.clip((q0 + 1) * vp - ist, zero, smax)
+            return (s0, s1), ist
+
+    elif nsrc == 2:
         s0_ref, s1_ref, istar_ref, x_any, o_ref, slabs, sems = args
-        srefs = (s0_ref, s1_ref)
+
+        def offsets(j):
+            return (s0_ref[j], s1_ref[j]), istar_ref[j]
+
     else:
         (s0_ref, x_any, o_ref, slabs, sems) = args
-        srefs = (s0_ref,)
+
+        def offsets(j):
+            return (s0_ref[j],), None
+
     i = pl.program_id(0)
 
     def copy(j, slot, k, b):
-        row0 = jnp.minimum(srefs[k][j] >> 7, T - WR - 1)
+        row0 = jnp.minimum(offsets(j)[0][k] >> 7, T - WR - 1)
         return pltpu.make_async_copy(
             x_any.at[b, pl.ds(row0, WR + 1), :],
             slabs.at[slot, k, b],
@@ -116,16 +150,16 @@ def _gather_kernel(*args, T: int, WR: int, NC: int, B: int, nsrc: int, nbuf: int
     for k in range(nsrc):
         for b in range(B):
             copy(i, slot, k, b).wait()
+    starts, ist = offsets(i)
     if nsrc == 2:
         e = lax.broadcasted_iota(jnp.int32, (WR, LANE), 0) * LANE + lane
-        ist = istar_ref[i]
         for b in range(B):
-            g0 = _extract(slabs[slot, 0, b], s0_ref[i], lane, T=T, WR=WR)
-            g1 = _extract(slabs[slot, 1, b], s1_ref[i], lane, T=T, WR=WR)
+            g0 = _extract(slabs[slot, 0, b], starts[0], lane, T=T, WR=WR)
+            g1 = _extract(slabs[slot, 1, b], starts[1], lane, T=T, WR=WR)
             o_ref[b, 0] = jnp.where(e < ist, g0, g1)
     else:
         for b in range(B):
-            o_ref[b, 0] = _extract(slabs[slot, 0, b], s0_ref[i], lane, T=T, WR=WR)
+            o_ref[b, 0] = _extract(slabs[slot, 0, b], starts[0], lane, T=T, WR=WR)
 
 
 # Slab VMEM cap for choosing the pipeline depth: deep enough to hide the
@@ -140,7 +174,10 @@ def _pick_nbuf(W: int, nsrc: int, B: int, itemsize: int) -> int:
     return max(2, min(8, _SLAB_VMEM_BUDGET // max(slab, 1)))
 
 
-def _call(x: jax.Array, scalars, W: int, nsrc: int, nbuf=None) -> jax.Array:
+def _call(
+    x: jax.Array, scalars, W: int, nsrc: int, nbuf=None,
+    NC=None, affine=None,
+) -> jax.Array:
     B, P = x.shape
     if P % LANE or W % LANE or W <= 0:
         raise ValueError(f"P={P} and W={W} must be positive multiples of {LANE}")
@@ -149,20 +186,27 @@ def _call(x: jax.Array, scalars, W: int, nsrc: int, nbuf=None) -> jax.Array:
     T, WR = P // LANE, W // LANE
     if T < WR + 1:
         raise ValueError(f"x too short for W={W}: need P >= W + {LANE}")
-    NC = scalars[0].shape[0]
+    if NC is None:
+        NC = scalars[0].shape[0]
     if nbuf is None:
         nbuf = _pick_nbuf(W, nsrc, B, jnp.dtype(x.dtype).itemsize)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
         grid=(NC,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((B, 1, WR, LANE), lambda i, *_: (0, i, 0, 0)),
+        out_specs=pl.BlockSpec(
+            (B, 1, WR, LANE), (lambda i, *_: (0, i, 0, 0)) if scalars
+            else (lambda i: (0, i, 0, 0))
+        ),
         scratch_shapes=[
             pltpu.VMEM((nbuf, nsrc, B, WR + 1, LANE), x.dtype),
             pltpu.SemaphoreType.DMA((nbuf, nsrc, B)),
         ],
     )
-    kernel = partial(_gather_kernel, T=T, WR=WR, NC=NC, B=B, nsrc=nsrc, nbuf=nbuf)
+    kernel = partial(
+        _gather_kernel, T=T, WR=WR, NC=NC, B=B, nsrc=nsrc, nbuf=nbuf,
+        affine=affine,
+    )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -196,3 +240,24 @@ def chunk_gather_blend(
         2,
         nbuf,
     )
+
+
+def chunk_gather_blend_rowlaw(
+    x: jax.Array, NC: int, v: int, vpad: int, Wt: int, nbuf=None
+) -> jax.Array:
+    """chunk_gather_blend with the row-compaction offset LAW computed in
+    kernel from the chunk index (all of v, vpad, Wt static):
+
+        f0 = c*Wt; q0 = f0 // v; t0 = f0 - q0*v
+        istar = clip(v - t0, 0, Wt)
+        s0 = clip(q0*vpad + t0, 0, P - Wt)      # straight slice
+        s1 = clip((q0+1)*vpad - istar, 0, P - Wt)  # next-row wrap
+
+    Exists because the compaction's chunk count NC ~ dim/v reaches
+    175k-760k at M=28-30: three NC-sized scalar-prefetch arrays exceed
+    SMEM scoped memory (measured failure on a v5e at s32[174763] x 3),
+    where this form prefetches nothing.  Serves _row_compact
+    (ops/modperm.py); the prefetched blend form remains for the deal
+    leg, whose offsets are genuinely data-dependent but whose NC is
+    dim/W ~ 16k."""
+    return _call(x, (), Wt, 2, nbuf, NC=NC, affine=(v, vpad, Wt, x.shape[1]))

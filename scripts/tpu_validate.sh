@@ -4,11 +4,25 @@
 # Tunnel health check first: bench exits 1 with an error JSON if down.
 set -x
 
+# 0. On-hardware parity sweep for the chunk-gather kernels and the
+#    structured stride permutation (VERDICT r4 #6): Mosaic lowering edge
+#    cases interpret-mode tests cannot catch — all lane offsets, tail
+#    clamp, istar extremes, the _row_compact clamp shape, and the M=28
+#    row-split (non-divisible Qpr) plan class, parity-checked on device.
+timeout 1800 python scripts/tpu_paritysweep.py || exit 1
+
 # 1. Frozen-headline bench (writes the BENCH_r* numbers).
-timeout 1200 python bench.py || exit 1
+timeout 2400 python bench.py || exit 1
 
 # 2. Semiclassical CLI end-to-end on TPU (implicit-control engine).
 timeout 900 python -m quantumcomputer_tpu -C 391 -L 14 -M 9 --semiclassical --seed 5 -v
+
+# 2b. M=28 STRUCTURED semiclassical attempt — the exact configuration
+#     round 4 shipped broken (modperm collect-leg row split at
+#     C=2^28-3): must complete and print a factor-or-period line
+#     (structured auto-selected on TPU at M>=22).
+timeout 1800 python -m quantumcomputer_tpu -C 268435453 -L 8 -M 28 -a 7 \
+  --semiclassical --seed 3 -v
 
 # 3. 30-bit headline demo: C = 1,060,314,373 = 32749 x 32377 (a=2,
 #    period 622,212) on the M=30 complex32 per-step path — the largest

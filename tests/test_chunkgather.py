@@ -15,6 +15,7 @@ import pytest
 from quantumcomputer_tpu.ops.pallas_chunkgather import (
     chunk_gather,
     chunk_gather_blend,
+    chunk_gather_blend_rowlaw,
 )
 
 
@@ -67,6 +68,39 @@ def test_chunk_gather_blend(dtype, rng):
     for c in range(NC):
         exp = np.where(e[None, :] < istar[c], xh[:, s0[c] : s0[c] + W], xh[:, s1[c] : s1[c] + W])
         np.testing.assert_array_equal(got[:, c], exp, err_msg=f"chunk {c}")
+
+
+@pytest.mark.parametrize(
+    "v,rows,Wt",
+    [
+        (899, 128, 128),   # rows == Qpv: the ADVICE-r4 clamp-corruption shape
+        (301, 40, 128),    # vpad - v large: every chunk wraps
+        (1024, 16, 256),   # v == vpad: istar == Wt wherever t0 == 0
+        (130, 96, 128),    # v just past a lane: dense wrap churn
+    ],
+)
+def test_chunk_gather_blend_rowlaw_matches_law(v, rows, Wt, rng):
+    """The in-kernel offset law must equal the host-evaluated law that
+    _row_compact (ops/modperm.py) previously passed via scalar prefetch:
+        f0 = c*Wt; q0 = f0 // v; t0 = f0 - q0*v
+        istar = clip(v - t0, 0, Wt); s0 = q0*vpad + t0 (clamped)
+        s1 = (q0+1)*vpad - istar (clamped)."""
+    vpad = -(-v // 128) * 128
+    dim = rows * v  # the live region the caller keeps
+    x = _x(1, (rows + 1) * vpad, jnp.float32, rng)  # incl. the pad row
+    NC = -(-dim // Wt)
+    P = x.shape[1]
+    got = np.asarray(chunk_gather_blend_rowlaw(x, NC, v, vpad, Wt), np.float32)
+    xh = np.asarray(x, np.float32)
+    e = np.arange(Wt)
+    for c in range(NC):
+        f0 = c * Wt
+        q0, t0 = divmod(f0, v)
+        istar = min(max(v - t0, 0), Wt)
+        s0 = min(max(q0 * vpad + t0, 0), P - Wt)
+        s1 = min(max((q0 + 1) * vpad - istar, 0), P - Wt)
+        exp = np.where(e < istar, xh[:, s0 : s0 + Wt], xh[:, s1 : s1 + Wt])
+        np.testing.assert_array_equal(got[:, c], exp, err_msg=f"chunk {c} (v={v})")
 
 
 def test_contract_validation(rng):
