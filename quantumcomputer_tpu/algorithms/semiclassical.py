@@ -277,12 +277,13 @@ def _attempt_fn(L: int, M: int, rdtype) -> Callable:
 
 
 def _structured_plans(C: int, a_invs, M: int, rdtype=jnp.float32):
-    """Per-step stride-permutation plans for a semiclassical attempt,
-    with the deal-leg chunk width W capped so the W-dependent transients
-    fit in the HBM left over after the step envelope — wider chunks are
-    strictly faster slice DMAs (v5e: ~21 GB/s at W=2048 vs ~60 at 8192),
-    so off the memory ceiling the cap stays at the plan maximum and only
-    the top-M steps trade slice width for footprint.  Entries are None
+    """Per-step stride-permutation plans for a semiclassical attempt.
+    On the kernel path (TPU) the pad-free junk-lane row view makes the
+    deal leg's transients W-independent, so W stays at the plan maximum;
+    on the XLA-slice path W is capped so the 2*W*u pad transients fit
+    the HBM left over after the step envelope (wider chunks are strictly
+    faster XLA slice DMAs: ~21 GB/s at W=2048 vs ~60 at 8192, so off the
+    ceiling that cap also stays at the plan maximum).  Entries are None
     where the structured path does not apply (tiny or identity
     multipliers, or a tile-ratio transient that would not fit next to the
     state) — the attempt falls back to the static-scalar gather there."""
@@ -303,9 +304,15 @@ def _structured_plans(C: int, a_invs, M: int, rdtype=jnp.float32):
         # plane-proportional transients (cyclic extension + transpose
         # copy, ~2 planes live at once inside a leg).
         fixed = _STEP_STATES_HEADROOM * state_bytes + 2 * plane_bytes
-        # The deal pad (2*W*u elements) is live in BOTH the concatenated
-        # view and its transpose.
-        allowed_Wu = max(0, budget - fixed) // (4 * itemsize)
+        if modperm._use_chunk_kernel():
+            # The pad-free junk-lane row view makes the deal leg's
+            # transients W-independent (~1.03 planes per array, already
+            # inside `fixed`): W stays at the plan maximum everywhere.
+            allowed_Wu = None
+        else:
+            # XLA path: the deal pad (2*W*u elements) is live in BOTH
+            # the concatenated view and its transpose.
+            allowed_Wu = max(0, budget - fixed) // (4 * itemsize)
     else:
         tile_budget = None  # CPU has no lane tiling
         allowed_Wu = None

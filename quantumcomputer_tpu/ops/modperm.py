@@ -63,9 +63,10 @@ from quantumcomputer_tpu.ops.gates import modmul_onchip
 # Output-chunk width for the deal leg: wider chunks = fewer, bigger slice
 # DMAs (vmapped dynamic-slice throughput roughly doubles per 4x width on
 # a v5e: 21 GB/s at 2048, ~61 at 8192) but the no-second-wrap invariant
-# needs W*u <= C, so W adapts downward for large u.  The y0 padding the
-# slices need is 2*W*u elements, <= 2 extra streamed state passes at the
-# cap — the slice rate dominates that tradeoff everywhere measured.
+# needs W*u <= C, so W adapts downward for large u.  On the kernel path
+# the pad-free junk-lane view makes the leg's footprint and traffic
+# W-independent; on the XLA path the y0 padding the slices need is
+# 2*W*u elements, <= 2 extra streamed state passes at the cap.
 _MAX_CHUNK = 16384
 _MIN_CHUNK = 128
 
@@ -81,7 +82,8 @@ _ROW_SPLIT_W = 32768
 # (measured, v5e: v=49 -> 32 s compile; v=257..1023 -> 9-15 s) — a
 # whole-attempt program pays that per step.  At f >= 256 the row
 # expansion/compaction instead runs as pipelined chunk DMAs
-# (_row_expand/_row_compact: ~1 s compile, DMA-rate runtime), so the
+# (deal-leg chunk_gather rows/_row_compact: ~1 s compile, DMA-rate
+# runtime), so the
 # plan policy on TPU is: factors are 1 or >= 256, else fall back to the
 # element gather.  Off-TPU (and in interpret-mode tests) the XLA
 # reshape is exact and compiles fine, so the floor stays at 32.
@@ -102,8 +104,10 @@ def _use_chunk_kernel() -> bool:
     return flag == "1"
 
 
-def _tr(x3: jax.Array) -> jax.Array:
-    """(B, R, Cc) -> (B, Cc, R), possibly PADDED on both output dims.
+def _tr(x3: jax.Array, extra_rows: int = 0) -> jax.Array:
+    """(B, R, Cc) -> (B, Cc + extra_rows, R), possibly PADDED on both
+    output dims.  extra_rows allocates undefined trailing rows (DMA
+    slack for _row_compact's pseudo-row) without a pad copy.
 
     On TPU this is the Pallas tiled transpose (XLA's transpose emitter
     runs at 29-34 GB/s on these shapes — module docstring); callers must
@@ -132,8 +136,13 @@ def _tr(x3: jax.Array) -> jax.Array:
                 tiled_transpose_padded,
             )
 
-            return tiled_transpose_padded(x3, block=(blk, blk))
-    return jnp.swapaxes(x3, 1, 2)
+            return tiled_transpose_padded(
+                x3, block=(blk, blk), extra_rows=extra_rows
+            )
+    out = jnp.swapaxes(x3, 1, 2)
+    if extra_rows:
+        out = jnp.pad(out, ((0, 0), (0, extra_rows), (0, 0)))
+    return out
 
 
 def tile_ratio(f: int) -> float:
@@ -219,10 +228,11 @@ def plan_stride_permute(
     W*u <= C with a DMA-worthy W, and the collect rows (width ~C/v) must
     be wide enough to beat element gathers.
 
-    max_chunk caps the deal-leg chunk width W: the leg's transient
-    padding is 2*W*u elements, so memory-ceiling callers (the
-    semiclassical driver at the largest M) pass a lower cap to trade
-    slice throughput for peak footprint.
+    max_chunk caps the deal-leg chunk width W: on the XLA path the leg's
+    transient padding is 2*W*u elements, so memory-ceiling callers (the
+    semiclassical driver at the largest M, off the kernel path) pass a
+    lower cap to trade slice throughput for peak footprint; the kernel
+    path's pad-free view is W-independent and keeps the plan maximum.
 
     min_factor (None = auto): acceptance floor for non-unit split
     factors — _TPU_MIN_FACTOR on real TPU (XLA's small-odd-minor
@@ -334,57 +344,41 @@ def collect_chunking(C: int, v: int, use_kernel: bool) -> Tuple[int, int, int]:
     return Wc, Qpr, K
 
 
-def _row_expand(xflat: jax.Array, R: int, u: int) -> jax.Array:
-    """(B, N) flat -> (B, R, upad) row view, row r = xflat[r*u : r*u+upad]
-    (lanes >= u hold the NEXT rows' data — consumers must only read the
-    first u lanes of any row).  Semantically xflat.reshape(B, R, u) up to
-    the garbage lanes, but realized as overlapping pipelined chunk DMAs:
-    XLA materializes that reshape through its generic relayout, measured
-    at 10-30 s compile per distinct shape on a v5e (_TPU_MIN_FACTOR)."""
-    from quantumcomputer_tpu.ops.pallas_chunkgather import chunk_gather
-
-    B = xflat.shape[0]
-    upad = -(-u // LANE) * LANE
-    need = max((R - 1) * u + upad, xflat.shape[1])
-    need = -(-need // LANE) * LANE
-    if xflat.shape[1] < need:
-        xflat = jnp.pad(xflat, ((0, 0), (0, need - xflat.shape[1])))
-    starts = lax.iota(jnp.int32, R) * u
-    return chunk_gather(xflat, starts, upad)
-
-
 def _row_compact(w2: jax.Array, v: int, dim: int) -> jax.Array:
     """(B, rows, vpad) padded row view -> (B, dim) flat with
     flat[q*v + t] = w2[b, q, t] (t < v); flat positions past rows*v are
-    in-bounds garbage the caller selects away.  The inverse movement of
-    _row_expand — every Wt-wide flat chunk is two contiguous slices of
+    in-bounds garbage the caller selects away.  The inverse of the deal
+    leg's row view — every Wt-wide flat chunk is two contiguous slices of
     w2's flat storage split at the single row boundary it crosses
     (Wt <= v), exactly the deal leg's wrap structure, so it runs on the
-    same blend kernel instead of XLA's pathological relayout."""
-    from quantumcomputer_tpu.ops.pallas_chunkgather import chunk_gather_blend
+    blend kernel instead of XLA's pathological relayout.  The offsets
+    follow one law in the chunk index, so they are computed IN KERNEL
+    (chunk_gather_blend_rowlaw): the compaction's NC ~ dim/v reaches
+    175k-760k at M=28-30 and NC-sized scalar-prefetch arrays exceed SMEM
+    (measured scoped-allocation failure on a v5e at s32[174763] x 3)."""
+    from quantumcomputer_tpu.ops.pallas_chunkgather import (
+        chunk_gather_blend_rowlaw,
+    )
 
     B, rows, vpad = w2.shape
-    w2f = w2.reshape(B, rows * vpad)
-    Wt = min((v // LANE) * LANE, _MAX_CHUNK)
-    # One trailing zero pseudo-row so every LIVE chunk's slices are passed
-    # exactly: a straight slice s0 = q0*vpad + t0 with q0 <= rows-1 reads
-    # up to (rows-1)*vpad + (vpad-1) + Wt < (rows+1)*vpad, and a wrap
-    # slice up to (q0+1)*vpad + Wt <= (rows+1)*vpad (Wt <= vpad).  Without
-    # it, a last-row chunk with t0 > vpad - Wt had s0 clamp-SHIFTED,
+    # The caller supplies AT LEAST ONE slack row past the live region
+    # (via _tr's extra_rows, no pad copy) so every LIVE chunk's slices
+    # are passed exactly: a straight slice s0 = q0*vpad + t0 with live
+    # q0 <= rows-2 reads up to (rows-2)*vpad + (vpad-1) + Wt < rows*vpad,
+    # and a wrap slice up to (rows)*vpad (Wt <= vpad).  Without the
+    # slack, a last-row chunk with t0 > vpad - Wt had s0 clamp-SHIFTED,
     # silently corrupting output positions < C whenever Qpv % 128 == 0
     # (rows == Qpv, no pad rows — e.g. v=899, C in (114688, 115072]).
-    # The clamps below now only bound garbage chunks past rows*v, whose
-    # output the caller's pos < C select discards.
-    w2f = jnp.pad(w2f, ((0, 0), (0, vpad)))
-    P2 = (rows + 1) * vpad
+    # The in-kernel clamps only bound garbage chunks past the live rows,
+    # whose output the caller's pos < C select discards; the slack row's
+    # UNDEFINED contents are read only by discarded lanes.  Exactness is
+    # guaranteed for flat positions < (rows-1)*v (>= C for the collect
+    # caller: rows-1 = Qpr >= Qpv); beyond that, garbage.
+    assert rows >= 2, rows
+    w2f = w2.reshape(B, rows * vpad)
+    Wt = min((v // LANE) * LANE, _MAX_CHUNK)
     NCt = -(-dim // Wt)
-    f0 = lax.iota(jnp.int32, NCt) * Wt
-    q0 = f0 // v
-    t0 = f0 - q0 * v
-    istar = jnp.clip(v - t0, 0, Wt)
-    s0 = jnp.clip(q0 * vpad + t0, 0, P2 - Wt)
-    s1 = jnp.clip((q0 + 1) * vpad - istar, 0, P2 - Wt)
-    out = chunk_gather_blend(w2f, s0, s1, istar, Wt)
+    out = chunk_gather_blend_rowlaw(w2f, NCt, v, vpad, Wt)
     return out.reshape(B, NCt * Wt)[:, :dim]
 
 
@@ -407,44 +401,84 @@ def _deal_leg(x: jax.Array, C: int, u: int, M: int, W: int) -> jax.Array:
     xf = x.reshape((-1, dim))
     B = xf.shape[0]
     Qp = (C - 1) // u + 1
-    # [W*u zeros | x viewed (Qp, u), zero-padded past dim | W*u zeros] as
-    # ONE flat concatenation, then the (W + Qp + W, u) view transposed.
-    # The W-row pads become column pads of y0: W on the left (the wrapped
-    # slice starts at W - i* >= 0) and W on the right (the straight slice
-    # ends at q1 + W <= Qp + W - 1).
     used = min(dim, Qp * u)
+    upad = -(-u // LANE) * LANE
+
+    # Only chunks touching the live region j < C are computed: the
+    # identity tail is appended as a STATIC concat (C is static), which
+    # both drops the garbage chunks' DMA and replaces the full-plane
+    # where-select read of xf with a read of just the tail.
+    NC = -(-C // W)
+    j0 = lax.iota(jnp.int32, NC) * W
+    nbits = max(1, u.bit_length())
+    rem0 = modmul_onchip(u, j0, C, nbits)
+    t1 = rem0 % u
+    q1 = rem0 // u
+    istar = jnp.clip((C - rem0 + u - 1) // u, 0, W)
+    t2 = jnp.clip(rem0 + istar * u - C, 0, u - 1)
+    zero = jnp.zeros((), jnp.int32)
+    lane = lax.iota(jnp.int32, W)
+
+    # Kernel path: PAD-FREE overlapping row view.  The old layout carried
+    # W zero-columns on BOTH sides of y0 (2*W*u elements ~ 2 full planes
+    # at the plan maximum W*u ~ C), and its row/lane counts missed the
+    # transpose tile grid, so every pass over the view moved ~3x the
+    # state and the transpose pre-pad materialized a full copy (measured
+    # 5.8 GB at M=28).  Instead:
+    #   - each w2 row r carries LANE junk lanes in FRONT of its data
+    #     (row r = xext[r*u : r*u + WIDTH], data at lane LANE + t): the
+    #     transpose turns them into LANE junk ROWS of y0, so the wrap
+    #     slice start s1 = (LANE + t2)*pitch - istar stays >= 0 even at
+    #     t2 = 0 (junk is read only by lanes the blend discards);
+    #   - rows round up to the tile grid (Qp2) and WIDTH to a lane
+    #     multiple, so _tr pads nothing;
+    #   - no right pad: a straight slice's USED lanes i < istar satisfy
+    #     q1 + i <= Qp - 1 (rem < C), so row overruns only feed
+    #     discarded lanes, and WIDTH >= u + 2*LANE bounds the flat DMA.
+    Qp2 = -(-Qp // LANE) * LANE
+    WIDTH = upad + 2 * LANE
+    if _use_chunk_kernel() and u >= LANE and WIDTH * Qp2 < (1 << 31):
+        from quantumcomputer_tpu.ops.pallas_chunkgather import (
+            chunk_gather,
+            chunk_gather_blend,
+        )
+
+        need = (Qp2 - 1) * u + WIDTH - LANE  # last read, x coords
+        ext_len = -(-(LANE + max(used, need)) // LANE) * LANE
+        xext = jnp.concatenate(
+            [jnp.zeros((B, LANE), xf.dtype), xf[:, :used]], axis=1
+        )
+        if ext_len > LANE + used:
+            xext = jnp.pad(xext, ((0, 0), (0, ext_len - LANE - used)))
+        starts = lax.iota(jnp.int32, Qp2) * u
+        w2 = chunk_gather(xext, starts, WIDTH)  # (B, Qp2, WIDTH)
+        y0 = _tr(w2)                            # (B, WIDTH, Qp2), pad-free
+        pitch = y0.shape[2]
+        y0f = y0.reshape(B, y0.shape[1] * pitch)
+        s0 = (t1 + LANE) * pitch + q1
+        s1 = (t2 + LANE) * pitch - istar
+        out = chunk_gather_blend(y0f, s0, s1, istar, W)  # (B, NC, W)
+        flat = out.reshape(B, NC * W)
+        if C < dim:
+            flat = jnp.concatenate([flat[:, :C], xf[:, C:]], axis=-1)
+        return flat.reshape(lead + (dim,))
+
+    # XLA path: [W*u zeros | x viewed (Qp, u), zero-padded past dim |
+    # W*u zeros] as ONE flat concatenation, then the (W + Qp + W, u) view
+    # transposed.  The W-row pads become column pads of y0: W on the left
+    # (the wrapped slice starts at W - i* >= 0) and W on the right (the
+    # straight slice ends at q1 + W <= Qp + W - 1).  The reshape row view
+    # is free here (contiguous); only the kernel path can realize the
+    # overlapping junk-lane view above.
     mid = xf[:, :used]
     if Qp * u > used:
         mid = jnp.pad(mid, ((0, 0), (0, Qp * u - used)))
     zpad = jnp.zeros((B, W * u), xf.dtype)
     flatpad = jnp.concatenate([zpad, mid, zpad], axis=1)
     R = W + Qp + W
-    upad = -(-u // LANE) * LANE
-    if _use_chunk_kernel() and u >= LANE and (R - 1) * u + upad < (1 << 31):
-        # Row view via overlapping chunk DMAs (_row_expand): XLA's
-        # (N,) -> (R, u) relayout for odd u compiles in 10-30 s per
-        # shape.  Lanes >= u of each row are neighbors' data; the
-        # transpose moves them to rows t >= u of y0, which no consumer
-        # indexes (t1, t2 < u).
-        w2 = _row_expand(flatpad, R, u)
-    else:
-        w2 = flatpad.reshape(B, R, u)
+    w2 = flatpad.reshape(B, R, u)
     y0 = _tr(w2)  # (B, u[pad], W + Qp + W), possibly padded past both dims
 
-    NC = dim // W
-    j0 = lax.iota(jnp.int32, NC) * W
-    nbits = max(1, u.bit_length())
-    in_range = j0 < C
-    rem0 = jnp.where(
-        in_range, modmul_onchip(u, jnp.where(in_range, j0, 0), C, nbits), j0
-    )
-    t1 = rem0 % u
-    q1 = rem0 // u
-    istar = jnp.clip((C - rem0 + u - 1) // u, 0, W)
-    t2 = jnp.clip(rem0 + istar * u - C, 0, u - 1)
-
-    zero = jnp.zeros((), jnp.int32)
-    lane = lax.iota(jnp.int32, W)
     pitch = y0.shape[2]
     if y0.shape[1] * pitch < (1 << 31):
         # Flat 1D-start slices lower ~25% faster than 2D (t, col) starts
@@ -453,26 +487,15 @@ def _deal_leg(x: jax.Array, C: int, u: int, M: int, W: int) -> jax.Array:
         s0 = t1 * pitch + (W + q1)
         s1 = t2 * pitch + (W - istar)
 
-        if _use_chunk_kernel() and y0f.shape[1] % 128 == 0:
-            # The pipelined Pallas gather streams the chunk slices at
-            # ~340-380 GB/s vs XLA's 21-61 GB/s for the vmapped
-            # dynamic_slice below (scripts/prof_chunkgather.py); the
-            # wrap blend folds into the same pass.
-            from quantumcomputer_tpu.ops.pallas_chunkgather import (
-                chunk_gather_blend,
-            )
+        # Blend INSIDE the vmapped chunk: the two W-slices fuse into
+        # the select without materializing dim-sized g0/g1 (2 state
+        # passes of transient HBM at the memory ceiling).
+        def chunk1(a, b, isc):
+            g0 = lax.dynamic_slice(y0f, (zero, a), (B, W))
+            g1 = lax.dynamic_slice(y0f, (zero, b), (B, W))
+            return jnp.where(lane[None, :] < isc, g0, g1)
 
-            out = chunk_gather_blend(y0f, s0, s1, istar, W)  # (B, NC, W)
-        else:
-            # Blend INSIDE the vmapped chunk: the two W-slices fuse into
-            # the select without materializing dim-sized g0/g1 (2 state
-            # passes of transient HBM at the memory ceiling).
-            def chunk1(a, b, isc):
-                g0 = lax.dynamic_slice(y0f, (zero, a), (B, W))
-                g1 = lax.dynamic_slice(y0f, (zero, b), (B, W))
-                return jnp.where(lane[None, :] < isc, g0, g1)
-
-            out = jax.vmap(chunk1, in_axes=(0, 0, 0), out_axes=1)(s0, s1, istar)
+        out = jax.vmap(chunk1, in_axes=(0, 0, 0), out_axes=1)(s0, s1, istar)
     else:
 
         def chunk(t1c, q1c, isc, t2c):
@@ -481,11 +504,10 @@ def _deal_leg(x: jax.Array, C: int, u: int, M: int, W: int) -> jax.Array:
             return jnp.where(lane[None, None, :] < isc, g0, g1)
 
         out = jax.vmap(chunk, in_axes=(0, 0, 0, 0), out_axes=2)(t1, q1, istar, t2)
-    out = out.reshape(B, dim)
+    flat = out.reshape(B, NC * W)
     if C < dim:
-        pos = lax.iota(jnp.int32, dim)
-        out = jnp.where(pos[None, :] < C, out, xf)
-    return out.reshape(lead + (dim,))
+        flat = jnp.concatenate([flat[:, :C], xf[:, C:]], axis=-1)
+    return flat.reshape(lead + (dim,))
 
 
 def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
@@ -518,6 +540,7 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
 
     zero = jnp.zeros((), jnp.int32)
 
+    vpad = -(-v // LANE) * LANE
     if use_kernel:
         from quantumcomputer_tpu.ops.pallas_chunkgather import chunk_gather
 
@@ -528,8 +551,13 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
         padto = -(-(C + Qpr) // 128) * 128
         if padto > C + ext:
             x_ext = jnp.pad(x_ext, ((0, 0), (0, padto - (C + ext))))
-        starts = j0[:, None] + Wc * lax.iota(jnp.int32, K)[None, :]
-        y0 = chunk_gather(x_ext, starts.reshape(-1), Wc).reshape(B, v, Qpr)
+        # Gather vpad rows, not v: rows [v, vpad) are junk (start 0) the
+        # compaction never selects, and the tile-aligned row count makes
+        # the transpose's pre-pad a no-op (a (B, v, Qpr) input at v=1543
+        # forced a full 2.4 GB pad copy at M=28).
+        j0p = jnp.concatenate([j0, jnp.zeros((vpad - v,), jnp.int32)])
+        starts = j0p[:, None] + Wc * lax.iota(jnp.int32, K)[None, :]
+        y0 = chunk_gather(x_ext, starts.reshape(-1), Wc).reshape(B, vpad, Qpr)
     else:
         x_ext = jnp.concatenate([xf[:, :C], xf[:, : min(Qpr, dim)]], axis=-1)
         if Qpr > dim:
@@ -539,22 +567,27 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
             return lax.dynamic_slice(x_ext, (zero, j0c), (B, Qpr))
 
         y0 = jax.vmap(row, out_axes=1)(j0)      # (B, v, Qpr)
-    w2 = _tr(y0)                                # (B, Qpr, v), possibly padded
-    if (
+    compact = (
         use_kernel
         and v >= LANE
-        and w2.shape[2] % LANE == 0
-        and (w2.shape[1] + 1) * w2.shape[2] < (1 << 31)
-    ):
+        and vpad % LANE == 0
+        and (Qpr + 2) * vpad < (1 << 31)
+    )
+    # The compaction path needs one slack row past the live region (DMA
+    # bound for last-row chunks — the ADVICE r4 clamp-corruption fix);
+    # _tr allocates it as an undefined extra output row instead of the
+    # full-array jnp.pad copy it used to cost.
+    w2 = _tr(y0, extra_rows=1 if compact else 0)  # (B, Qpr[+1], vpad)
+    if compact:
         # Flat order via the blend kernel (_row_compact): XLA's
         # (Qpv, v) -> flat relayout for odd v compiles in 10-30 s per
-        # shape and scatters at 50-500 GB/s.  Rows past Qpv and flat
-        # positions past C carry transpose-pad/cyclic-surplus garbage;
-        # the pos < C select keeps only real data (garbage passes
-        # through a select, never arithmetic).
-        flat_full = _row_compact(w2, v, dim)
-        pos = lax.iota(jnp.int32, dim)
-        flat = jnp.where(pos[None, :] < C, flat_full, xf)
+        # shape and scatters at 50-500 GB/s.  Rows past Qpv and lanes
+        # past C of the last chunk carry transpose-pad/cyclic-surplus
+        # garbage, dropped by the static [:C] slice; the identity tail
+        # is a static concat (reads only the tail, not a full plane).
+        flat = _row_compact(w2, v, C)[:, :C]
+        if C < dim:
+            flat = jnp.concatenate([flat, xf[:, C:]], axis=-1)
         return flat.reshape(lead + (dim,))
     if w2.shape[1:] != (Qpv, v):
         w2 = w2[:, :Qpv, :v]                    # compaction back to exact

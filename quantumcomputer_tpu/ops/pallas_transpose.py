@@ -37,28 +37,40 @@ def _tr_kernel(x_ref, o_ref):
     o_ref[...] = jnp.swapaxes(x_ref[...], -1, -2)
 
 
-def _transpose_divisible(x: jax.Array, br: int, bc: int) -> jax.Array:
-    """(B, R, C) -> (B, C, R) with R % br == 0 and C % bc == 0."""
+def _transpose_divisible(
+    x: jax.Array, br: int, bc: int, extra_rows: int = 0
+) -> jax.Array:
+    """(B, R, C) -> (B, C + extra_rows, R) with R % br == 0, C % bc == 0.
+
+    extra_rows > 0 allocates UNWRITTEN trailing output rows (contents
+    undefined): modperm's _row_compact needs one pseudo-row past the live
+    region purely as DMA slack whose lanes are never selected — allocating
+    it here replaces a full-array jnp.pad copy downstream."""
     B, R, C = x.shape
     return pl.pallas_call(
         _tr_kernel,
         grid=(B, R // br, C // bc),
         in_specs=[pl.BlockSpec((1, br, bc), lambda b, i, j: (b, i, j))],
         out_specs=pl.BlockSpec((1, bc, br), lambda b, i, j: (b, j, i)),
-        out_shape=jax.ShapeDtypeStruct((B, C, R), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, C + extra_rows, R), x.dtype),
         interpret=_interpret(),
     )(x)
 
 
 def tiled_transpose_padded(
-    x: jax.Array, block: tuple[int, int] = (256, 256)
+    x: jax.Array, block: tuple[int, int] = (256, 256), extra_rows: int = 0
 ) -> jax.Array:
     """Transpose the last two dims, returning the PADDED result.
 
-    x: (..., R, C) -> (..., Cp, Rp) where Rp/Cp round R/C up to the block
-    multiples; the valid region is [..., :C, :R] and the padding is zero.
-    Callers that index with an explicit row pitch (modperm's legs) use
-    this form to skip the slice-back pass.
+    x: (..., R, C) -> (..., Cp + extra_rows, Rp) where Rp/Cp round R/C up
+    to the block multiples; the valid region is [..., :C, :R] and the
+    padding is zero (the extra_rows, if any, are undefined — see
+    _transpose_divisible).  Callers that index with an explicit row pitch
+    (modperm's legs) use this form to skip the slice-back pass.
+
+    When the input dims are already block multiples the jnp.pad below is
+    a no-op; otherwise it materializes a FULL copy of x (measured 5.8 GB
+    at the M=28 deal-leg shape) — block-align the feeding arrays.
     """
     br, bc = block
     lead = x.shape[:-2]
@@ -68,8 +80,8 @@ def tiled_transpose_padded(
     Cp = -(-C // bc) * bc
     if Rp != R or Cp != C:
         xf = jnp.pad(xf, ((0, 0), (0, Rp - R), (0, Cp - C)))
-    out = _transpose_divisible(xf, br, bc)
-    return out.reshape(lead + (Cp, Rp))
+    out = _transpose_divisible(xf, br, bc, extra_rows)
+    return out.reshape(lead + (Cp + extra_rows, Rp))
 
 
 def tiled_transpose(x: jax.Array, block: tuple[int, int] = (256, 256)) -> jax.Array:

@@ -230,7 +230,31 @@ def test_fuzz_parity_kernel_path(M, monkeypatch):
     assert planned >= 3  # the kernel path must actually be exercised
 
 
-def test_kernel_path_row_split(monkeypatch):
+def test_deal_leg_kernel_junk_lane_view(monkeypatch):
+    """The kernel deal leg's PAD-FREE overlapping row view (round 5):
+    each w2 row carries LANE junk lanes in front of its data so the wrap
+    slice start (LANE + t2)*pitch - istar stays in bounds at t2 = 0 —
+    the chunk straddling C always has t2 = 0 (m = u-1 there), and its
+    wrap lanes are all >= C, so junk must flow only into discarded
+    output.  Direct _deal_leg parity against the element map, forced
+    through the kernel path, at shapes where C % W != 0 and the plan
+    window guarantees u >= LANE."""
+    monkeypatch.setenv("QC_MODPERM_KERNEL", "1")
+    from quantumcomputer_tpu.ops.modperm import _deal_leg
+
+    for M, C, u, W in (
+        (16, 65533, 509, 128),    # C prime-ish, straddling chunk wrap
+        (16, 65280, 131, 256),    # C % W == 0: no straddle, tail exact
+        (17, 131063, 257, 256),   # wider rows, odd u
+        (15, 32765, 129, 128),    # smallest kernel-legal u
+    ):
+        assert u >= 128 and W * u <= C <= (1 << M)
+        rng = np.random.default_rng(u)
+        x = rng.standard_normal((2, 1 << M)).astype(np.float32)
+        got = np.asarray(_deal_leg(jnp.asarray(x), C, u, M, W))
+        j = np.arange(1 << M)
+        src = np.where(j < C, (u * j) % C, j)
+        np.testing.assert_array_equal(got, x[:, src], err_msg=f"u={u} C={C}")
     """Collect rows wider than the VMEM cap split into Wc-wide chunks;
     shrink the cap so the split path runs at test scale.
 
@@ -320,10 +344,14 @@ def test_row_compact_exact_rows_last_chunk():
 
     v, rows, dim = 899, 128, 1 << 17
     vpad = 1024
-    w2 = np.full((1, rows, vpad), -1.0, np.float32)
+    # One slack row past the live region, NaN-filled: _row_compact's
+    # contract (production: _tr extra_rows, contents undefined) — the
+    # kernel may read it only into lanes the blend discards.
+    w2 = np.full((1, rows + 1, vpad), np.nan, np.float32)
+    w2[0, :rows] = -1.0
     q = np.arange(rows)[:, None]
     t = np.arange(v)[None, :]
-    w2[0, :, :v] = (q * v + t).astype(np.float32)
+    w2[0, :rows, :v] = (q * v + t).astype(np.float32)
     flat = np.asarray(_row_compact(jnp.asarray(w2), v, dim))
     live = rows * v  # 115072: every position below is real data
     np.testing.assert_array_equal(

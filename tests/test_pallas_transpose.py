@@ -63,7 +63,11 @@ def test_modperm_through_pallas_transpose(monkeypatch):
     """The TPU path of ops/modperm routes both legs through the tiled
     transpose; force it off-TPU (interpret mode) and check full parity."""
     monkeypatch.setattr(
-        modperm, "_tr", lambda x3: tiled_transpose_padded(x3, block=(128, 128))
+        modperm,
+        "_tr",
+        lambda x3, extra_rows=0: tiled_transpose_padded(
+            x3, block=(128, 128), extra_rows=extra_rows
+        ),
     )
     M = 14
     C = (1 << M) - 3
