@@ -337,8 +337,19 @@ def collect_chunking(C: int, v: int, use_kernel: bool) -> Tuple[int, int, int]:
     Qpr = -(-Qpv // LANE) * LANE
     Wc = Qpr
     if use_kernel and Qpr > _ROW_W_CAP:
-        Wc = _ROW_SPLIT_W
-        Qpr = -(-Qpv // Wc) * Wc
+        # Halving candidates below the slab cap: a narrower Wc rounds
+        # Qpv up less (less gather/transpose surplus — 13% -> 3.6% at
+        # the M=28 bench plan), while the chunk DMA stays >= Wc/8 lanes
+        # (16 KB f32 at 4096 — comfortably stream-sized).  Ties take the
+        # wider chunk (fewer DMA issues).
+        best = None
+        cand = _ROW_SPLIT_W
+        while cand >= max(_ROW_SPLIT_W // 8, LANE):
+            q = -(-Qpv // cand) * cand
+            if best is None or q < best[1]:
+                best = (cand, q)
+            cand //= 2
+        Wc, Qpr = best
     K = Qpr // Wc
     assert Qpr % Wc == 0 and K * Wc == Qpr, (C, v, Wc, Qpr, K)
     return Wc, Qpr, K
@@ -443,15 +454,29 @@ def _deal_leg(x: jax.Array, C: int, u: int, M: int, W: int) -> jax.Array:
             chunk_gather_blend,
         )
 
-        need = (Qp2 - 1) * u + WIDTH - LANE  # last read, x coords
-        ext_len = -(-(LANE + max(used, need)) // LANE) * LANE
-        xext = jnp.concatenate(
-            [jnp.zeros((B, LANE), xf.dtype), xf[:, :used]], axis=1
+        # Rows DMA straight from the STATE (no extended copy: the old
+        # [zeros | x | zeros] concat cost a full read+write plane pass).
+        # Row r = xf[r*u - LANE : .. + WIDTH]; the kernel clamps
+        # out-of-contract windows memory-safe, and the <= 3 boundary
+        # rows whose windows leave [0, dim) — row 0 (start -LANE) and
+        # the last live row(s) reading past dim — are overwritten with
+        # exact content by dynamic_update_slice (in-place on the fresh
+        # kernel output).  Junk rows r >= Qp stay unpatched (no
+        # consumer).
+        starts = lax.iota(jnp.int32, Qp2) * u - LANE
+        w2 = chunk_gather(xf, starts, WIDTH)  # (B, Qp2, WIDTH)
+        row0 = jnp.concatenate(
+            [jnp.zeros((B, LANE), xf.dtype), xf[:, : WIDTH - LANE]], axis=1
         )
-        if ext_len > LANE + used:
-            xext = jnp.pad(xext, ((0, 0), (0, ext_len - LANE - used)))
-        starts = lax.iota(jnp.int32, Qp2) * u
-        w2 = chunk_gather(xext, starts, WIDTH)  # (B, Qp2, WIDTH)
+        w2 = lax.dynamic_update_slice(w2, row0[:, None, :], (0, 0, 0))
+        r_lo = max(1, (dim + LANE - WIDTH) // u + 1)
+        for r in range(r_lo, Qp):
+            s = r * u - LANE
+            take = max(0, min(dim - s, WIDTH))
+            row = xf[:, s : s + take]
+            if take < WIDTH:
+                row = jnp.pad(row, ((0, 0), (0, WIDTH - take)))
+            w2 = lax.dynamic_update_slice(w2, row[:, None, :], (0, r, 0))
         y0 = _tr(w2)                            # (B, WIDTH, Qp2), pad-free
         pitch = y0.shape[2]
         y0f = y0.reshape(B, y0.shape[1] * pitch)
@@ -542,22 +567,34 @@ def _collect_leg(x: jax.Array, C: int, v: int, vinv: int, M: int) -> jax.Array:
 
     vpad = -(-v // LANE) * LANE
     if use_kernel:
-        from quantumcomputer_tpu.ops.pallas_chunkgather import chunk_gather
+        from quantumcomputer_tpu.ops.pallas_chunkgather import chunk_gather_src2
 
-        # Cyclic extension sized so every row slice [j0, j0 + Qpr) is in
-        # bounds (j0 < C), padded to the kernel's lane-multiple contract.
-        ext = min(Qpr, dim)
-        x_ext = jnp.concatenate([xf[:, :C], xf[:, :ext]], axis=-1)
-        padto = -(-(C + Qpr) // 128) * 128
-        if padto > C + ext:
-            x_ext = jnp.pad(x_ext, ((0, 0), (0, padto - (C + ext))))
+        # Row slices [j0, j0 + Qpr) wrap mod C at most once (Qpr <= C).
+        # Rather than materializing a cyclically-extended copy of the
+        # state (a full read+write plane pass per step), every chunk is
+        # ONE straight read from one of two sources:
+        #   - base <= C - Wc:        the state at base;
+        #   - C - Wc < base < C:     the 2*Wc cyclic join
+        #                            [x[C-Wc : C] | x[:Wc]] at
+        #                            base - (C - Wc)  (covers the wrap
+        #                            AND keeps the DMA window inside the
+        #                            buffer when C + Wc > dim);
+        #   - base >= C:             the state at base - C (the
+        #                            post-wrap run is x[0:...] itself).
         # Gather vpad rows, not v: rows [v, vpad) are junk (start 0) the
         # compaction never selects, and the tile-aligned row count makes
         # the transpose's pre-pad a no-op (a (B, v, Qpr) input at v=1543
         # forced a full 2.4 GB pad copy at M=28).
+        xjoin = jnp.concatenate([xf[:, C - Wc : C], xf[:, :Wc]], axis=-1)
         j0p = jnp.concatenate([j0, jnp.zeros((vpad - v,), jnp.int32)])
-        starts = j0p[:, None] + Wc * lax.iota(jnp.int32, K)[None, :]
-        y0 = chunk_gather(x_ext, starts.reshape(-1), Wc).reshape(B, vpad, Qpr)
+        base = (j0p[:, None] + Wc * lax.iota(jnp.int32, K)[None, :]).reshape(-1)
+        in_join = (base > C - Wc) & (base < C)
+        starts = jnp.where(
+            in_join, base - (C - Wc), jnp.where(base < C, base, base - C)
+        )
+        y0 = chunk_gather_src2(
+            xf, xjoin, starts, in_join.astype(jnp.int32), Wc
+        ).reshape(B, vpad, Qpr)
     else:
         x_ext = jnp.concatenate([xf[:, :C], xf[:, : min(Qpr, dim)]], axis=-1)
         if Qpr > dim:

@@ -78,9 +78,20 @@ def _extract(slab, s, lane, *, T: int, WR: int):
 
 def _gather_kernel(
     *args, T: int, WR: int, NC: int, B: int, nsrc: int, nbuf: int,
-    affine=None,
+    affine=None, T2=None,
 ):
-    if affine is not None:
+    if T2 is not None:
+        # Two-INPUT single-slab form: each chunk is one straight read
+        # from either x (flag 0) or the small alternate buffer x2
+        # (flag 1) — the collect leg's cyclic boundary chunks read a
+        # 2*Wc cyclic-join [x[C-Wc:C] | x[:Wc]] instead of forcing a
+        # full cyclically-extended copy of the state.
+        s_ref, f_ref, x_any, x2_any, o_ref, slabs, sems = args
+
+        def offsets(j):
+            return (s_ref[j],), None
+
+    elif affine is not None:
         # Offsets computed IN KERNEL from the chunk index — the
         # _row_compact law.  At M=28+ the compaction has NC ~ 175-760k
         # chunks; three NC-sized scalar-prefetch arrays exceed SMEM
@@ -119,15 +130,36 @@ def _gather_kernel(
 
     i = pl.program_id(0)
 
-    def copy(j, slot, k, b):
-        row0 = jnp.minimum(offsets(j)[0][k] >> 7, T - WR - 1)
+    def copy(j, slot, k, b, ref=None, rows=None):
+        # Clamped into [0, rows-WR-1]: out-of-contract starts (callers
+        # that patch boundary chunks afterwards, e.g. the deal leg's
+        # shifted row view) stay MEMORY-SAFE; their chunk content is
+        # unspecified.
+        ref = x_any if ref is None else ref
+        rows = T if rows is None else rows
+        row0 = jnp.clip(offsets(j)[0][k] >> 7, 0, rows - WR - 1)
         return pltpu.make_async_copy(
-            x_any.at[b, pl.ds(row0, WR + 1), :],
+            ref.at[b, pl.ds(row0, WR + 1), :],
             slabs.at[slot, k, b],
             sems.at[slot, k, b],
         )
 
     def start_all(j, slot):
+        if T2 is not None:
+            # Source chosen per chunk; exactly one start per (j, slot, b)
+            # either way, so the unconditional wait below matches (both
+            # descriptors move the same byte count into the same slab).
+            @pl.when(f_ref[j] == 0)
+            def _():
+                for b in range(B):
+                    copy(j, slot, 0, b).start()
+
+            @pl.when(f_ref[j] != 0)
+            def _():
+                for b in range(B):
+                    copy(j, slot, 0, b, ref=x2_any, rows=T2).start()
+
+            return
         for k in range(nsrc):
             for b in range(B):
                 copy(j, slot, k, b).start()
@@ -151,7 +183,14 @@ def _gather_kernel(
         for b in range(B):
             copy(i, slot, k, b).wait()
     starts, ist = offsets(i)
-    if nsrc == 2:
+    if T2 is not None:
+        # The realignment clamp depends on the source's row count, so
+        # extract both ways in-register and select by the chunk's flag.
+        for b in range(B):
+            gm = _extract(slabs[slot, 0, b], starts[0], lane, T=T, WR=WR)
+            ga = _extract(slabs[slot, 0, b], starts[0], lane, T=T2, WR=WR)
+            o_ref[b, 0] = jnp.where(f_ref[i] != 0, ga, gm)
+    elif nsrc == 2:
         e = lax.broadcasted_iota(jnp.int32, (WR, LANE), 0) * LANE + lane
         for b in range(B):
             g0 = _extract(slabs[slot, 0, b], starts[0], lane, T=T, WR=WR)
@@ -176,7 +215,7 @@ def _pick_nbuf(W: int, nsrc: int, B: int, itemsize: int) -> int:
 
 def _call(
     x: jax.Array, scalars, W: int, nsrc: int, nbuf=None,
-    NC=None, affine=None,
+    NC=None, affine=None, x2=None,
 ) -> jax.Array:
     B, P = x.shape
     if P % LANE or W % LANE or W <= 0:
@@ -186,6 +225,14 @@ def _call(
     T, WR = P // LANE, W // LANE
     if T < WR + 1:
         raise ValueError(f"x too short for W={W}: need P >= W + {LANE}")
+    T2 = None
+    if x2 is not None:
+        B2, P2 = x2.shape
+        if B2 != B or P2 % LANE or x2.dtype != x.dtype:
+            raise ValueError(f"x2 shape/dtype mismatch: {x2.shape} {x2.dtype}")
+        T2 = P2 // LANE
+        if T2 < WR + 1:
+            raise ValueError(f"x2 too short for W={W}: need P2 >= W + {LANE}")
     if NC is None:
         NC = scalars[0].shape[0]
     if nbuf is None:
@@ -193,7 +240,7 @@ def _call(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(scalars),
         grid=(NC,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (1 if x2 is None else 2),
         out_specs=pl.BlockSpec(
             (B, 1, WR, LANE), (lambda i, *_: (0, i, 0, 0)) if scalars
             else (lambda i: (0, i, 0, 0))
@@ -205,14 +252,17 @@ def _call(
     )
     kernel = partial(
         _gather_kernel, T=T, WR=WR, NC=NC, B=B, nsrc=nsrc, nbuf=nbuf,
-        affine=affine,
+        affine=affine, T2=T2,
     )
+    operands = (*scalars, x.reshape(B, T, LANE))
+    if x2 is not None:
+        operands = (*operands, x2.reshape(B, T2, LANE))
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, NC, WR, LANE), x.dtype),
         interpret=_interpret(),
-    )(*scalars, x.reshape(B, T, LANE))
+    )(*operands)
     return out.reshape(B, NC, W)
 
 
@@ -220,6 +270,26 @@ def chunk_gather(x: jax.Array, starts: jax.Array, W: int, nbuf=None) -> jax.Arra
     """out[b, c, :] = x[b, starts[c] : starts[c] + W] as pipelined DMAs.
     x: (B, P); starts: (NC,) int32 in [0, P - W]; out (B, NC, W)."""
     return _call(x, (starts.astype(jnp.int32),), W, 1, nbuf)
+
+
+def chunk_gather_src2(
+    x: jax.Array, x2: jax.Array, starts: jax.Array, flags: jax.Array,
+    W: int, nbuf=None,
+) -> jax.Array:
+    """out[b, c, :] = src[b, starts[c] : starts[c] + W] where src is x
+    when flags[c] == 0 and the (small) alternate buffer x2 otherwise —
+    one DMA per chunk from the chosen source.  Lets the collect leg of
+    ops/modperm.py read its cyclic wrap chunks from a 2*Wc cyclic-join
+    buffer instead of materializing a full cyclically-extended copy of
+    the state (a read+write plane pass per step)."""
+    return _call(
+        x,
+        (starts.astype(jnp.int32), flags.astype(jnp.int32)),
+        W,
+        1,
+        nbuf,
+        x2=x2,
+    )
 
 
 def chunk_gather_blend(

@@ -16,6 +16,7 @@ from quantumcomputer_tpu.ops.pallas_chunkgather import (
     chunk_gather,
     chunk_gather_blend,
     chunk_gather_blend_rowlaw,
+    chunk_gather_src2,
 )
 
 
@@ -101,6 +102,37 @@ def test_chunk_gather_blend_rowlaw_matches_law(v, rows, Wt, rng):
         s1 = min(max((q0 + 1) * vpad - istar, 0), P - Wt)
         exp = np.where(e < istar, xh[:, s0 : s0 + Wt], xh[:, s1 : s1 + Wt])
         np.testing.assert_array_equal(got[:, c], exp, err_msg=f"chunk {c} (v={v})")
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_chunk_gather_src2(dtype, rng):
+    """Per-chunk source choice: flag 0 reads x, flag 1 reads the small
+    alternate buffer — the collect leg's cyclic-join routing.  Covers
+    boundary starts in BOTH sources (tail clamp d == 1 in each)."""
+    P, P2, W, NC = 128 * 64, 128 * 6, 384, 16
+    x = _x(2, P, dtype, rng)
+    x2 = _x(2, P2, dtype, rng)
+    starts = rng.integers(0, P - W + 1, NC).astype(np.int32)
+    flags = (rng.random(NC) < 0.5).astype(np.int32)
+    starts[np.where(flags == 1)] = rng.integers(
+        0, P2 - W + 1, int(flags.sum())
+    )
+    # Boundary cases in each source.
+    starts[0], flags[0] = P - W, 0       # x tail clamp
+    starts[1], flags[1] = P2 - W, 1      # x2 tail clamp
+    starts[2], flags[2] = P2 - W - 1, 1  # x2 last unaligned
+    starts[3], flags[3] = 0, 1
+    got = np.asarray(
+        chunk_gather_src2(x, x2, jnp.asarray(starts), jnp.asarray(flags), W),
+        np.float32,
+    )
+    xs = [np.asarray(x, np.float32), np.asarray(x2, np.float32)]
+    for c in range(NC):
+        src = xs[flags[c]]
+        np.testing.assert_array_equal(
+            got[:, c], src[:, starts[c] : starts[c] + W],
+            err_msg=f"chunk {c} flag {flags[c]} start {starts[c]}",
+        )
 
 
 def test_contract_validation(rng):

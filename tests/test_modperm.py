@@ -328,8 +328,10 @@ def test_collect_chunking_bench_r04_row():
     C, v = (1 << 28) - 3, 1543
     Wc, Qpr, K = collect_chunking(C, v, True)
     Qpv = (C - 1) // v + 1
-    assert Wc == 32768
-    assert Qpr == -(-Qpv // Wc) * Wc == K * Wc
+    # Adaptive halving picks the candidate minimizing the Qpv roundup:
+    # 4096 rounds 173970 to 176128 (+1.2%) vs 32768's 196608 (+13%).
+    assert Wc == 4096 and Qpr == 176128
+    assert Qpr == -(-Qpv // Wc) * Wc == K * Wc and K > 1
     assert Qpr % 131072 != 0  # the class round 4's test never reached
 
 
